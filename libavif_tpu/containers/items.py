@@ -271,6 +271,37 @@ class SampleTable:
             return True  # no stss: all samples are sync
         return (index + 1) in self.sync_samples
 
+    def sample_size(self, index: int) -> int:
+        if self.all_samples_size:
+            return self.all_samples_size
+        return self.sample_sizes[index]
+
+    def sample_ranges(self) -> list[tuple[int, int]]:
+        """Resolve per-sample (file_offset, size) from stco+stsc+stsz.
+
+        Reference: the sample-offset math in avifCodecDecodeInputFillFromSampleTable
+        (read.c:494-560).
+        """
+        ranges: list[tuple[int, int]] = []
+        sample = 0
+        n_chunks = len(self.chunk_offsets)
+        for run_idx, (first_chunk, per_chunk, _sdi) in enumerate(self.sample_to_chunk):
+            last_chunk = (
+                self.sample_to_chunk[run_idx + 1][0] - 1
+                if run_idx + 1 < len(self.sample_to_chunk)
+                else n_chunks
+            )
+            for chunk in range(first_chunk, last_chunk + 1):
+                offset = self.chunk_offsets[chunk - 1]
+                for _ in range(per_chunk):
+                    if sample >= self.sample_count:
+                        return ranges
+                    size = self.sample_size(sample)
+                    ranges.append((offset, size))
+                    offset += size
+                    sample += 1
+        return ranges
+
 
 @dataclasses.dataclass
 class Track:
