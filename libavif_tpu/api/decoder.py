@@ -1,0 +1,387 @@
+"""Decoder aggregate — the ``avifDecoder`` equivalent (avif.h:1253-1387).
+
+Reference call stack mirrored (SURVEY.md §3.1): parse container →
+select source (item vs track) → find color/alpha items → generate tiles
+(grid cells) → decode via native codec → reassemble → metadata harvest.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import numpy as np
+
+from ..codec import decode_frame
+from ..constants import (
+    AvifError,
+    DEFAULT_IMAGE_COUNT_LIMIT,
+    DEFAULT_IMAGE_DIMENSION_LIMIT,
+    DEFAULT_IMAGE_SIZE_LIMIT,
+    PixelFormat,
+    Range,
+    Result,
+    StrictFlags,
+)
+from ..containers import parse as containers_parse
+from ..containers.items import Container, Item, Meta
+from ..containers.parse import parse as parse_container
+from ..containers.parse import parse_image_grid, read_item_payload
+from ..image import Image
+
+ALPHA_URN = "urn:mpeg:mpegB:cicp:systems:auxiliary:alpha"
+
+
+class Source(enum.IntEnum):
+    """avifDecoderSource (avif.h:1210-1232)."""
+
+    AUTO = 0
+    PRIMARY_ITEM = 1
+    TRACKS = 2
+
+
+class Decoder:
+    """Pull-based decoder over an in-memory AVIF payload.
+
+    Usage: d = Decoder(); d.parse(data); while d.next_image(): use d.image
+    — the avifDecoderParse / avifDecoderNextImage protocol
+    (read.c:5288 / read.c:6972).
+    """
+
+    def __init__(self):
+        self.source = Source.AUTO
+        self.strict_flags = StrictFlags.ALL
+        self.image_size_limit = DEFAULT_IMAGE_SIZE_LIMIT
+        self.image_dimension_limit = DEFAULT_IMAGE_DIMENSION_LIMIT
+        self.image_count_limit = DEFAULT_IMAGE_COUNT_LIMIT
+
+        self.image: Optional[Image] = None
+        self.image_index = -1
+        self.image_count = 0
+        self.timescale = 1
+        self.duration_in_timescales = 0
+        self.repetition_count = 0
+        self.alpha_present = False
+
+        self._data: bytes = b""
+        self._container: Optional[Container] = None
+        self._color_item: Optional[Item] = None
+        self._alpha_item: Optional[Item] = None
+        self._use_tracks = False
+        self._color_track = None
+        self._alpha_track = None
+
+    # ----------------------------------------------------------------- parse
+
+    def _check_dims(self, w: int, h: int) -> None:
+        if w <= 0 or h <= 0:
+            raise AvifError(Result.BMFF_PARSE_FAILED, "zero-size image")
+        if w * h > self.image_size_limit:
+            raise AvifError(Result.INVALID_IMAGE_GRID, "image exceeds size limit")
+        if w > self.image_dimension_limit or h > self.image_dimension_limit:
+            raise AvifError(Result.INVALID_IMAGE_GRID, "dimension exceeds limit")
+
+    def _find_alpha_item(self, meta: Meta, color: Item) -> Optional[Item]:
+        """reference: avifMetaFindAlphaItem (read.c:5496)."""
+        for item in meta.items.values():
+            if item.aux_for_id != color.id or item.item_type != "av01":
+                continue
+            aux = item.find_property("auxC")
+            if aux is None or aux.aux_type == ALPHA_URN:
+                return item
+        return None
+
+    def parse(self, data: bytes) -> None:
+        """reference: avifDecoderParse (read.c:5288)."""
+        self._data = data
+        c = parse_container(data)
+        self._container = c
+
+        has_tracks = bool(c.tracks)
+        want_tracks = self.source == Source.TRACKS or (
+            self.source == Source.AUTO and has_tracks and c.has_brand("avis")
+        )
+        if want_tracks and not has_tracks:
+            raise AvifError(Result.NO_CONTENT, "no tracks in file")
+
+        if want_tracks:
+            self._use_tracks = True
+            pict = [t for t in c.tracks if t.handler_type == "pict" and t.sample_table]
+            if not pict:
+                raise AvifError(Result.BMFF_PARSE_FAILED, "no picture track")
+            self._color_track = pict[0]
+            # aux alpha track references the color track (read.c track source)
+            self._alpha_track = next(
+                (
+                    t
+                    for t in c.tracks
+                    if t.aux_for_id == self._color_track.id and t.sample_table
+                ),
+                None,
+            )
+            st = self._color_track.sample_table
+            self.image_count = len(st.sample_sizes)
+            if self.image_count_limit and self.image_count > self.image_count_limit:
+                raise AvifError(Result.BMFF_PARSE_FAILED, "image count limit")
+            self.timescale = self._color_track.media_timescale or 1
+            self.duration_in_timescales = self._color_track.media_duration
+            self.repetition_count = self._color_track.repetition_count
+            self.alpha_present = self._alpha_track is not None
+            self._check_dims(self._color_track.width, self._color_track.height)
+        else:
+            if c.meta is None:
+                raise AvifError(Result.BMFF_PARSE_FAILED, "no meta box")
+            meta = c.meta
+            if not meta.primary_item_id:
+                raise AvifError(Result.MISSING_IMAGE_ITEM, "no primary item")
+            item = meta.items.get(meta.primary_item_id)
+            if item is None:
+                raise AvifError(Result.MISSING_IMAGE_ITEM, "primary item not found")
+            if item.item_type not in ("av01", "grid"):
+                raise AvifError(Result.MISSING_IMAGE_ITEM, f"unsupported {item.item_type}")
+            self._color_item = item
+            self._alpha_item = self._find_alpha_item(meta, item)
+            self.alpha_present = self._alpha_item is not None
+            self.image_count = 1
+            self._check_dims(item.width, item.height)
+            self._validate_properties(item)
+
+        self.image_index = -1
+
+    def _validate_properties(self, item: Item) -> None:
+        """Strictness subset (reference: avifDecoderItemValidateProperties,
+        read.c:1240): av1C required; pixi required under strict flags."""
+        if item.item_type == "av01" and item.find_property("av1C") is None:
+            raise AvifError(Result.BMFF_PARSE_FAILED, "av01 item missing av1C")
+        if (
+            self.strict_flags & StrictFlags.PIXI_REQUIRED
+            and item.item_type == "av01"
+            and item.find_property("pixi") is None
+        ):
+            raise AvifError(Result.BMFF_PARSE_FAILED, "[Strict] missing pixi")
+
+    # ---------------------------------------------------------------- decode
+
+    def _decode_item_obus(self, item: Item, width: int = 0, height: int = 0) -> Image:
+        payload = read_item_payload(self._container.meta, item, self._data)
+        return decode_frame(payload, width, height)
+
+    def _decode_grid(self, grid_item: Item) -> Image:
+        """Grid reassembly (reference: read.c:1696 generate tiles +
+        read.c:1823 CopyTileToImage)."""
+        meta = self._container.meta
+        grid = grid_item.grid or parse_image_grid(
+            read_item_payload(meta, grid_item, self._data)
+        )
+        cells = sorted(
+            (i for i in meta.items.values() if i.dimg_for_id == grid_item.id),
+            key=lambda i: i.dimg_idx,
+        )
+        expected = grid.rows * grid.columns
+        if len(cells) != expected:
+            raise AvifError(
+                Result.INVALID_IMAGE_GRID, f"{len(cells)} cells, expected {expected}"
+            )
+        first = self._decode_item_obus(cells[0])
+        cw, ch = first.width, first.height
+        out = Image(grid.output_width, grid.output_height, first.depth, first.yuv_format)
+        out.copy_no_pixels(first)
+        out.width, out.height = grid.output_width, grid.output_height
+        self._check_dims(out.width, out.height)
+        out.allocate_planes("yuv")
+        decoded = [first] + [self._decode_item_obus(c) for c in cells[1:]]
+        for idx, cell_img in enumerate(decoded):
+            if (cell_img.width, cell_img.height) != (cw, ch):
+                raise AvifError(Result.INVALID_IMAGE_GRID, "cell size mismatch")
+            if (cell_img.depth, cell_img.yuv_format) != (out.depth, out.yuv_format):
+                raise AvifError(Result.INVALID_IMAGE_GRID, "cell format mismatch")
+            r, col = divmod(idx, grid.columns)
+            y0, x0 = r * ch, col * cw
+            for p in range(3):
+                src = cell_img.yuv_planes[p]
+                dst = out.yuv_planes[p]
+                if src is None or dst is None:
+                    continue
+                sx = x0 >> (0 if p == 0 else _shift_x(out.yuv_format))
+                sy = y0 >> (0 if p == 0 else _shift_y(out.yuv_format))
+                h = min(src.shape[0], dst.shape[0] - sy)
+                w = min(src.shape[1], dst.shape[1] - sx)
+                if h > 0 and w > 0:
+                    dst[sy : sy + h, sx : sx + w] = src[:h, :w]
+        return out
+
+    def _harvest_item_metadata(self, item: Item, img: Image) -> None:
+        """colr/clli/pasp/clap/irot/imir/Exif/XMP onto the decoded image
+        (reference: read.c:6596 region)."""
+        meta = self._container.meta
+        colr_icc = None
+        colr_nclx = None
+        for p in item.properties:
+            if p.fourcc == "colr":
+                v = p.value
+                if v.icc and colr_icc is None:
+                    colr_icc = v
+                if v.has_nclx and colr_nclx is None:
+                    colr_nclx = v
+        if colr_icc is not None:
+            img.icc = colr_icc.icc
+        if colr_nclx is not None:
+            img.color_primaries = colr_nclx.color_primaries
+            img.transfer_characteristics = colr_nclx.transfer_characteristics
+            img.matrix_coefficients = colr_nclx.matrix_coefficients
+            img.yuv_range = colr_nclx.yuv_range
+        from ..constants import TransformFlags
+
+        pasp = item.find_property("pasp")
+        if pasp is not None:
+            img.pasp = pasp
+            img.transform_flags |= TransformFlags.PASP
+        clap = item.find_property("clap")
+        if clap is not None:
+            img.clap = clap
+            img.transform_flags |= TransformFlags.CLAP
+        irot = item.find_property("irot")
+        if irot is not None:
+            img.irot = irot
+            img.transform_flags |= TransformFlags.IROT
+        imir = item.find_property("imir")
+        if imir is not None:
+            img.imir = imir
+            img.transform_flags |= TransformFlags.IMIR
+        clli = item.find_property("clli")
+        if clli is not None:
+            img.clli = clli
+        if meta is not None:
+            for other in meta.items.values():
+                if other.desc_for_id != item.id:
+                    continue
+                if other.item_type == "Exif":
+                    payload = read_item_payload(meta, other, self._data)
+                    if len(payload) >= 4:
+                        off = int.from_bytes(payload[:4], "big")
+                        img.exif = payload[4 + off :] if 4 + off <= len(payload) else b""
+                elif other.item_type == "mime":
+                    img.xmp = read_item_payload(meta, other, self._data)
+
+    def _attach_alpha(self, img: Image, alpha_img: Image, premultiplied: bool) -> None:
+        if (alpha_img.width, alpha_img.height) != (img.width, img.height):
+            raise AvifError(Result.COLOR_ALPHA_SIZE_MISMATCH, "alpha size mismatch")
+        if alpha_img.depth != img.depth:
+            raise AvifError(Result.DECODE_ALPHA_FAILED, "alpha depth mismatch")
+        plane = alpha_img.yuv_planes[0]
+        # Limited→full alpha fixup (reference: avifImageLimitedToFullAlpha,
+        # read.c:6676): alpha samples must cover the full range.
+        if alpha_img.yuv_range == Range.LIMITED:
+            maxv = (1 << img.depth) - 1
+            lo, hi = 16 << (img.depth - 8), 235 << (img.depth - 8)
+            p = plane.astype(np.int32)
+            p = np.clip((p - lo) * maxv // max(hi - lo, 1), 0, maxv)
+            plane = p.astype(alpha_img.dtype)
+        img.alpha_plane = plane
+        img.alpha_premultiplied = premultiplied
+
+    def next_image(self) -> bool:
+        """Advance to the next frame; returns False past the end
+        (reference: avifDecoderNextImage, read.c:6972)."""
+        if self._container is None:
+            raise AvifError(Result.NO_CONTENT, "parse() not called")
+        nxt = self.image_index + 1
+        if nxt >= self.image_count:
+            return False
+        if self._use_tracks:
+            img = self._decode_track_sample(self._color_track, nxt)
+            if self._alpha_track is not None:
+                aimg = self._decode_track_sample(self._alpha_track, nxt)
+                self._attach_alpha(img, aimg, premultiplied=False)
+        else:
+            item = self._color_item
+            if item.item_type == "grid":
+                img = self._decode_grid(item)
+            else:
+                img = self._decode_item_obus(item, item.width, item.height)
+            self._validate_ispe(item, img)
+            if self._alpha_item is not None:
+                if self._alpha_item.item_type == "grid":
+                    aimg = self._decode_grid(self._alpha_item)
+                else:
+                    aimg = self._decode_item_obus(self._alpha_item)
+                self._attach_alpha(
+                    img, aimg, premultiplied=self._alpha_item.prem_by_id == item.id
+                )
+            self._harvest_item_metadata(item, img)
+        self.image = img
+        self.image_index = nxt
+        return True
+
+    def _validate_ispe(self, item: Item, img: Image) -> None:
+        if not item.width:
+            if self.strict_flags:
+                raise AvifError(Result.BMFF_PARSE_FAILED, "[Strict] missing ispe")
+            return
+        if (item.width, item.height) != (img.width, img.height):
+            # Container wins over the bitstream (read.c:5316-5349).
+            if self.strict_flags and (
+                img.width < item.width or img.height < item.height
+            ):
+                raise AvifError(
+                    Result.BMFF_PARSE_FAILED,
+                    f"[Strict] ispe {item.width}x{item.height} vs "
+                    f"decoded {img.width}x{img.height}",
+                )
+
+    def _decode_track_sample(self, track, index: int) -> Image:
+        st = track.sample_table
+        ranges = st.sample_ranges()
+        off, size = ranges[index]
+        sample = self._data[off : off + size]
+        if len(sample) != size:
+            raise AvifError(Result.TRUNCATED_DATA, "sample out of range")
+        return decode_frame(sample)
+
+    def nth_image(self, index: int) -> Image:
+        """Random access (reference: avifDecoderNthImage, read.c:7100).
+        Intra-only codec: every sample is independently decodable."""
+        if self._container is None:
+            raise AvifError(Result.NO_CONTENT, "parse() not called")
+        if index >= self.image_count:
+            raise AvifError(Result.NO_IMAGES_REMAINING, f"index {index}")
+        self.image_index = index - 1
+        if not self.next_image():
+            raise AvifError(Result.NO_IMAGES_REMAINING, f"index {index}")
+        return self.image
+
+    def read(self, data: bytes) -> Image:
+        """One-shot decode (reference: avifDecoderRead, read.c:7248)."""
+        self.parse(data)
+        if not self.next_image():
+            raise AvifError(Result.NO_IMAGES_REMAINING, "no frames")
+        return self.image
+
+    # Keyframe queries (read.c:7153-7186): all frames are sync samples for
+    # the intra codec, but honor the recorded sample table for foreign files.
+    def is_keyframe(self, index: int) -> bool:
+        if self._use_tracks and self._color_track.sample_table:
+            return self._color_track.sample_table.is_sync_sample(index)
+        return True
+
+    def nearest_keyframe(self, index: int) -> int:
+        while index > 0 and not self.is_keyframe(index):
+            index -= 1
+        return index
+
+
+def _shift_x(fmt: PixelFormat) -> int:
+    from ..constants import pixel_format_info
+
+    return pixel_format_info(fmt).chroma_shift_x
+
+
+def _shift_y(fmt: PixelFormat) -> int:
+    from ..constants import pixel_format_info
+
+    return pixel_format_info(fmt).chroma_shift_y
+
+
+def decode(data: bytes) -> Image:
+    """Convenience one-liner (reference: avifDecoderReadMemory)."""
+    return Decoder().read(data)

@@ -1,0 +1,441 @@
+"""Encoder aggregate — the ``avifEncoder`` equivalent (avif.h:1511-1625).
+
+Builds the item graph (color + alpha aux + Exif/XMP), drives the native
+codec per item, and serializes the container. Reference call stack:
+avifEncoderAddImage (write.c:2141) → avifEncoderAddImageInternal
+(write.c:1702) → per-item codec encode (write.c:2035-2132) →
+avifEncoderFinish (write.c:3152).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..codec import FrameParams, encode_frame
+from ..codec.frame import config_from_sequence_header
+from ..constants import (
+    AvifError,
+    MatrixCoefficients,
+    PixelFormat,
+    Range,
+    Result,
+    TransformFlags,
+)
+from ..containers.items import (
+    ColorInformation,
+    ImageSpatialExtents,
+    PixelInformation,
+    Property,
+)
+from ..containers.write import OutputItem, write_sequence, write_still
+from ..image import Image
+
+ALPHA_URN = "urn:mpeg:mpegB:cicp:systems:auxiliary:alpha"
+
+# avifAddImageFlags (avif.h:1630-1640)
+ADD_IMAGE_FLAG_NONE = 0
+ADD_IMAGE_FLAG_FORCE_KEYFRAME = 1 << 0
+ADD_IMAGE_FLAG_SINGLE = 1 << 1
+
+
+@dataclasses.dataclass
+class _PendingFrame:
+    obus: bytes
+    alpha_obus: Optional[bytes]
+    duration: int
+    keyframe: bool
+
+
+class Encoder:
+    """Still & animated AVIF encoder.
+
+    Settings subset of avifEncoder: quality, quality_alpha, speed,
+    timescale, repetition_count, keyframe_interval.
+    """
+
+    def __init__(self):
+        self.quality = 60
+        self.quality_alpha = -1  # -1: follow quality
+        self.speed = 6
+        self.timescale = 1
+        self.repetition_count = 0  # 0 = infinite (reference: avif.h repetition)
+        self.keyframe_interval = 0
+        self.tx_size = 16
+
+        self._frames: list[_PendingFrame] = []
+        self._first_image: Optional[Image] = None
+        self._first_hdr = None
+        self._first_alpha_hdr = None
+        self._single = False
+
+    # ------------------------------------------------------------- internals
+
+    def _params(self, quality: int) -> FrameParams:
+        return FrameParams(quality=quality, speed=self.speed, tx_size=self.tx_size)
+
+    def _alpha_image(self, image: Image) -> Image:
+        """Monochrome wrapper for the alpha plane (the reference's
+        monochrome-alpha convention, codec_aom.c:942-944)."""
+        a = Image(image.width, image.height, image.depth, PixelFormat.YUV400)
+        a.yuv_range = Range.FULL  # alpha is always full range (read.c:6770-6780)
+        a.matrix_coefficients = MatrixCoefficients.IDENTITY
+        a.yuv_planes[0] = image.alpha_plane
+        a.image_owns_yuv_planes = False
+        return a
+
+    def _encode_pair(self, image: Image) -> tuple[bytes, Optional[bytes]]:
+        if image.width <= 0 or image.height <= 0:
+            raise AvifError(Result.NO_CONTENT, "empty image")
+        if image.yuv_planes[0] is None:
+            raise AvifError(Result.NO_CONTENT, "no YUV planes")
+        obus, hdr = encode_frame(image, self._params(self.quality))
+        if self._first_hdr is None:
+            self._first_hdr = hdr
+        alpha_obus = None
+        # Opaque-alpha elision (write.c:1884-1902): skip the aux item when
+        # every alpha sample is at max.
+        if image.alpha_plane is not None and not image.is_opaque():
+            qa = self.quality if self.quality_alpha < 0 else self.quality_alpha
+            alpha_obus, ahdr = encode_frame(self._alpha_image(image), self._params(qa))
+            if self._first_alpha_hdr is None:
+                self._first_alpha_hdr = ahdr
+        return obus, alpha_obus
+
+    def _base_properties(self, image: Image, hdr, item_is_alpha: bool) -> list[Property]:
+        props: list[Property] = [
+            Property("ispe", ImageSpatialExtents(image.width, image.height)),
+            Property(
+                "pixi",
+                PixelInformation(
+                    plane_depths=[image.depth] * (1 if item_is_alpha or image.monochrome else 3)
+                ),
+            ),
+            Property("av1C", config_from_sequence_header(hdr)),
+        ]
+        if item_is_alpha:
+            from ..containers.items import AuxiliaryType
+
+            props.append(Property("auxC", AuxiliaryType(aux_type=ALPHA_URN)))
+            return props
+        # colr: icc wins, else nclx when any CICP set (write.c colr logic)
+        if image.icc:
+            props.append(Property("colr", ColorInformation(icc=image.icc)))
+        props.append(
+            Property(
+                "colr",
+                ColorInformation(
+                    has_nclx=True,
+                    color_primaries=image.color_primaries,
+                    transfer_characteristics=image.transfer_characteristics,
+                    matrix_coefficients=image.matrix_coefficients,
+                    yuv_range=image.yuv_range,
+                ),
+            )
+        )
+        t = image.transform_flags
+        if t & TransformFlags.PASP:
+            props.append(Property("pasp", image.pasp))
+        if t & TransformFlags.CLAP:
+            props.append(Property("clap", image.clap))
+        if t & TransformFlags.IROT:
+            props.append(Property("irot", image.irot))
+        if t & TransformFlags.IMIR:
+            props.append(Property("imir", image.imir))
+        if image.clli.max_cll or image.clli.max_pall:
+            props.append(Property("clli", image.clli))
+        props.extend(image.properties)
+        return props
+
+    def _build_items(self, image: Image, obus: bytes, alpha_obus: Optional[bytes]):
+        items: list[OutputItem] = [
+            OutputItem(
+                id=1,
+                item_type="av01",
+                payload=obus,
+                properties=self._base_properties(image, self._first_hdr, False),
+                infe_name="Color",
+            )
+        ]
+        next_id = 2
+        if alpha_obus is not None:
+            items.append(
+                OutputItem(
+                    id=next_id,
+                    item_type="av01",
+                    payload=alpha_obus,
+                    properties=self._base_properties(image, self._first_alpha_hdr, True),
+                    refs={"auxl": [1], **({"prem": [1]} if image.alpha_premultiplied else {})},
+                    infe_name="Alpha",
+                )
+            )
+            next_id += 1
+        if image.exif:
+            # Exif item payload: u32 offset to TIFF header + raw Exif
+            # (reference: exif.c / write.c Exif item)
+            payload = (0).to_bytes(4, "big") + image.exif
+            items.append(
+                OutputItem(
+                    id=next_id, item_type="Exif", payload=payload,
+                    refs={"cdsc": [1]}, infe_name="Exif",
+                )
+            )
+            next_id += 1
+        if image.xmp:
+            items.append(
+                OutputItem(
+                    id=next_id, item_type="mime", payload=image.xmp,
+                    refs={"cdsc": [1]}, content_type="application/rdf+xml",
+                    infe_name="XMP",
+                )
+            )
+            next_id += 1
+        return items
+
+    # ---------------------------------------------------------------- public
+
+    def add_image(self, image: Image, duration: int = 1, flags: int = 0) -> None:
+        """Queue one frame (reference: avifEncoderAddImage, write.c:2141)."""
+        if self._single:
+            raise AvifError(Result.ENCODE_COLOR_FAILED, "single-image encoder reused")
+        if self._first_image is not None:
+            f = self._first_image
+            if (image.width, image.height, image.depth, image.yuv_format) != (
+                f.width, f.height, f.depth, f.yuv_format
+            ):
+                raise AvifError(Result.INCOMPATIBLE_IMAGE, "frame geometry changed")
+        keyframe = bool(flags & ADD_IMAGE_FLAG_FORCE_KEYFRAME) or not self._frames
+        if self.keyframe_interval > 0 and len(self._frames) % self.keyframe_interval == 0:
+            keyframe = True
+        # Intra-only codec: every frame is independently decodable, but the
+        # sync-sample table still records requested keyframes for containers.
+        obus, alpha_obus = self._encode_pair(image)
+        if self._first_image is None:
+            self._first_image = image.copy("none")
+        self._frames.append(_PendingFrame(obus, alpha_obus, duration, keyframe))
+        if flags & ADD_IMAGE_FLAG_SINGLE:
+            self._single = True
+
+    def finish(self) -> bytes:
+        """Serialize (reference: avifEncoderFinish, write.c:3152)."""
+        if not self._frames:
+            raise AvifError(Result.NO_CONTENT, "no frames added")
+        image = self._first_image
+        first = self._frames[0]
+        items = self._build_items(image, first.obus, first.alpha_obus)
+        if len(self._frames) == 1:
+            return write_still(items, primary_item_id=1)
+        av1c = config_from_sequence_header(self._first_hdr)
+        alpha_av1c = (
+            config_from_sequence_header(self._first_alpha_hdr)
+            if self._first_alpha_hdr is not None
+            else None
+        )
+        samples = [(f.obus, f.duration, f.keyframe) for f in self._frames]
+        alpha_samples = None
+        if any(f.alpha_obus for f in self._frames):
+            if not all(f.alpha_obus for f in self._frames):
+                raise AvifError(
+                    Result.ENCODE_ALPHA_FAILED, "alpha present in only some frames"
+                )
+            alpha_samples = [(f.alpha_obus, f.duration, f.keyframe) for f in self._frames]
+        return write_sequence(
+            items,
+            primary_item_id=1,
+            samples=samples,
+            alpha_samples=alpha_samples,
+            timescale=self.timescale,
+            width=image.width,
+            height=image.height,
+            av1c=av1c,
+            repetition_count=self.repetition_count,
+            alpha_av1c=alpha_av1c,
+        )
+
+    def write(self, image: Image) -> bytes:
+        """Single-shot still encode (reference: avifEncoderWrite, write.c:3861)."""
+        self.add_image(image, flags=ADD_IMAGE_FLAG_SINGLE)
+        return self.finish()
+
+    # ------------------------------------------------------------------ grid
+
+    def write_grid(self, cells: list[Image], columns: int, rows: int) -> bytes:
+        """Multi-cell grid still (reference: avifEncoderAddImageGrid,
+        write.c:2147 + grid validation write.c:1608 + cell padding
+        write.c:1151).
+
+        Cells are row-major; the last row/column may be smaller and is
+        edge-padded to the tile size before encoding.
+        """
+        from ..image import are_grid_dimensions_valid
+
+        if len(cells) != columns * rows or not cells:
+            raise AvifError(Result.INVALID_IMAGE_GRID, "cell count mismatch")
+        cw, ch = cells[0].width, cells[0].height
+        last_w = cells[columns - 1].width
+        last_h = cells[(rows - 1) * columns].height
+        out_w = (columns - 1) * cw + last_w
+        out_h = (rows - 1) * ch + last_h
+        first = cells[0]
+        if len(cells) > 1 and not are_grid_dimensions_valid(
+            first.yuv_format, out_w, out_h, cw, ch
+        ):
+            raise AvifError(Result.INVALID_IMAGE_GRID, "MIAF grid rules violated")
+        for idx, cell in enumerate(cells):
+            r, col = divmod(idx, columns)
+            want_w = last_w if col == columns - 1 else cw
+            want_h = last_h if r == rows - 1 else ch
+            if (cell.width, cell.height) != (want_w, want_h):
+                raise AvifError(Result.INVALID_IMAGE_GRID, f"cell {idx} size")
+            if (cell.depth, cell.yuv_format) != (first.depth, first.yuv_format):
+                raise AvifError(Result.INVALID_IMAGE_GRID, f"cell {idx} format")
+
+        has_alpha = any(
+            c.alpha_plane is not None and not c.is_opaque() for c in cells
+        )
+        color_payloads = []
+        alpha_payloads = []
+        for cell in cells:
+            padded = _pad_cell(cell, cw, ch)
+            obus, hdr = encode_frame(padded, self._params(self.quality))
+            if self._first_hdr is None:
+                self._first_hdr = hdr
+            color_payloads.append(obus)
+            if has_alpha:
+                if padded.alpha_plane is None:
+                    padded.alpha_plane = np.full(
+                        (padded.height, padded.width),
+                        (1 << padded.depth) - 1,
+                        dtype=padded.dtype,
+                    )
+                qa = self.quality if self.quality_alpha < 0 else self.quality_alpha
+                aobus, ahdr = encode_frame(self._alpha_image(padded), self._params(qa))
+                if self._first_alpha_hdr is None:
+                    self._first_alpha_hdr = ahdr
+                alpha_payloads.append(aobus)
+
+        grid_payload = _grid_descriptor(rows, columns, out_w, out_h)
+        grid_like = first.copy("none")
+        grid_like.width, grid_like.height = out_w, out_h
+
+        items: list[OutputItem] = []
+        next_id = 1
+        color_grid_id = next_id
+        grid_props = self._base_properties(grid_like, self._first_hdr, False)
+        grid_props = [p for p in grid_props if p.fourcc != "av1C"]
+        items.append(
+            OutputItem(
+                id=color_grid_id, item_type="grid", payload=grid_payload,
+                properties=grid_props, infe_name="Color",
+            )
+        )
+        next_id += 1
+        cell_prop_img = first.copy("none")
+        cell_prop_img.width, cell_prop_img.height = cw, ch
+        cell_props = [
+            Property("ispe", ImageSpatialExtents(cw, ch)),
+            Property(
+                "pixi",
+                PixelInformation(plane_depths=[first.depth] * (1 if first.monochrome else 3)),
+            ),
+            Property("av1C", config_from_sequence_header(self._first_hdr)),
+        ]
+        cell_ids = []
+        for payload in color_payloads:
+            items.append(
+                OutputItem(
+                    id=next_id, item_type="av01", payload=payload,
+                    properties=cell_props, hidden=True,
+                )
+            )
+            cell_ids.append(next_id)
+            next_id += 1
+        items[0].refs = {"dimg": cell_ids}
+
+        if has_alpha:
+            alpha_grid_id = next_id
+            from ..containers.items import AuxiliaryType
+
+            agrid_props = [
+                Property("ispe", ImageSpatialExtents(out_w, out_h)),
+                Property("auxC", AuxiliaryType(aux_type=ALPHA_URN)),
+            ]
+            items.append(
+                OutputItem(
+                    id=alpha_grid_id, item_type="grid", payload=grid_payload,
+                    properties=agrid_props, refs={"auxl": [color_grid_id]},
+                    infe_name="Alpha", hidden=True,
+                )
+            )
+            next_id += 1
+            acell_props = [
+                Property("ispe", ImageSpatialExtents(cw, ch)),
+                Property("pixi", PixelInformation(plane_depths=[first.depth])),
+                Property("av1C", config_from_sequence_header(self._first_alpha_hdr)),
+                Property("auxC", AuxiliaryType(aux_type=ALPHA_URN)),
+            ]
+            acell_ids = []
+            for payload in alpha_payloads:
+                items.append(
+                    OutputItem(
+                        id=next_id, item_type="av01", payload=payload,
+                        properties=acell_props, hidden=True,
+                    )
+                )
+                acell_ids.append(next_id)
+                next_id += 1
+            items[[i.id for i in items].index(alpha_grid_id)].refs["dimg"] = acell_ids
+
+        return write_still(items, primary_item_id=color_grid_id)
+
+
+def _pad_cell(cell: Image, cw: int, ch: int) -> Image:
+    """Edge-pad a trailing-edge cell to the tile size (reference:
+    avifImageCopyAndPad, write.c:1151)."""
+    if (cell.width, cell.height) == (cw, ch):
+        return cell
+    out = Image(cw, ch, cell.depth, cell.yuv_format)
+    out.copy_no_pixels(cell)
+    out.width, out.height = cw, ch
+    out.allocate_planes("yuv")
+    for c in range(3):
+        src = cell.yuv_planes[c]
+        if src is None or out.yuv_planes[c] is None:
+            continue
+        h, w = src.shape
+        dst = out.yuv_planes[c]
+        dst[:h, :w] = src
+        dst[:h, w:] = src[:, -1:]
+        dst[h:, :] = dst[h - 1 : h, :]
+    if cell.alpha_plane is not None:
+        a = np.full((ch, cw), 0, dtype=cell.dtype)
+        h, w = cell.alpha_plane.shape
+        a[:h, :w] = cell.alpha_plane
+        a[:h, w:] = cell.alpha_plane[:, -1:]
+        a[h:, :] = a[h - 1 : h, :]
+        out.alpha_plane = a
+    return out
+
+
+def _grid_descriptor(rows: int, columns: int, out_w: int, out_h: int) -> bytes:
+    """'grid' item payload (HEIF ImageGrid, read.c:2110 layout)."""
+    large = out_w >= (1 << 16) or out_h >= (1 << 16)
+    b = bytearray()
+    b.append(0)  # version
+    b.append(1 if large else 0)  # flags: field size
+    b.append(rows - 1)
+    b.append(columns - 1)
+    nbytes = 4 if large else 2
+    b += out_w.to_bytes(nbytes, "big")
+    b += out_h.to_bytes(nbytes, "big")
+    return bytes(b)
+
+
+def encode(image: Image, quality: int = 60, speed: int = 6) -> bytes:
+    """Convenience one-liner."""
+    enc = Encoder()
+    enc.quality = quality
+    enc.speed = speed
+    return enc.write(image)

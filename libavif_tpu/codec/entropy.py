@@ -1,0 +1,116 @@
+"""Host entropy layer: msac tile coding of modes and coefficient levels.
+
+Bitstream (per tile, this codec's own AV1-style design):
+  for each block in raster order:
+    mode          : 7-symbol adaptive CDF
+    all_zero      : 2-symbol adaptive CDF
+    if any nonzero coefficient:
+      eob_class   : adaptive CDF over log2 buckets of (eob-1)
+      eob_offset  : raw literal bits (class-1 bits, classes >= 2)
+      for each scan position k < eob (zigzag order):
+        base      : 4-symbol adaptive CDF {0,1,2,3+}, context by scan region
+        tail      : Exp-Golomb remainder when base == 3+
+        sign      : raw bit when nonzero
+
+This is the reference implementation (pure Python over the msac reference
+coder). The C++ fast path must be bit-identical; tests enforce. The role
+mirrors the coefficient coding the reference delegates to libaom/dav1d
+(SURVEY.md §2.2) without copying either.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.av1.msac import MsacDecoder, MsacEncoder, uniform_icdf
+from ..ops.intra import N_MODES
+from .scan import zigzag_flat
+
+N_BASE_CTX = 3
+
+
+def _eob_classes(n: int) -> int:
+    """Number of log2 buckets for eob-1 in [0, n*n-1]."""
+    return (n * n - 1).bit_length() + 1
+
+
+class TileCdfs:
+    """Fresh adaptive CDF set per tile (tiles are entropy-independent,
+    which is what makes them the unit of host/chip parallelism —
+    SURVEY.md §2.4)."""
+
+    def __init__(self, n: int):
+        self.mode = uniform_icdf(N_MODES)
+        self.allzero = uniform_icdf(2)
+        self.eob_class = uniform_icdf(_eob_classes(n))
+        self.base = [uniform_icdf(4) for _ in range(N_BASE_CTX)]
+
+
+def _base_ctx(k: int, n: int) -> int:
+    if k == 0:
+        return 0
+    return 1 if k < n else 2
+
+
+def encode_tile(levels: np.ndarray, modes: np.ndarray, n: int) -> bytes:
+    """levels: (Rb, Cb, n, n) int32, modes: (Rb, Cb) int -> tile payload."""
+    rb, cb = modes.shape
+    scan = zigzag_flat(n)
+    lv = np.asarray(levels, dtype=np.int64).reshape(rb * cb, n * n)[:, scan]
+    md = np.asarray(modes).reshape(-1)
+    cdfs = TileCdfs(n)
+    enc = MsacEncoder()
+    ec = _eob_classes(n)
+    for b in range(rb * cb):
+        enc.encode_symbol(int(md[b]), cdfs.mode, N_MODES)
+        row = lv[b]
+        nz = np.nonzero(row)[0]
+        if nz.size == 0:
+            enc.encode_symbol(0, cdfs.allzero, 2)
+            continue
+        enc.encode_symbol(1, cdfs.allzero, 2)
+        eob = int(nz[-1]) + 1
+        cls = (eob - 1).bit_length()
+        enc.encode_symbol(cls, cdfs.eob_class, ec)
+        if cls >= 2:
+            enc.encode_literal(eob - 1 - (1 << (cls - 1)), cls - 1)
+        for k in range(eob):
+            v = int(row[k])
+            a = abs(v)
+            base = min(a, 3)
+            enc.encode_symbol(base, cdfs.base[_base_ctx(k, n)], 4)
+            if base == 3:
+                enc.encode_golomb(a - 3)
+            if a:
+                enc.encode_bit(1 if v < 0 else 0)
+    return enc.finish()
+
+
+def decode_tile(data: bytes, rb: int, cb: int, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_tile: payload -> (levels (Rb,Cb,n,n), modes (Rb,Cb))."""
+    scan = zigzag_flat(n)
+    cdfs = TileCdfs(n)
+    dec = MsacDecoder(data)
+    ec = _eob_classes(n)
+    lv = np.zeros((rb * cb, n * n), dtype=np.int32)
+    md = np.zeros(rb * cb, dtype=np.int32)
+    for b in range(rb * cb):
+        md[b] = dec.decode_symbol(cdfs.mode, N_MODES)
+        if dec.decode_symbol(cdfs.allzero, 2) == 0:
+            continue
+        cls = dec.decode_symbol(cdfs.eob_class, ec)
+        if cls >= 2:
+            eob = (1 << (cls - 1)) + dec.decode_literal(cls - 1) + 1
+        else:
+            eob = cls + 1
+        if eob > n * n:
+            eob = n * n
+        row = lv[b]
+        for k in range(eob):
+            a = dec.decode_symbol(cdfs.base[_base_ctx(k, n)], 4)
+            if a == 3:
+                a += dec.decode_golomb()
+            if a:
+                sign = dec.decode_bit()
+                row[scan[k]] = -a if sign else a
+    return lv.reshape(rb, cb, n, n), md.reshape(rb, cb)

@@ -1,0 +1,239 @@
+"""Frame-level codec seam: Image planes ⇄ OBU stream.
+
+This is the native codec behind the reference's vtable seam
+(include/avif/internal.h:605-623): ``encode_frame`` plays the role of
+``codec->encodeImage`` (codec_aom.c:656) and ``decode_frame`` the role of
+``codec->getNextImage`` (codec_dav1d.c:58).
+
+OBU stream layout: a standard AV1 sequence-header OBU (spec §5.5 syntax —
+it carries profile/depth/format/CICP so container-level av1C harvesting
+works exactly like the reference's obu.c:712), followed by one OBU_FRAME
+whose payload is this codec's own frame format:
+
+  u8  magic (0x54, bumped on format changes)
+  u8  qindex
+  u8  log2 transform size
+  u8  flags (bit0: lossless)
+  per coded plane (Y, then U, V unless monochrome):
+    leb128 tile-payload size + msac tile payload (entropy.py)
+
+Profile selection mirrors codec_aom.c:834-869 semantics: 12-bit → profile
+2, 4:4:4 → 1, 4:2:2 → 2, 4:2:0/4:0:0 → 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..constants import (
+    AvifError,
+    ChromaSamplePosition,
+    PixelFormat,
+    Range,
+    Result,
+    pixel_format_info,
+)
+from ..containers.items import CodecConfiguration
+from ..containers.obu import (
+    OBU_FRAME,
+    OBU_SEQUENCE_HEADER,
+    Obu,
+    SequenceHeader,
+    parse_sequence_header,
+    read_leb128,
+    split_obus,
+    write_leb128,
+    write_obu,
+    write_sequence_header,
+)
+from ..image import Image
+from ..ops.quant import quality_to_qindex, step_sizes
+from ..utils.streams import ROStream, RWStream
+from . import entropy, recon
+
+FRAME_MAGIC = 0x54
+DEFAULT_TX_SIZE = 16
+
+
+@dataclasses.dataclass
+class FrameParams:
+    """Codec-facing settings (the avifEncoder quality/speed subset,
+    avif.h:1511-1625)."""
+
+    quality: int = 60
+    speed: int = 6
+    tx_size: int = DEFAULT_TX_SIZE
+
+    @property
+    def qindex(self) -> int:
+        return quality_to_qindex(self.quality)
+
+    @property
+    def lossless(self) -> bool:
+        return self.qindex == 0
+
+
+def _profile_for(depth: int, fmt: PixelFormat) -> int:
+    if depth == 12:
+        return 2
+    if fmt == PixelFormat.YUV444:
+        return 1
+    if fmt == PixelFormat.YUV422:
+        return 2
+    return 0
+
+
+def _sequence_header_for(image: Image) -> SequenceHeader:
+    info = pixel_format_info(image.yuv_format)
+    h = SequenceHeader()
+    h.seq_profile = _profile_for(image.depth, image.yuv_format)
+    h.still_picture = True
+    h.reduced_still_picture_header = True
+    h.max_frame_width = image.width
+    h.max_frame_height = image.height
+    h.frame_width_bits = max(1, (image.width - 1).bit_length() or 1)
+    h.frame_height_bits = max(1, (image.height - 1).bit_length() or 1)
+    h.high_bitdepth = image.depth > 8
+    h.twelve_bit = image.depth == 12
+    h.monochrome = info.monochrome
+    h.color_description_present = True
+    h.color_primaries = int(image.color_primaries)
+    h.transfer_characteristics = int(image.transfer_characteristics)
+    h.matrix_coefficients = int(image.matrix_coefficients)
+    h.color_range = 1 if image.yuv_range == Range.FULL else 0
+    h.subsampling_x = info.chroma_shift_x
+    h.subsampling_y = info.chroma_shift_y
+    h.chroma_sample_position = int(image.chroma_sample_position)
+    return h
+
+
+def config_from_sequence_header(h: SequenceHeader, config_obus: bytes = b"") -> CodecConfiguration:
+    """av1C harvest (reference: avifEncoderFinish → avifSequenceHeaderParse,
+    write.c:3152 region / obu.c:712)."""
+    return CodecConfiguration(
+        seq_profile=h.seq_profile,
+        seq_level_idx_0=h.operating_points[0].seq_level_idx,
+        seq_tier_0=h.operating_points[0].seq_tier,
+        high_bitdepth=int(h.high_bitdepth),
+        twelve_bit=int(h.twelve_bit),
+        monochrome=int(h.monochrome),
+        chroma_subsampling_x=h.subsampling_x,
+        chroma_subsampling_y=h.subsampling_y,
+        chroma_sample_position=h.chroma_sample_position,
+        config_obus=config_obus,
+    )
+
+
+def _coded_planes(image_or_hdr) -> int:
+    return 1 if image_or_hdr.monochrome else 3
+
+
+def _encode_one_plane(plane: np.ndarray, params: FrameParams, depth: int) -> bytes:
+    n = params.tx_size
+    qindex = params.qindex
+    dc, ac = (1, 1) if params.lossless else step_sizes(qindex, depth)
+    padded = recon.pad_to_blocks(plane.astype(np.int32), n)
+    modes, levels, _ = recon.encode_plane(
+        padded, np.int32(dc), np.int32(ac), n=n, depth=depth, lossless=params.lossless
+    )
+    return entropy.encode_tile(np.asarray(levels), np.asarray(modes), n)
+
+
+def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHeader]:
+    """Encode one still frame. Returns (obu_bytes, sequence_header)."""
+    if image.depth not in (8, 10, 12):
+        raise AvifError(Result.UNSUPPORTED_DEPTH, f"depth {image.depth}")
+    hdr = _sequence_header_for(image)
+    seq_payload = write_sequence_header(hdr)
+
+    body = RWStream()
+    body.write_u8(FRAME_MAGIC)
+    body.write_u8(params.qindex)
+    body.write_u8(params.tx_size.bit_length() - 1)
+    body.write_u8(1 if params.lossless else 0)
+    for c in range(_coded_planes(image)):
+        plane = image.yuv_planes[c]
+        if plane is None:
+            raise AvifError(Result.NO_CONTENT, f"missing plane {c}")
+        payload = _encode_one_plane(plane, params, image.depth)
+        write_leb128(body, len(payload))
+        body.write(payload)
+
+    s = RWStream()
+    write_obu(s, OBU_SEQUENCE_HEADER, seq_payload)
+    write_obu(s, OBU_FRAME, body.data())
+    return s.data(), hdr
+
+
+def _plane_dims(hdr: SequenceHeader, c: int, width: int, height: int) -> tuple[int, int]:
+    if c == 0:
+        return width, height
+    return (
+        (width + hdr.subsampling_x) >> hdr.subsampling_x,
+        (height + hdr.subsampling_y) >> hdr.subsampling_y,
+    )
+
+
+def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
+    """Decode an OBU stream into an Image (planes + format + CICP).
+
+    width/height override the sequence-header size when the container's
+    ispe disagrees (the container wins, read.c:5316-5349 semantics).
+    """
+    seq: SequenceHeader | None = None
+    frame: Obu | None = None
+    for obu in split_obus(data):
+        if obu.obu_type == OBU_SEQUENCE_HEADER and seq is None:
+            seq = parse_sequence_header(obu.payload)
+        elif obu.obu_type == OBU_FRAME and frame is None:
+            frame = obu
+    if seq is None or frame is None:
+        raise AvifError(Result.BMFF_PARSE_FAILED, "missing sequence header or frame OBU")
+
+    w = width or seq.max_frame_width
+    h = height or seq.max_frame_height
+    depth = seq.bit_depth
+
+    s = ROStream(frame.payload)
+    if s.read_u8() != FRAME_MAGIC:
+        raise AvifError(Result.BMFF_PARSE_FAILED, "bad frame magic")
+    qindex = s.read_u8()
+    n = 1 << s.read_u8()
+    lossless = bool(s.read_u8() & 1)
+    if n not in (4, 8, 16, 32):
+        raise AvifError(Result.BMFF_PARSE_FAILED, f"bad tx size {n}")
+    dc, ac = (1, 1) if lossless else step_sizes(qindex, depth)
+
+    if seq.monochrome:
+        fmt = PixelFormat.YUV400
+    elif seq.subsampling_x and seq.subsampling_y:
+        fmt = PixelFormat.YUV420
+    elif seq.subsampling_x:
+        fmt = PixelFormat.YUV422
+    else:
+        fmt = PixelFormat.YUV444
+
+    out = Image(w, h, depth, fmt)
+    out.yuv_range = Range.FULL if seq.color_range else Range.LIMITED
+    out.color_primaries = seq.color_primaries
+    out.transfer_characteristics = seq.transfer_characteristics
+    out.matrix_coefficients = seq.matrix_coefficients
+    out.chroma_sample_position = ChromaSamplePosition(seq.chroma_sample_position)
+    out.allocate_planes("yuv")
+
+    for c in range(_coded_planes(seq)):
+        size = read_leb128(s)
+        payload = s.read(size)
+        pw, ph = _plane_dims(seq, c, w, h)
+        rb, cb = -(-ph // n), -(-pw // n)
+        try:
+            levels, modes = entropy.decode_tile(payload, rb, cb, n)
+        except ValueError as e:
+            raise AvifError(Result.BMFF_PARSE_FAILED, f"tile entropy error: {e}") from e
+        plane = recon.decode_plane(
+            levels, modes, np.int32(dc), np.int32(ac), n=n, depth=depth, lossless=lossless
+        )
+        out.yuv_planes[c][:, :] = np.asarray(plane)[:ph, :pw].astype(out.dtype)
+    return out
