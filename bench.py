@@ -1,0 +1,107 @@
+"""Headline bench: still-image encode throughput (MP/s) at q75 4:2:0.
+
+BASELINE.md config 1: "MP/s/chip > avifenc/avifdec on 32-core CPU". The
+CPU reference is measured live via Pillow's AVIF plugin (real libavif +
+libaom at quality 75) on the same pixels; `vs_baseline` is ours/theirs.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+W, H = 768, 512  # kodim-class frame
+QUALITY = 75
+RUNS = 3
+
+
+def make_yuv_image():
+    from libavif_tpu.constants import PixelFormat
+    from libavif_tpu.image import Image
+
+    rng = np.random.default_rng(42)
+    img = Image(W, H, 8, PixelFormat.YUV420)
+    img.allocate_planes("yuv")
+    yy, xx = np.mgrid[0:H, 0:W]
+    # natural-ish content: gradients + low-frequency texture + mild noise
+    base = 96 + 64 * np.sin(yy / 37.0) + 48 * np.cos(xx / 53.0)
+    img.yuv_planes[0][:] = np.clip(
+        base + rng.normal(0, 6, (H, W)), 0, 255
+    ).astype(np.uint8)
+    for c in (1, 2):
+        h, w = img.yuv_planes[c].shape
+        yy2, xx2 = np.mgrid[0:h, 0:w]
+        img.yuv_planes[c][:] = np.clip(
+            128 + 40 * np.sin((xx2 + 60 * c) / 41.0) + rng.normal(0, 3, (h, w)),
+            0,
+            255,
+        ).astype(np.uint8)
+    return img
+
+
+def bench_ours(img):
+    from libavif_tpu.api import encode
+
+    encode(img, quality=QUALITY)  # warm-up: jit compile
+    best = float("inf")
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        encode(img, quality=QUALITY)
+        best = min(best, time.perf_counter() - t0)
+    return (W * H / 1e6) / best
+
+
+def bench_pillow_baseline(img):
+    """CPU reference: Pillow→libavif→libaom on the same content."""
+    try:
+        import io
+
+        from PIL import Image as PILImage
+    except ImportError:
+        return None
+    rgb = np.stack(
+        [
+            img.yuv_planes[0],
+            np.repeat(np.repeat(img.yuv_planes[1], 2, 0), 2, 1)[:H, :W],
+            np.repeat(np.repeat(img.yuv_planes[2], 2, 0), 2, 1)[:H, :W],
+        ],
+        axis=-1,
+    )
+    pim = PILImage.fromarray(rgb, "RGB")
+    try:
+        buf = io.BytesIO()
+        pim.save(buf, format="AVIF", quality=QUALITY)  # warm-up
+    except Exception:
+        return None
+    best = float("inf")
+    for _ in range(RUNS):
+        buf = io.BytesIO()
+        t0 = time.perf_counter()
+        pim.save(buf, format="AVIF", quality=QUALITY)
+        best = min(best, time.perf_counter() - t0)
+    return (W * H / 1e6) / best
+
+
+def main():
+    img = make_yuv_image()
+    ours = bench_ours(img)
+    baseline = bench_pillow_baseline(img)
+    vs = (ours / baseline) if baseline else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "still_encode_q75_420",
+                "value": round(ours, 4),
+                "unit": "MP/s",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

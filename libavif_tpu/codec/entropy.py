@@ -22,9 +22,43 @@ from __future__ import annotations
 
 import numpy as np
 
+import ctypes
+
+from .. import native as _native
 from ..models.av1.msac import MsacDecoder, MsacEncoder, uniform_icdf
 from ..ops.intra import N_MODES
 from .scan import zigzag_flat
+
+
+def _encode_tile_native(lib, levels, modes, rb: int, cb: int, n: int) -> bytes:
+    lv = np.ascontiguousarray(levels, dtype=np.int32)
+    md = np.ascontiguousarray(modes, dtype=np.int32)
+    cap = lv.size * 8 + 1024  # generous: worst case ~ few bytes per coeff
+    out = np.empty(cap, dtype=np.uint8)
+    size = lib.avt_encode_tile(
+        lv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        md.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rb, cb, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if size < 0:
+        return _encode_tile_py(levels, modes, rb, cb, n)
+    return out[:size].tobytes()
+
+
+def _decode_tile_native(lib, data: bytes, rb: int, cb: int, n: int):
+    levels = np.zeros((rb, cb, n, n), dtype=np.int32)
+    modes = np.zeros((rb, cb), dtype=np.int32)
+    buf = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, dtype=np.uint8)
+    rc = lib.avt_decode_tile(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        rb, cb, n,
+        levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        modes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc < 0:
+        raise ValueError(f"native tile decode failed ({rc})")
+    return levels, modes
 
 N_BASE_CTX = 3
 
@@ -53,8 +87,18 @@ def _base_ctx(k: int, n: int) -> int:
 
 
 def encode_tile(levels: np.ndarray, modes: np.ndarray, n: int) -> bytes:
-    """levels: (Rb, Cb, n, n) int32, modes: (Rb, Cb) int -> tile payload."""
+    """levels: (Rb, Cb, n, n) int32, modes: (Rb, Cb) int -> tile payload.
+
+    Dispatches to the C++ fast path when available (bit-identical to the
+    Python reference below; tests enforce)."""
     rb, cb = modes.shape
+    lib = _native.load()
+    if lib is not None:
+        return _encode_tile_native(lib, levels, modes, rb, cb, n)
+    return _encode_tile_py(levels, modes, rb, cb, n)
+
+
+def _encode_tile_py(levels: np.ndarray, modes: np.ndarray, rb: int, cb: int, n: int) -> bytes:
     scan = zigzag_flat(n)
     lv = np.asarray(levels, dtype=np.int64).reshape(rb * cb, n * n)[:, scan]
     md = np.asarray(modes).reshape(-1)
@@ -88,6 +132,13 @@ def encode_tile(levels: np.ndarray, modes: np.ndarray, n: int) -> bytes:
 
 def decode_tile(data: bytes, rb: int, cb: int, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of encode_tile: payload -> (levels (Rb,Cb,n,n), modes (Rb,Cb))."""
+    lib = _native.load()
+    if lib is not None:
+        return _decode_tile_native(lib, data, rb, cb, n)
+    return _decode_tile_py(data, rb, cb, n)
+
+
+def _decode_tile_py(data: bytes, rb: int, cb: int, n: int) -> tuple[np.ndarray, np.ndarray]:
     scan = zigzag_flat(n)
     cdfs = TileCdfs(n)
     dec = MsacDecoder(data)

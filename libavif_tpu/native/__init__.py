@@ -1,0 +1,71 @@
+"""Native (C++) fast paths, loaded via ctypes.
+
+The shared object is built on demand from the checked-in source with the
+system toolchain and cached next to it (rebuilds when the source changes).
+Everything here has a pure-Python reference implementation; callers fall
+back automatically when the toolchain is unavailable
+(LIBAVIF_TPU_NATIVE=0 forces the fallback).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import threading
+
+_DIR = pathlib.Path(__file__).parent
+_SRC = _DIR / "msac.cc"
+_LOCK = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build(so_path: pathlib.Path) -> None:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        str(_SRC), "-o", str(so_path),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+
+
+def load():
+    """The msac native library, or None when unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _LOCK:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("LIBAVIF_TPU_NATIVE", "1") == "0":
+            return None
+        try:
+            tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+            so_path = _DIR / f"_msac_{tag}.so"
+            if not so_path.exists():
+                _build(so_path)
+            lib = ctypes.CDLL(str(so_path))
+            lib.avt_encode_tile.restype = ctypes.c_long
+            lib.avt_encode_tile.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ]
+            lib.avt_decode_tile.restype = ctypes.c_int
+            lib.avt_decode_tile.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.avt_selftest_roundtrip.restype = ctypes.c_long
+            lib.avt_selftest_roundtrip.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib

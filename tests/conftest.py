@@ -1,14 +1,22 @@
 """Test configuration: force CPU with 8 virtual devices so sharding tests run
-without TPU hardware. Must run before jax is imported anywhere."""
+without TPU hardware.
+
+The image pins JAX_PLATFORMS=axon via sitecustomize (which also imports
+jax at interpreter start), so an env setdefault is not enough — override
+the env var *and* the live config before any backend initializes."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,70 @@
+"""Native (C++) entropy fast path: bit-exactness vs the Python reference.
+
+The contract (entropy.py docstring): the C++ tile coder must be
+byte-identical to the Python reference coder on every stream.
+"""
+
+import numpy as np
+import pytest
+
+from libavif_tpu import native
+from libavif_tpu.codec import entropy
+
+lib = native.load()
+
+pytestmark = pytest.mark.skipif(lib is None, reason="native toolchain unavailable")
+
+
+@pytest.mark.parametrize("n", [4, 8, 16])
+@pytest.mark.parametrize("density", [0.0, 0.05, 0.5, 1.0])
+def test_encode_bit_identical(n, density):
+    rng = np.random.default_rng(n * 100 + int(density * 10))
+    rb, cb = 3, 5
+    levels = np.zeros((rb, cb, n, n), dtype=np.int32)
+    mask = rng.random(levels.shape) < density
+    levels[mask] = rng.integers(-2000, 2000, mask.sum())
+    modes = rng.integers(0, 7, (rb, cb)).astype(np.int32)
+    py = entropy._encode_tile_py(levels, modes, rb, cb, n)
+    nat = entropy._encode_tile_native(lib, levels, modes, rb, cb, n)
+    assert py == nat
+
+
+def test_cross_decode():
+    """Python-encoded stream decodes natively and vice versa."""
+    rng = np.random.default_rng(5)
+    n, rb, cb = 16, 2, 3
+    levels = np.zeros((rb, cb, n, n), dtype=np.int32)
+    mask = rng.random(levels.shape) < 0.2
+    levels[mask] = rng.integers(-50, 50, mask.sum())
+    modes = rng.integers(0, 7, (rb, cb)).astype(np.int32)
+    payload = entropy._encode_tile_py(levels, modes, rb, cb, n)
+    lv_n, md_n = entropy._decode_tile_native(lib, payload, rb, cb, n)
+    np.testing.assert_array_equal(lv_n, levels)
+    np.testing.assert_array_equal(md_n, modes)
+    payload_n = entropy._encode_tile_native(lib, levels, modes, rb, cb, n)
+    lv_p, md_p = entropy._decode_tile_py(payload_n, rb, cb, n)
+    np.testing.assert_array_equal(lv_p, levels)
+    np.testing.assert_array_equal(md_p, modes)
+
+
+def test_native_rejects_garbage_without_crash():
+    rng = np.random.default_rng(9)
+    for size in (0, 1, 7, 64, 257):
+        blob = rng.integers(0, 256, size).astype(np.uint8).tobytes()
+        try:
+            entropy._decode_tile_native(lib, blob, 4, 4, 16)
+        except ValueError:
+            pass  # clean error is acceptable; crash is not
+
+
+def test_selftest_roundtrip_entrypoint():
+    import ctypes
+
+    rng = np.random.default_rng(3)
+    syms = rng.integers(0, 5, 500).astype(np.int32)
+    buf = np.empty(4096, dtype=np.uint8)
+    r = lib.avt_selftest_roundtrip(
+        syms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(syms), 5,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+    )
+    assert r > 0
