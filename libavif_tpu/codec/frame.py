@@ -24,6 +24,7 @@ Profile selection mirrors codec_aom.c:834-869 semantics: 12-bit → profile
 from __future__ import annotations
 
 import dataclasses
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -130,15 +131,30 @@ def _coded_planes(image_or_hdr) -> int:
     return 1 if image_or_hdr.monochrome else 3
 
 
-def _encode_one_plane(plane: np.ndarray, params: FrameParams, depth: int) -> bytes:
+def _encode_planes(planes: list[np.ndarray], params: FrameParams, depth: int) -> list[bytes]:
+    """Encode planes with device/host pipelining: dispatch every plane's
+    device program asynchronously (JAX async dispatch), then run the host
+    entropy coders concurrently (the native coder releases the GIL)."""
     n = params.tx_size
     qindex = params.qindex
     dc, ac = (1, 1) if params.lossless else step_sizes(qindex, depth)
-    padded = recon.pad_to_blocks(plane.astype(np.int32), n)
-    modes, levels, _ = recon.encode_plane(
-        padded, np.int32(dc), np.int32(ac), n=n, depth=depth, lossless=params.lossless
-    )
-    return entropy.encode_tile(np.asarray(levels), np.asarray(modes), n)
+    jobs = []
+    for plane in planes:
+        padded = recon.pad_to_blocks(plane.astype(np.int32), n)
+        modes, levels, _ = recon.encode_plane(
+            padded, np.int32(dc), np.int32(ac), n=n, depth=depth,
+            lossless=params.lossless,
+        )
+        jobs.append((modes, levels))
+    if len(jobs) > 1:
+        with ThreadPoolExecutor(len(jobs)) as pool:
+            return list(
+                pool.map(
+                    lambda j: entropy.encode_tile(np.asarray(j[1]), np.asarray(j[0]), n),
+                    jobs,
+                )
+            )
+    return [entropy.encode_tile(np.asarray(lv), np.asarray(md), n) for md, lv in jobs]
 
 
 def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHeader]:
@@ -148,16 +164,20 @@ def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHead
     hdr = _sequence_header_for(image)
     seq_payload = write_sequence_header(hdr)
 
+    planes = []
+    for c in range(_coded_planes(image)):
+        plane = image.yuv_planes[c]
+        if plane is None:
+            raise AvifError(Result.NO_CONTENT, f"missing plane {c}")
+        planes.append(plane)
+    payloads = _encode_planes(planes, params, image.depth)
+
     body = RWStream()
     body.write_u8(FRAME_MAGIC)
     body.write_u8(params.qindex)
     body.write_u8(params.tx_size.bit_length() - 1)
     body.write_u8(1 if params.lossless else 0)
-    for c in range(_coded_planes(image)):
-        plane = image.yuv_planes[c]
-        if plane is None:
-            raise AvifError(Result.NO_CONTENT, f"missing plane {c}")
-        payload = _encode_one_plane(plane, params, image.depth)
+    for payload in payloads:
         write_leb128(body, len(payload))
         body.write(payload)
 
@@ -223,17 +243,36 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
     out.chroma_sample_position = ChromaSamplePosition(seq.chroma_sample_position)
     out.allocate_planes("yuv")
 
+    # Pipeline: host entropy for all planes (threaded; native releases the
+    # GIL), then dispatch every device decode asynchronously, then fetch.
+    plane_meta = []
     for c in range(_coded_planes(seq)):
         size = read_leb128(s)
         payload = s.read(size)
         pw, ph = _plane_dims(seq, c, w, h)
         rb, cb = -(-ph // n), -(-pw // n)
-        try:
-            levels, modes = entropy.decode_tile(payload, rb, cb, n)
-        except ValueError as e:
-            raise AvifError(Result.BMFF_PARSE_FAILED, f"tile entropy error: {e}") from e
-        plane = recon.decode_plane(
-            levels, modes, np.int32(dc), np.int32(ac), n=n, depth=depth, lossless=lossless
+        plane_meta.append((payload, rb, cb, pw, ph))
+
+    def _entropy(job):
+        payload, rb, cb, _, _ = job
+        return entropy.decode_tile(payload, rb, cb, n)
+
+    try:
+        if len(plane_meta) > 1:
+            with ThreadPoolExecutor(len(plane_meta)) as pool:
+                decoded = list(pool.map(_entropy, plane_meta))
+        else:
+            decoded = [_entropy(j) for j in plane_meta]
+    except ValueError as e:
+        raise AvifError(Result.BMFF_PARSE_FAILED, f"tile entropy error: {e}") from e
+
+    planes = [
+        recon.decode_plane(
+            levels, modes, np.int32(dc), np.int32(ac), n=n, depth=depth,
+            lossless=lossless,
         )
+        for levels, modes in decoded
+    ]
+    for c, (plane, (_, _, _, pw, ph)) in enumerate(zip(planes, plane_meta)):
         out.yuv_planes[c][:, :] = np.asarray(plane)[:ph, :pw].astype(out.dtype)
     return out

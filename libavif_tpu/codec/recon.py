@@ -6,24 +6,30 @@ The sequential dependency of intra prediction (each block predicts from its
 reconstructed top/left neighbors — SURVEY.md §7 hard-parts #3) is scheduled
 as a **wavefront over anti-diagonals**: all blocks with the same r+c are
 independent, so a `lax.scan` over diagonals processes up to `Rb` blocks per
-step as one batched tensor op. Everything with no recon dependency — the
-inverse transforms on decode, and nothing less than the *entire* per-mode
-transform/quant/distortion pipeline on encode — runs as large batched int32
-matmuls that XLA tiles onto the MXU.
+step as one batched tensor op.
 
-The encoder replaces libaom's pruned mode search (codec_aom.c speed ladder)
-with an exhaustive parallel search over the mode set: every mode's full
-residual→transform→quant→dequant→inverse→distortion pipeline is evaluated
-for every block in the diagonal at once (SURVEY.md §7 hard-parts #4 says
-brute force is the right TPU call).
+The key layout decision: the scan carries only the **wavefront boundary
+state** — per-lane bottom rows, right columns, and top-row corners —
+never the growing plane. Lane r at diagonal d handles block (r, d-r), so
 
-All arithmetic is int32 (bit-exact across backends); costs are integer so
-mode decisions — hence the bitstream — are backend-deterministic.
+  top(r, c)      = bottom row of (r-1, c)   = roll(bottoms, 1)[r]
+  left(r, c)     = right col  of (r, c-1)   = same lane, previous step
+  topleft(r, c)  = last pixel of top(r, c-1) = carried per lane
 
-Layout: a plane is padded to whole blocks (edge replication, host-side).
-The recon buffer carries a 1-pixel halo on top/left initialized to the
-mid-level value, which doubles as the "unavailable neighbor" synthesis rule
-(our codec's convention; self-consistent between encoder and decoder).
+which turns every neighbor access into a lane shift (pure VPU) instead of
+a gather/scatter against HBM. Block data moves through the scan as
+pre-arranged diagonal-major tensors (one parallel gather before the scan,
+one after) — this is what makes the wavefront latency-bound only on real
+dependencies.
+
+The encoder replaces libaom's pruned mode search (codec_aom.c speed
+ladder) with an exhaustive parallel search: every mode's full
+residual→transform→quant→dequant→inverse→distortion pipeline runs for
+every block in the diagonal at once (SURVEY.md §7 hard-parts #4).
+
+All arithmetic is int32; costs are integer so mode decisions — hence the
+bitstream — are backend-deterministic. Unavailable neighbors use the
+mid-level value (the codec's halo convention, shared encoder/decoder).
 """
 
 from __future__ import annotations
@@ -67,32 +73,42 @@ def _rate_bits(levels: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(per, axis=(-1, -2))
 
 
-def _gather_neighbors(recon, r, c, n: int):
-    """Per-lane top row / left col / corner from the haloed recon buffer.
-
-    Block (r, c) occupies recon[1+r*n : 1+(r+1)*n, 1+c*n : 1+(c+1)*n].
-    """
-
-    def one(ri, ci):
-        top = jax.lax.dynamic_slice(recon, (ri * n, 1 + ci * n), (1, n))[0]
-        left = jax.lax.dynamic_slice(recon, (1 + ri * n, ci * n), (n, 1))[:, 0]
-        tl = jax.lax.dynamic_slice(recon, (ri * n, ci * n), (1, 1))[0, 0]
-        return top, left, tl
-
-    return jax.vmap(one)(r, c)
+def _diag_indices(rb: int, cb: int):
+    """(c_idx, valid) per (diagonal, lane): lane i on diagonal d is block
+    (i, d-i)."""
+    d = jnp.arange(rb + cb - 1, dtype=jnp.int32)[:, None]
+    i = jnp.arange(rb, dtype=jnp.int32)[None, :]
+    c = d - i
+    return jnp.clip(c, 0, cb - 1), (c >= 0) & (c < cb), c
 
 
-def _scatter_blocks(recon, vals, r, c, valid, n: int):
-    """Scatter (L, n, n) blocks into the haloed recon; invalid lanes dropped."""
-    ii = jnp.arange(n)
-    shape = (r.shape[0], n, n)
-    rows = jnp.broadcast_to(1 + r[:, None, None] * n + ii[None, :, None], shape)
-    cols = jnp.broadcast_to(1 + c[:, None, None] * n + ii[None, None, :], shape)
-    # Push invalid lanes out of bounds; mode="drop" discards them.
-    rows = jnp.where(valid[:, None, None], rows, recon.shape[0] + 1)
-    return recon.at[rows.reshape(-1), cols.reshape(-1)].set(
-        vals.reshape(-1), mode="drop"
-    )
+def _to_diag(blocks, cc):
+    """(Rb, Cb, ...) block tensor -> (D, L, ...) diagonal-major."""
+    rb = blocks.shape[0]
+    i = jnp.arange(rb, dtype=jnp.int32)[None, :]
+    return blocks[jnp.broadcast_to(i, cc.shape), cc]
+
+
+def _from_diag(diag, rb: int, cb: int):
+    """(D, L, ...) diagonal-major -> (Rb, Cb, ...) block tensor."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rb, cb), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rb, cb), 1)
+    return diag[r + c, r]
+
+
+def _blocks_to_plane(blocks, rb: int, cb: int, n: int):
+    return blocks.transpose(0, 2, 1, 3).reshape(rb * n, cb * n)
+
+
+def _wavefront_neighbors(carry, c_arr, mid):
+    """Boundary-state bookkeeping shared by encode and decode scans."""
+    bottoms, rights, toplasts = carry
+    top = jnp.roll(bottoms, 1, axis=0).at[0, :].set(mid)
+    topleft = jnp.roll(toplasts, 1, axis=0).at[0].set(mid)
+    first_col = c_arr == 0
+    left = jnp.where(first_col[:, None], mid, rights)
+    topleft = jnp.where(first_col, mid, topleft)
+    return top, left, topleft
 
 
 # ------------------------------------------------------------------ decode
@@ -115,31 +131,36 @@ def decode_plane(levels, modes, dc_step, ac_step, *, n: int, depth: int, lossles
         residuals = inverse_transform(flat, WHT_WHT, n)
     else:
         deq = flat * _steps_mat(n, dc_step, ac_step)[None]
-        # Hostile-stream guard: bound dequantized coefficients to the largest
-        # magnitude a legitimate encode can produce (8·n·maxv transform gain),
-        # so adversarial levels can't drive the inverse transform to wrap.
+        # Hostile-stream guard: bound dequantized coefficients to the
+        # largest magnitude a legitimate encode can produce (8·n·maxv
+        # transform gain) so adversarial levels can't wrap the inverse.
         cmax = 1 << (depth + 4 + n.bit_length())
         deq = jnp.clip(deq, -cmax, cmax)
         residuals = inverse_transform(deq, DCT_DCT, n)
     residuals = residuals.reshape(rb, cb, n, n)
 
-    recon0 = jnp.full((rb * n + 1, cb * n + 1), mid, dtype=jnp.int32)
-    lanes = jnp.arange(rb, dtype=jnp.int32)
+    cc, _, _ = _diag_indices(rb, cb)
+    resid_diag = _to_diag(residuals, cc)  # (D, L, n, n)
+    modes_diag = _to_diag(modes, cc)  # (D, L)
 
-    def step(recon, d):
-        r = lanes
-        c = d - lanes
-        valid = (c >= 0) & (c < cb)
-        cs = jnp.clip(c, 0, cb - 1)
-        top, left, tl = _gather_neighbors(recon, r, cs, n)
-        preds = predict_all_modes(top, left, tl, n)  # (L, M, n, n)
-        mode = modes[r, cs]
+    def step(carry, xs):
+        resid, mode, c_arr = xs
+        top, left, topleft = _wavefront_neighbors(carry, c_arr, mid)
+        preds = predict_all_modes(top, left, topleft, n)  # (L, M, n, n)
         pred = jnp.take_along_axis(preds, mode[:, None, None, None], axis=1)[:, 0]
-        block = jnp.clip(pred + residuals[r, cs], 0, maxv)
-        return _scatter_blocks(recon, block, r, cs, valid, n), None
+        block = jnp.clip(pred + resid, 0, maxv)
+        carry = (block[:, -1, :], block[:, :, -1], top[:, -1])
+        return carry, block
 
-    recon, _ = jax.lax.scan(step, recon0, jnp.arange(rb + cb - 1, dtype=jnp.int32))
-    return recon[1:, 1:]
+    L = rb
+    init = (
+        jnp.full((L, n), mid, jnp.int32),
+        jnp.full((L, n), mid, jnp.int32),
+        jnp.full((L,), mid, jnp.int32),
+    )
+    _, rec_diag = jax.lax.scan(step, init, (resid_diag, modes_diag, cc))
+    blocks = _from_diag(rec_diag, rb, cb)
+    return _blocks_to_plane(blocks, rb, cb, n)
 
 
 # ------------------------------------------------------------------ encode
@@ -166,21 +187,13 @@ def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool):
     lam = jnp.maximum(1, (acs8 * acs8 * 15) // 8000).astype(jnp.int32)
 
     src_blocks = src.reshape(rb, n, cb, n).transpose(0, 2, 1, 3)  # (Rb,Cb,n,n)
+    cc, _, _ = _diag_indices(rb, cb)
+    src_diag = _to_diag(src_blocks, cc)  # (D, L, n, n)
 
-    recon0 = jnp.full((hp + 1, wp + 1), mid, dtype=jnp.int32)
-    levels0 = jnp.zeros((rb, cb, n, n), dtype=jnp.int32)
-    modes0 = jnp.zeros((rb, cb), dtype=jnp.int32)
-    lanes = jnp.arange(rb, dtype=jnp.int32)
-
-    def step(carry, d):
-        recon, levels_out, modes_out = carry
-        r = lanes
-        c = d - lanes
-        valid = (c >= 0) & (c < cb)
-        cs = jnp.clip(c, 0, cb - 1)
-        top, left, tl = _gather_neighbors(recon, r, cs, n)
-        preds = predict_all_modes(top, left, tl, n)  # (L, M, n, n)
-        sb = src_blocks[r, cs]  # (L, n, n)
+    def step(carry, xs):
+        sb, c_arr = xs
+        top, left, topleft = _wavefront_neighbors(carry, c_arr, mid)
+        preds = predict_all_modes(top, left, topleft, n)  # (L, M, n, n)
         resid = sb[:, None] - preds  # (L, M, n, n)
 
         coeffs = forward_transform(resid.reshape(-1, n, n), tx, n)
@@ -196,25 +209,29 @@ def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool):
 
         cand = jnp.clip(preds + res_hat, 0, maxv)  # (L, M, n, n)
         err = (sb[:, None] - cand) >> dshift if dshift else sb[:, None] - cand
-        sse = jnp.sum(err * err, axis=(-1, -2))  # (L, M) int32-safe
+        sse = jnp.sum(err * err, axis=(-1, -2))  # (L, M)
         bits = _rate_bits(lv)  # (L, M)
         cost = sse + lam * bits
-        best = jnp.argmin(cost, axis=1)  # (L,)
+        best = jnp.argmin(cost, axis=1).astype(jnp.int32)  # (L,)
 
         sel = best[:, None, None, None]
         best_lv = jnp.take_along_axis(lv, sel, axis=1)[:, 0]
         best_rec = jnp.take_along_axis(cand, sel, axis=1)[:, 0]
 
-        recon = _scatter_blocks(recon, best_rec, r, cs, valid, n)
-        cd = jnp.where(valid, cs, cb)  # OOB column drops invalid lanes
-        levels_out = levels_out.at[r, cd].set(best_lv, mode="drop")
-        modes_out = modes_out.at[r, cd].set(best.astype(jnp.int32), mode="drop")
-        return (recon, levels_out, modes_out), None
+        carry = (best_rec[:, -1, :], best_rec[:, :, -1], top[:, -1])
+        return carry, (best, best_lv, best_rec)
 
-    (recon, levels, modes), _ = jax.lax.scan(
-        step, (recon0, levels0, modes0), jnp.arange(rb + cb - 1, dtype=jnp.int32)
+    L = rb
+    init = (
+        jnp.full((L, n), mid, jnp.int32),
+        jnp.full((L, n), mid, jnp.int32),
+        jnp.full((L,), mid, jnp.int32),
     )
-    return modes, levels, recon[1:, 1:]
+    _, (modes_diag, lv_diag, rec_diag) = jax.lax.scan(step, init, (src_diag, cc))
+    modes = _from_diag(modes_diag, rb, cb)
+    levels = _from_diag(lv_diag, rb, cb)
+    recon = _blocks_to_plane(_from_diag(rec_diag, rb, cb), rb, cb, n)
+    return modes, levels, recon
 
 
 assert N_MODES == 7  # entropy layer alphabet size; bump both together
