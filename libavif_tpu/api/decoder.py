@@ -70,6 +70,7 @@ class Decoder:
         self._use_tracks = False
         self._color_track = None
         self._alpha_track = None
+        self._sato_item = None
 
     # ----------------------------------------------------------------- parse
 
@@ -89,6 +90,23 @@ class Decoder:
             aux = item.find_property("auxC")
             if aux is None or aux.aux_type == ALPHA_URN:
                 return item
+        return None
+
+    def _find_sato_item(self, meta: Meta, color: Item):
+        """Bit-depth extension discovery (reference:
+        avifDecoderDataFindSampleTransformImageItem, read.c:6000): a 'sato'
+        item sharing an 'altr' group with the primary, or one whose first
+        dimg input is the primary."""
+        for group in meta.entity_groups:
+            if group.grouping_type != "altr" or color.id not in group.entity_ids:
+                continue
+            for eid in group.entity_ids:
+                cand = meta.items.get(eid)
+                if cand is not None and cand.item_type == "sato":
+                    return cand
+        for cand in meta.items.values():
+            if cand.item_type == "sato" and cand.refs.get("dimg", [None])[0] == color.id:
+                return cand
         return None
 
     def parse(self, data: bytes) -> None:
@@ -141,6 +159,7 @@ class Decoder:
                 raise AvifError(Result.MISSING_IMAGE_ITEM, f"unsupported {item.item_type}")
             self._color_item = item
             self._alpha_item = self._find_alpha_item(meta, item)
+            self._sato_item = self._find_sato_item(meta, item)
             self.alpha_present = self._alpha_item is not None
             self.image_count = 1
             self._check_dims(item.width, item.height)
@@ -263,12 +282,55 @@ class Decoder:
                 elif other.item_type == "mime":
                     img.xmp = read_item_payload(meta, other, self._data)
 
+    def _apply_sample_transform(self, sato: Item, color: Item, base_img: Image) -> Image:
+        """16-bit reconstruction (reference: avifDecoderApplySampleTransform,
+        read.c:6939): decode the extra dimg inputs and run the expression."""
+        from ..hdr import sampletransform as st
+
+        meta = self._container.meta
+        payload = read_item_payload(meta, sato, self._data)
+        inputs_ids = sato.refs.get("dimg", [])
+        expression = st.parse_sato(payload)
+        if not st.validate_expression(expression, len(inputs_ids)):
+            raise AvifError(Result.BMFF_PARSE_FAILED, "invalid sato expression")
+        pixi = sato.find_property("pixi")
+        depth = pixi.plane_depths[0] if pixi and pixi.plane_depths else 16
+        if depth not in (8, 10, 12, 16):
+            raise AvifError(Result.NOT_IMPLEMENTED, f"sato depth {depth}")
+        inputs = []
+        for iid in inputs_ids:
+            if iid == color.id:
+                inputs.append(base_img)
+                continue
+            it = meta.items.get(iid)
+            if it is None:
+                raise AvifError(Result.BMFF_PARSE_FAILED, "missing sato input item")
+            if it.item_type == "grid":
+                inputs.append(self._decode_grid(it))
+            else:
+                inputs.append(self._decode_item_obus(it, color.width, color.height))
+        out = Image(base_img.width, base_img.height, depth, base_img.yuv_format)
+        out.copy_no_pixels(base_img)
+        out.depth = depth
+        out.allocate_planes("yuv")
+        st.apply_expression(out, expression, inputs, planes="yuv")
+        return out
+
     def _attach_alpha(self, img: Image, alpha_img: Image, premultiplied: bool) -> None:
         if (alpha_img.width, alpha_img.height) != (img.width, img.height):
             raise AvifError(Result.COLOR_ALPHA_SIZE_MISMATCH, "alpha size mismatch")
-        if alpha_img.depth != img.depth:
-            raise AvifError(Result.DECODE_ALPHA_FAILED, "alpha depth mismatch")
         plane = alpha_img.yuv_planes[0]
+        if alpha_img.depth != img.depth:
+            # Rescale alpha to the output depth (needed when the color path
+            # was bit-depth-extended via sato but alpha was not).
+            amax = (1 << alpha_img.depth) - 1
+            omax = (1 << img.depth) - 1
+            plane = (
+                (plane.astype(np.int64) * omax + amax // 2) // amax
+            ).astype(img.dtype)
+            alpha_img = alpha_img.copy("none")
+            alpha_img.depth = img.depth
+            alpha_img.yuv_planes[0] = plane
         # Limited→full alpha fixup (reference: avifImageLimitedToFullAlpha,
         # read.c:6676): alpha samples must cover the full range.
         if alpha_img.yuv_range == Range.LIMITED:
@@ -300,6 +362,8 @@ class Decoder:
             else:
                 img = self._decode_item_obus(item, item.width, item.height)
             self._validate_ispe(item, img)
+            if self._sato_item is not None:
+                img = self._apply_sample_transform(self._sato_item, item, img)
             if self._alpha_item is not None:
                 if self._alpha_item.item_type == "grid":
                     aimg = self._decode_grid(self._alpha_item)

@@ -64,6 +64,10 @@ class Encoder:
         self.repetition_count = 0  # 0 = infinite (reference: avif.h repetition)
         self.keyframe_interval = 0
         self.tx_size = 16
+        # 16-bit bit-depth extension (avifEncoder::sampleTransformRecipe)
+        from ..hdr.sampletransform import Recipe
+
+        self.sample_transform_recipe = Recipe.NONE
 
         self._frames: list[_PendingFrame] = []
         self._first_image: Optional[Image] = None
@@ -256,8 +260,117 @@ class Encoder:
 
     def write(self, image: Image) -> bytes:
         """Single-shot still encode (reference: avifEncoderWrite, write.c:3861)."""
+        if image.depth == 16:
+            return self._write_sato_still(image)
         self.add_image(image, flags=ADD_IMAGE_FLAG_SINGLE)
         return self.finish()
+
+    # --------------------------------------------- 16-bit (sample transform)
+
+    def _write_sato_still(self, image: Image) -> bytes:
+        """16-bit still via 'sato' bit-depth extension (reference:
+        avifEncoderCreateBitDepthExtensionItems write.c:1293, base/hidden
+        derivation avifEncoderCreateSatoImage write.c:1443-1530).
+
+        Layout (backward-compatible variant): primary = base color item;
+        hidden extension item; 'sato' derived item with dimg [base, hidden];
+        altr group {sato, base}.
+        """
+        from ..hdr import sampletransform as st
+
+        recipe = self.sample_transform_recipe
+        if recipe == st.Recipe.NONE:
+            recipe = st.Recipe.BIT_DEPTH_EXTENSION_12B_4B
+        base_depth, hidden_depth = st.recipe_depths(recipe)
+        lossless = self.quality >= 100
+
+        def split(plane16: np.ndarray):
+            p = plane16.astype(np.int64)
+            if recipe == st.Recipe.BIT_DEPTH_EXTENSION_8B_8B:
+                return (p >> 8).astype(np.uint8), (p & 255).astype(np.uint8)
+            if recipe == st.Recipe.BIT_DEPTH_EXTENSION_12B_4B:
+                base = (p >> 4).astype(np.uint16)
+                hidden = ((p & 15) << 4).astype(np.uint8)
+                if not lossless:
+                    hidden = (hidden.astype(np.int64) + 7).clip(0, 255).astype(np.uint8)
+                return base, hidden
+            # OVERLAP_4B: hidden corrects the *decoded* base, derived below.
+            return (p >> 4).astype(np.uint16), None
+
+        base_img = Image(image.width, image.height, base_depth, image.yuv_format)
+        base_img.copy_no_pixels(image)
+        base_img.depth = base_depth
+        hidden_img = Image(image.width, image.height, hidden_depth, image.yuv_format)
+        hidden_img.copy_no_pixels(image)
+        hidden_img.depth = hidden_depth
+        n_planes = 1 if image.monochrome else 3
+        for c in range(n_planes):
+            b, hd = split(image.yuv_planes[c])
+            base_img.yuv_planes[c] = b.astype(base_img.dtype)
+            if hd is not None:
+                hidden_img.yuv_planes[c] = hd.astype(hidden_img.dtype)
+
+        base_obus, base_hdr = encode_frame(base_img, self._params(self.quality))
+        self._first_hdr = base_hdr
+
+        if recipe == st.Recipe.BIT_DEPTH_EXTENSION_12B_8B_OVERLAP_4B:
+            # hidden = clamp8(original - decoded_base*16 + 128) (write.c:1502)
+            from ..codec import decode_frame as _dec
+
+            decoded_base = _dec(base_obus)
+            for c in range(n_planes):
+                orig = image.yuv_planes[c].astype(np.int64)
+                dec = decoded_base.yuv_planes[c].astype(np.int64)
+                hidden_img.yuv_planes[c] = np.clip(
+                    orig - dec * 16 + 128, 0, 255
+                ).astype(np.uint8)
+
+        hidden_obus, hidden_hdr = encode_frame(hidden_img, self._params(self.quality))
+
+        items = self._build_items(base_img, base_obus, None)
+        base_item = items[0]
+        next_id = max(i.id for i in items) + 1
+        hidden_id = next_id
+        items.append(
+            OutputItem(
+                id=hidden_id,
+                item_type="av01",
+                payload=hidden_obus,
+                properties=[
+                    Property("ispe", ImageSpatialExtents(image.width, image.height)),
+                    Property(
+                        "pixi",
+                        PixelInformation(plane_depths=[hidden_depth] * n_planes),
+                    ),
+                    Property("av1C", config_from_sequence_header(hidden_hdr)),
+                ],
+                hidden=True,
+                infe_name="Extension",
+            )
+        )
+        sato_id = hidden_id + 1
+        items.append(
+            OutputItem(
+                id=sato_id,
+                item_type="sato",
+                payload=st.write_sato(st.recipe_to_expression(recipe)),
+                properties=[
+                    Property("ispe", ImageSpatialExtents(image.width, image.height)),
+                    Property(
+                        "pixi", PixelInformation(plane_depths=[16] * n_planes)
+                    ),
+                ],
+                refs={"dimg": [base_item.id, hidden_id]},
+                hidden=True,
+                infe_name="SampleTransform",
+            )
+        )
+        from ..containers.write import OutputGroup
+
+        groups = [
+            OutputGroup(grouping_type="altr", group_id=100, entity_ids=[sato_id, base_item.id])
+        ]
+        return write_still(items, primary_item_id=base_item.id, groups=groups)
 
     # ------------------------------------------------------------------ grid
 

@@ -132,29 +132,40 @@ def _coded_planes(image_or_hdr) -> int:
 
 
 def _encode_planes(planes: list[np.ndarray], params: FrameParams, depth: int) -> list[bytes]:
-    """Encode planes with device/host pipelining: dispatch every plane's
-    device program asynchronously (JAX async dispatch), then run the host
-    entropy coders concurrently (the native coder releases the GIL)."""
+    """Encode planes with host/device boundary hygiene: every plane padded
+    and packed into ONE device upload, one compiled program over all
+    planes, ONE packed fetch, then concurrent host entropy coding (the
+    native coder releases the GIL). The link is latency-bound, so round
+    trips — not bytes — are the budget."""
     n = params.tx_size
     qindex = params.qindex
-    dc, ac = (1, 1) if params.lossless else step_sizes(qindex, depth)
+    lossless = params.lossless
+    dc, ac = (1, 1) if lossless else step_sizes(qindex, depth)
+    in_dtype = np.uint8 if depth == 8 else np.uint16
+
+    padded = [recon.pad_to_blocks(p, n).astype(in_dtype) for p in planes]
+    geoms = tuple((p.shape[0] // n, p.shape[1] // n) for p in padded)
+    packed = np.concatenate([p.reshape(-1) for p in padded])
+
+    result = recon.encode_frame_device(
+        packed, np.int32(dc), np.int32(ac),
+        geoms=geoms, n=n, depth=depth, lossless=lossless,
+    )
+    result = np.asarray(result)  # the one device->host fetch
+
     jobs = []
-    for plane in planes:
-        padded = recon.pad_to_blocks(plane.astype(np.int32), n)
-        modes, levels, _ = recon.encode_plane(
-            padded, np.int32(dc), np.int32(ac), n=n, depth=depth,
-            lossless=params.lossless,
-        )
+    off = 0
+    for rb, cb in geoms:
+        nb = rb * cb
+        modes = result[off : off + nb].astype(np.int32).reshape(rb, cb)
+        off += nb
+        levels = result[off : off + nb * n * n].astype(np.int32).reshape(rb, cb, n, n)
+        off += nb * n * n
         jobs.append((modes, levels))
     if len(jobs) > 1:
         with ThreadPoolExecutor(len(jobs)) as pool:
-            return list(
-                pool.map(
-                    lambda j: entropy.encode_tile(np.asarray(j[1]), np.asarray(j[0]), n),
-                    jobs,
-                )
-            )
-    return [entropy.encode_tile(np.asarray(lv), np.asarray(md), n) for md, lv in jobs]
+            return list(pool.map(lambda j: entropy.encode_tile(j[1], j[0], n), jobs))
+    return [entropy.encode_tile(lv, md, n) for md, lv in jobs]
 
 
 def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHeader]:
@@ -244,7 +255,7 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
     out.allocate_planes("yuv")
 
     # Pipeline: host entropy for all planes (threaded; native releases the
-    # GIL), then dispatch every device decode asynchronously, then fetch.
+    # GIL), then ONE packed device upload/program/fetch for all planes.
     plane_meta = []
     for c in range(_coded_planes(seq)):
         size = read_leb128(s)
@@ -266,13 +277,27 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
     except ValueError as e:
         raise AvifError(Result.BMFF_PARSE_FAILED, f"tile entropy error: {e}") from e
 
-    planes = [
-        recon.decode_plane(
-            levels, modes, np.int32(dc), np.int32(ac), n=n, depth=depth,
-            lossless=lossless,
+    pack_dtype = np.int32 if lossless else np.int16
+    parts = []
+    for levels, modes in decoded:
+        # Lossy levels are re-bounded into int16 range; hostile streams may
+        # carry larger values, which the decoder clamp handles either way.
+        if pack_dtype == np.int16:
+            levels = np.clip(levels, -32768, 32767)
+        parts.append(modes.reshape(-1).astype(pack_dtype))
+        parts.append(levels.reshape(-1).astype(pack_dtype))
+    packed = np.concatenate(parts)
+    geoms = tuple((rb, cb) for _, rb, cb, _, _ in plane_meta)
+    result = np.asarray(
+        recon.decode_frame_device(
+            packed, np.int32(dc), np.int32(ac),
+            geoms=geoms, n=n, depth=depth, lossless=lossless,
         )
-        for levels, modes in decoded
-    ]
-    for c, (plane, (_, _, _, pw, ph)) in enumerate(zip(planes, plane_meta)):
-        out.yuv_planes[c][:, :] = np.asarray(plane)[:ph, :pw].astype(out.dtype)
+    )
+    off = 0
+    for c, (_, rb, cb, pw, ph) in enumerate(plane_meta):
+        hp, wp = rb * n, cb * n
+        plane = result[off : off + hp * wp].reshape(hp, wp)
+        off += hp * wp
+        out.yuv_planes[c][:, :] = plane[:ph, :pw].astype(out.dtype)
     return out

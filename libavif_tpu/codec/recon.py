@@ -234,4 +234,76 @@ def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool):
     return modes, levels, recon
 
 
+# ------------------------------------------------- packed frame-level calls
+#
+# The host↔device link is latency-bound (one round trip costs ~10-40 ms on
+# PCIe-class links), so the frame layer ships ALL planes in one packed
+# buffer and gets all results back in one packed buffer: exactly one
+# upload and one fetch per frame (SURVEY.md §7 hard-parts #6, host/device
+# boundary hygiene).
+#
+# Packing layout per plane, concatenated in plane order:
+#   [modes (Rb*Cb)] [levels (Rb*Cb*n*n)]
+# packed dtype: int16 for lossy (|level| <= ~10880 by construction),
+# int32 for lossless (WHT levels need 17+ bits).
+
+
+def plane_geometry(dims, n: int):
+    """[(w, h)] -> tuple of (rb, cb) per plane."""
+    return tuple((-(-h // n), -(-w // n)) for (w, h) in dims)
+
+
+def pack_dtype(lossless: bool):
+    return jnp.int32 if lossless else jnp.int16
+
+
+@functools.partial(jax.jit, static_argnames=("geoms", "n", "depth", "lossless"))
+def encode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, lossless: bool):
+    """packed: 1-D uint8/uint16 concat of padded planes (per `geoms`
+    (rb, cb) entries). Returns a single 1-D int16/int32 result buffer."""
+    out_dtype = pack_dtype(lossless)
+    outs = []
+    off = 0
+    for rb, cb in geoms:
+        hp, wp = rb * n, cb * n
+        plane = jax.lax.dynamic_slice(packed, (off,), (hp * wp,))
+        src = plane.reshape(hp, wp).astype(jnp.int32)
+        modes, levels, _ = _encode_impl(src, dc_step, ac_step, n, depth, lossless)
+        outs.append(modes.reshape(-1).astype(out_dtype))
+        outs.append(levels.reshape(-1).astype(out_dtype))
+        off += hp * wp
+    return jnp.concatenate(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("geoms", "n", "depth", "lossless"))
+def decode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, lossless: bool):
+    """packed: 1-D int16/int32 [modes, levels] per plane. Returns 1-D
+    uint8/uint16 concat of reconstructed padded planes."""
+    out_dtype = jnp.uint8 if depth == 8 else jnp.uint16
+    outs = []
+    off = 0
+    for rb, cb in geoms:
+        nb = rb * cb
+        modes = jax.lax.dynamic_slice(packed, (off,), (nb,)).reshape(rb, cb)
+        modes = jnp.clip(modes.astype(jnp.int32), 0, N_MODES - 1)
+        off += nb
+        levels = (
+            jax.lax.dynamic_slice(packed, (off,), (nb * n * n,))
+            .reshape(rb, cb, n, n)
+            .astype(jnp.int32)
+        )
+        off += nb * n * n
+        plane = _decode_impl(levels, modes, dc_step, ac_step, n, depth, lossless)
+        outs.append(plane.reshape(-1).astype(out_dtype))
+    return jnp.concatenate(outs)
+
+
+def _encode_impl(src, dc_step, ac_step, n, depth, lossless):
+    return encode_plane.__wrapped__(src, dc_step, ac_step, n=n, depth=depth, lossless=lossless)
+
+
+def _decode_impl(levels, modes, dc_step, ac_step, n, depth, lossless):
+    return decode_plane.__wrapped__(levels, modes, dc_step, ac_step, n=n, depth=depth, lossless=lossless)
+
+
 assert N_MODES == 7  # entropy layer alphabet size; bump both together
