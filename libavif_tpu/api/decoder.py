@@ -71,6 +71,11 @@ class Decoder:
         self._color_track = None
         self._alpha_track = None
         self._sato_item = None
+        self._tmap_item = None
+        # avifDecoder::imageContentToDecode analogue: decode the gain map
+        # when present (avif.h image_content flags).
+        self.decode_gain_map = True
+        self.gain_map_present = False
 
     # ----------------------------------------------------------------- parse
 
@@ -106,6 +111,19 @@ class Decoder:
                     return cand
         for cand in meta.items.values():
             if cand.item_type == "sato" and cand.refs.get("dimg", [None])[0] == color.id:
+                return cand
+        return None
+
+    def _find_tmap_item(self, meta: Meta, color: Item):
+        """Gain map discovery (reference: avifDecoderFindGainMapItem,
+        read.c:5766): a 'tmap' item in an altr group with the primary whose
+        first dimg input is the primary."""
+        for cand in meta.items.values():
+            if cand.item_type != "tmap":
+                continue
+            dimg = cand.refs.get("dimg", [])
+            if dimg and dimg[0] == color.id:
+                self.gain_map_present = True
                 return cand
         return None
 
@@ -160,6 +178,7 @@ class Decoder:
             self._color_item = item
             self._alpha_item = self._find_alpha_item(meta, item)
             self._sato_item = self._find_sato_item(meta, item)
+            self._tmap_item = self._find_tmap_item(meta, item)
             self.alpha_present = self._alpha_item is not None
             self.image_count = 1
             self._check_dims(item.width, item.height)
@@ -316,6 +335,39 @@ class Decoder:
         st.apply_expression(out, expression, inputs, planes="yuv")
         return out
 
+    def _decode_gain_map(self, tmap: Item, color: Item, img: Image) -> None:
+        """Decode the gain map input item + tmap metadata onto img.gain_map
+        (reference: read.c:5766-5990 gain-map plumbing)."""
+        from ..hdr.gainmap import parse_tmap
+        from ..image import GainMap
+
+        meta = self._container.meta
+        dimg = tmap.refs.get("dimg", [])
+        if len(dimg) != 2:
+            raise AvifError(Result.INVALID_TONE_MAPPED_IMAGE, "tmap needs 2 inputs")
+        gm_item = meta.items.get(dimg[1])
+        if gm_item is None:
+            raise AvifError(Result.INVALID_TONE_MAPPED_IMAGE, "missing gain map item")
+        gm = GainMap()
+        gm.metadata = parse_tmap(read_item_payload(meta, tmap, self._data))
+        if gm_item.item_type == "grid":
+            gm.image = self._decode_grid(gm_item)
+        else:
+            gm.image = self._decode_item_obus(gm_item)
+        self._harvest_item_metadata(gm_item, gm.image)
+        # alt rendition CICP/clli from the tmap item's properties
+        for p in tmap.properties:
+            if p.fourcc == "colr" and p.value.has_nclx:
+                gm.alt_color_primaries = p.value.color_primaries
+                gm.alt_transfer_characteristics = p.value.transfer_characteristics
+                gm.alt_matrix_coefficients = p.value.matrix_coefficients
+                gm.alt_yuv_range = p.value.yuv_range
+            elif p.fourcc == "colr" and p.value.icc:
+                gm.alt_icc = p.value.icc
+            elif p.fourcc == "clli":
+                gm.alt_clli = p.value
+        img.gain_map = gm
+
     def _attach_alpha(self, img: Image, alpha_img: Image, premultiplied: bool) -> None:
         if (alpha_img.width, alpha_img.height) != (img.width, img.height):
             raise AvifError(Result.COLOR_ALPHA_SIZE_MISMATCH, "alpha size mismatch")
@@ -364,6 +416,8 @@ class Decoder:
             self._validate_ispe(item, img)
             if self._sato_item is not None:
                 img = self._apply_sample_transform(self._sato_item, item, img)
+            if self._tmap_item is not None and self.decode_gain_map:
+                self._decode_gain_map(self._tmap_item, item, img)
             if self._alpha_item is not None:
                 if self._alpha_item.item_type == "grid":
                     aimg = self._decode_grid(self._alpha_item)

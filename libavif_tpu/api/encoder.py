@@ -59,6 +59,7 @@ class Encoder:
     def __init__(self):
         self.quality = 60
         self.quality_alpha = -1  # -1: follow quality
+        self.quality_gain_map = -1  # -1: follow quality
         self.speed = 6
         self.timescale = 1
         self.repetition_count = 0  # 0 = infinite (reference: avif.h repetition)
@@ -153,6 +154,79 @@ class Encoder:
         props.extend(image.properties)
         return props
 
+    def _gain_map_items(self, image: Image, next_id: int, color_item_id: int):
+        """tmap + gain-map-image items (reference: write.c:1919-1961).
+
+        Returns (items, groups, next_id). The 'tmap' derived item carries
+        the ISO 21496-1 metadata and dimg-references [color, gainmap];
+        an altr group prefers the tone-mapped rendition."""
+        from ..containers.write import OutputGroup
+        from ..hdr.gainmap import write_tmap
+
+        gm = image.gain_map
+        if gm is None or gm.image is None:
+            return [], [], next_id
+        qgm = self.quality if self.quality_gain_map < 0 else self.quality_gain_map
+        gm_obus, gm_hdr = encode_frame(gm.image, self._params(qgm))
+        gm_item_id = next_id
+        gm_props = [
+            Property("ispe", ImageSpatialExtents(gm.image.width, gm.image.height)),
+            Property(
+                "pixi",
+                PixelInformation(
+                    plane_depths=[gm.image.depth] * (1 if gm.image.monochrome else 3)
+                ),
+            ),
+            Property("av1C", config_from_sequence_header(gm_hdr)),
+            Property(
+                "colr",
+                ColorInformation(
+                    has_nclx=True,
+                    color_primaries=gm.image.color_primaries,
+                    transfer_characteristics=gm.image.transfer_characteristics,
+                    matrix_coefficients=gm.image.matrix_coefficients,
+                    yuv_range=gm.image.yuv_range,
+                ),
+            ),
+        ]
+        items = [
+            OutputItem(
+                id=gm_item_id, item_type="av01", payload=gm_obus,
+                properties=gm_props, hidden=True, infe_name="GMap",
+            )
+        ]
+        tmap_id = gm_item_id + 1
+        tmap_props = [
+            Property("ispe", ImageSpatialExtents(image.width, image.height)),
+        ]
+        if gm.alt_color_primaries or gm.alt_transfer_characteristics or gm.alt_matrix_coefficients:
+            tmap_props.append(
+                Property(
+                    "colr",
+                    ColorInformation(
+                        has_nclx=True,
+                        color_primaries=gm.alt_color_primaries,
+                        transfer_characteristics=gm.alt_transfer_characteristics,
+                        matrix_coefficients=gm.alt_matrix_coefficients,
+                        yuv_range=gm.alt_yuv_range,
+                    ),
+                )
+            )
+        if gm.alt_clli.max_cll or gm.alt_clli.max_pall:
+            tmap_props.append(Property("clli", gm.alt_clli))
+        items.append(
+            OutputItem(
+                id=tmap_id, item_type="tmap", payload=write_tmap(gm.metadata),
+                properties=tmap_props,
+                refs={"dimg": [color_item_id, gm_item_id]},
+                infe_name="GMap",
+            )
+        )
+        groups = [
+            OutputGroup(grouping_type="altr", group_id=200, entity_ids=[tmap_id, color_item_id])
+        ]
+        return items, groups, tmap_id + 1
+
     def _build_items(self, image: Image, obus: bytes, alpha_obus: Optional[bytes]):
         items: list[OutputItem] = [
             OutputItem(
@@ -230,7 +304,15 @@ class Encoder:
         first = self._frames[0]
         items = self._build_items(image, first.obus, first.alpha_obus)
         if len(self._frames) == 1:
-            return write_still(items, primary_item_id=1)
+            gm_items, gm_groups, _ = self._gain_map_items(
+                image, max(i.id for i in items) + 1, color_item_id=1
+            )
+            items.extend(gm_items)
+            extra = ["tmap"] if gm_items else None
+            return write_still(
+                items, primary_item_id=1, groups=gm_groups or None,
+                extra_brands=extra,
+            )
         av1c = config_from_sequence_header(self._first_hdr)
         alpha_av1c = (
             config_from_sequence_header(self._first_alpha_hdr)

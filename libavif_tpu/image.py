@@ -282,6 +282,7 @@ class Image:
         self.exif = src.exif
         self.xmp = src.xmp
         self.properties = list(src.properties)
+        self.gain_map = src.gain_map
 
     def view_rect(self, rect: CropRect) -> "Image":
         """Zero-copy crop view (reference: avifImageSetViewRect, avif.c:325).

@@ -154,34 +154,43 @@ def _srgb_from_linear(v):
     return m.where(v <= 0.0031308, v * 12.92, SRGB_A * m.power(v, 1.0 / 2.4) - 0.055)
 
 
+PQ_MAX_NITS = 10000.0
+HLG_PEAK_NITS = 1000.0
+SDR_WHITE_NITS = 203.0
+
+
 def _pq_to_linear(v):
-    """SMPTE ST 2084 EOTF, normalized so 1.0 = 10000 nits (colr.c:399)."""
+    """SMPTE ST 2084 EOTF in extended-SDR scale: 1.0 = SDR white (203 nits),
+    like the reference (avifToLinearPQ, colr.c:399)."""
     m = _get_mod(v)
     v = m.clip(v, 0.0, 1.0)
     p = m.power(v, 1.0 / PQ_M2)
     num = m.maximum(p - PQ_C1, 0.0)
-    den = PQ_C2 - PQ_C3 * p
-    return m.power(num / den, 1.0 / PQ_M1)
+    den = m.maximum(PQ_C2 - PQ_C3 * p, 1e-30)
+    return m.power(num / den, 1.0 / PQ_M1) * (PQ_MAX_NITS / SDR_WHITE_NITS)
 
 
 def _pq_from_linear(v):
     m = _get_mod(v)
-    v = m.clip(v, 0.0, 1.0)
+    v = m.clip(v * (SDR_WHITE_NITS / PQ_MAX_NITS), 0.0, 1.0)
     y = m.power(v, PQ_M1)
     return m.power((PQ_C1 + PQ_C2 * y) / (1.0 + PQ_C3 * y), PQ_M2)
 
 
 def _hlg_to_linear(v):
-    """ARIB STD-B67 inverse OETF (scene light), 1.0 = peak (colr.c:441)."""
+    """BT.2100-2 inverse OETF + OOTF (Lw=1000) in extended-SDR scale:
+    1.0 = SDR white (avifToLinearHLG, colr.c:441)."""
     m = _get_mod(v)
     v = m.clip(v, 0.0, 1.0)
-    return m.where(v <= 0.5, v * v / 3.0, (m.exp((v - HLG_C) / HLG_A) + HLG_B) / 12.0)
+    lin = m.where(v <= 0.5, v * v / 3.0, (m.exp((v - HLG_C) / HLG_A) + HLG_B) / 12.0)
+    return m.power(lin, 1.2) * (HLG_PEAK_NITS / SDR_WHITE_NITS)
 
 
 def _hlg_from_linear(v):
     m = _get_mod(v)
-    v = m.clip(v, 0.0, 1.0)
-    return m.where(v <= 1.0 / 12.0, m.sqrt(3.0 * v), HLG_A * m.log(12.0 * v - HLG_B) + HLG_C)
+    v = m.clip(v * (SDR_WHITE_NITS / HLG_PEAK_NITS), 0.0, 1.0)
+    v = m.power(v, 1.0 / 1.2)
+    return m.where(v <= 1.0 / 12.0, m.sqrt(3.0 * v), HLG_A * m.log(m.maximum(12.0 * v - HLG_B, 1e-30)) + HLG_C)
 
 
 def _log100_to_linear(v):
