@@ -9,10 +9,16 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent compilation cache: the wavefront programs are large and the
+# axon remote-compile path is slow; cache across bench invocations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/libavif_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 W, H = 768, 512  # kodim-class frame
 QUALITY = 75

@@ -28,6 +28,7 @@ from ..containers.items import Container, Item, Meta
 from ..containers.parse import parse as parse_container
 from ..containers.parse import parse_image_grid, read_item_payload
 from ..image import Image
+from .io import IO, MemoryIO, wrap as wrap_io
 
 ALPHA_URN = "urn:mpeg:mpegB:cicp:systems:auxiliary:alpha"
 
@@ -76,6 +77,11 @@ class Decoder:
         # when present (avif.h image_content flags).
         self.decode_gain_map = True
         self.gain_map_present = False
+        # Incremental decoding (avifDecoder::allowIncremental, read.c:7189)
+        self.allow_incremental = False
+        self._io: Optional[IO] = None
+        self._decoded_cell_count = 0
+        self._grid_shape = None  # (rows, cols, cell_h) of the color grid
 
     # ----------------------------------------------------------------- parse
 
@@ -127,10 +133,38 @@ class Decoder:
                 return cand
         return None
 
-    def parse(self, data: bytes) -> None:
-        """reference: avifDecoderParse (read.c:5288)."""
+    def set_io_memory(self, data: bytes) -> None:
+        self._io = MemoryIO(data)
+
+    def set_io_file(self, path) -> None:
+        from .io import FileIO
+
+        self._io = FileIO(path)
+
+    def parse(self, source=None) -> None:
+        """reference: avifDecoderParse (read.c:5288). ``source`` may be
+        bytes, a path, or an IO; omit it after set_io_*()."""
+        if source is not None:
+            self._io = wrap_io(source)
+        if self._io is None:
+            raise AvifError(Result.NO_CONTENT, "no IO source set")
+        data = self._io.read(0, self._io.size_hint or (1 << 31))
         self._data = data
-        c = parse_container(data)
+        try:
+            c = parse_container(data)
+        except AvifError as e:
+            incomplete = self._io.size_hint and len(data) < self._io.size_hint
+            retryable = (
+                Result.BMFF_PARSE_FAILED,
+                Result.TRUNCATED_DATA,
+                Result.INVALID_FTYP,
+                Result.NO_CONTENT,
+            )
+            if e.result in retryable and incomplete:
+                raise AvifError(
+                    Result.WAITING_ON_IO, f"parse needs more bytes ({e})"
+                ) from e
+            raise
         self._container = c
 
         has_tracks = bool(c.tracks)
@@ -200,17 +234,25 @@ class Decoder:
 
     # ---------------------------------------------------------------- decode
 
+    def _item_payload(self, item: Item) -> bytes:
+        """Merge extents through the IO reader (reference: read.c:1143-1230
+        + avifDecoderPrepareSample read.c:5218 WAITING_ON_IO semantics)."""
+        meta = self._container.meta
+        if item.idat:
+            return read_item_payload(meta, item, self._data)
+        parts = []
+        for ext in item.extents:
+            parts.append(self._io.read_exact(ext.offset, ext.size))
+        return b"".join(parts)
+
     def _decode_item_obus(self, item: Item, width: int = 0, height: int = 0) -> Image:
-        payload = read_item_payload(self._container.meta, item, self._data)
-        return decode_frame(payload, width, height)
+        return decode_frame(self._item_payload(item), width, height)
 
     def _decode_grid(self, grid_item: Item) -> Image:
         """Grid reassembly (reference: read.c:1696 generate tiles +
         read.c:1823 CopyTileToImage)."""
         meta = self._container.meta
-        grid = grid_item.grid or parse_image_grid(
-            read_item_payload(meta, grid_item, self._data)
-        )
+        grid = grid_item.grid or parse_image_grid(self._item_payload(grid_item))
         cells = sorted(
             (i for i in meta.items.values() if i.dimg_for_id == grid_item.id),
             key=lambda i: i.dimg_idx,
@@ -220,14 +262,25 @@ class Decoder:
             raise AvifError(
                 Result.INVALID_IMAGE_GRID, f"{len(cells)} cells, expected {expected}"
             )
-        first = self._decode_item_obus(cells[0])
+        decoded = []
+        incremental = self.allow_incremental and grid_item is self._color_item
+        for cell in cells:
+            try:
+                decoded.append(self._decode_item_obus(cell))
+            except AvifError as e:
+                if e.result == Result.WAITING_ON_IO and incremental and decoded:
+                    break  # expose the rows decoded so far (read.c:6736-6740)
+                raise
+        first = decoded[0]
         cw, ch = first.width, first.height
         out = Image(grid.output_width, grid.output_height, first.depth, first.yuv_format)
         out.copy_no_pixels(first)
         out.width, out.height = grid.output_width, grid.output_height
         self._check_dims(out.width, out.height)
         out.allocate_planes("yuv")
-        decoded = [first] + [self._decode_item_obus(c) for c in cells[1:]]
+        if grid_item is self._color_item:
+            self._decoded_cell_count = len(decoded)
+            self._grid_shape = (grid.rows, grid.columns, ch, out.height)
         for idx, cell_img in enumerate(decoded):
             if (cell_img.width, cell_img.height) != (cw, ch):
                 raise AvifError(Result.INVALID_IMAGE_GRID, "cell size mismatch")
@@ -246,6 +299,11 @@ class Decoder:
                 w = min(src.shape[1], dst.shape[1] - sx)
                 if h > 0 and w > 0:
                     dst[sy : sy + h, sx : sx + w] = src[:h, :w]
+        if len(decoded) < expected:
+            # Partial grid: publish progress, surface WAITING_ON_IO
+            # (reference: read.c:7021-7035; idempotent and resumable).
+            self.image = out
+            raise AvifError(Result.WAITING_ON_IO, "grid cells pending")
         return out
 
     def _harvest_item_metadata(self, item: Item, img: Image) -> None:
@@ -294,12 +352,12 @@ class Decoder:
                 if other.desc_for_id != item.id:
                     continue
                 if other.item_type == "Exif":
-                    payload = read_item_payload(meta, other, self._data)
+                    payload = self._item_payload(other)
                     if len(payload) >= 4:
                         off = int.from_bytes(payload[:4], "big")
                         img.exif = payload[4 + off :] if 4 + off <= len(payload) else b""
                 elif other.item_type == "mime":
-                    img.xmp = read_item_payload(meta, other, self._data)
+                    img.xmp = self._item_payload(other)
 
     def _apply_sample_transform(self, sato: Item, color: Item, base_img: Image) -> Image:
         """16-bit reconstruction (reference: avifDecoderApplySampleTransform,
@@ -307,7 +365,7 @@ class Decoder:
         from ..hdr import sampletransform as st
 
         meta = self._container.meta
-        payload = read_item_payload(meta, sato, self._data)
+        payload = self._item_payload(sato)
         inputs_ids = sato.refs.get("dimg", [])
         expression = st.parse_sato(payload)
         if not st.validate_expression(expression, len(inputs_ids)):
@@ -349,7 +407,7 @@ class Decoder:
         if gm_item is None:
             raise AvifError(Result.INVALID_TONE_MAPPED_IMAGE, "missing gain map item")
         gm = GainMap()
-        gm.metadata = parse_tmap(read_item_payload(meta, tmap, self._data))
+        gm.metadata = parse_tmap(self._item_payload(tmap))
         if gm_item.item_type == "grid":
             gm.image = self._decode_grid(gm_item)
         else:
@@ -451,10 +509,20 @@ class Decoder:
         st = track.sample_table
         ranges = st.sample_ranges()
         off, size = ranges[index]
-        sample = self._data[off : off + size]
-        if len(sample) != size:
-            raise AvifError(Result.TRUNCATED_DATA, "sample out of range")
-        return decode_frame(sample)
+        return decode_frame(self._io.read_exact(off, size))
+
+    def decoded_row_count(self) -> int:
+        """Rows of the current frame exposed so far (reference:
+        avifDecoderDecodedRowCount, read.c:7213; grid math read.c:7189)."""
+        if self.image is None:
+            return 0
+        if self._grid_shape is None:
+            return self.image.height if self.image_index >= 0 else 0
+        rows, cols, cell_h, out_h = self._grid_shape
+        full_rows = self._decoded_cell_count // cols
+        if full_rows >= rows:
+            return out_h
+        return min(full_rows * cell_h, out_h)
 
     def nth_image(self, index: int) -> Image:
         """Random access (reference: avifDecoderNthImage, read.c:7100).
