@@ -16,9 +16,18 @@ import time
 import numpy as np
 
 # Persistent compilation cache: the wavefront programs are large and the
-# axon remote-compile path is slow; cache across bench invocations.
+# axon remote-compile path is slow; cache across bench invocations. The
+# image's sitecustomize imports jax before this module runs, so set the
+# live config (env vars alone would be read too late).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/libavif_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+try:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/libavif_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 W, H = 768, 512  # kodim-class frame
 QUALITY = 75

@@ -41,6 +41,14 @@ class Source(enum.IntEnum):
     TRACKS = 2
 
 
+class ProgressiveState(enum.IntEnum):
+    """avifProgressiveState (avif.h:1240-1252)."""
+
+    UNAVAILABLE = 0
+    AVAILABLE = 1
+    ACTIVE = 2
+
+
 class Decoder:
     """Pull-based decoder over an in-memory AVIF payload.
 
@@ -79,6 +87,10 @@ class Decoder:
         self.gain_map_present = False
         # Incremental decoding (avifDecoder::allowIncremental, read.c:7189)
         self.allow_incremental = False
+        # Progressive (a1lx layered) decoding (avifDecoder::allowProgressive)
+        self.allow_progressive = False
+        self.progressive_state = ProgressiveState.UNAVAILABLE
+        self._layer_ends: list[int] = []
         self._io: Optional[IO] = None
         self._decoded_cell_count = 0
         self._grid_shape = None  # (rows, cols, cell_h) of the color grid
@@ -215,6 +227,12 @@ class Decoder:
             self._tmap_item = self._find_tmap_item(meta, item)
             self.alpha_present = self._alpha_item is not None
             self.image_count = 1
+            self._layer_ends = self._progressive_layer_ends(item)
+            if self._layer_ends:
+                self.progressive_state = ProgressiveState.AVAILABLE
+                if self.allow_progressive:
+                    self.progressive_state = ProgressiveState.ACTIVE
+                    self.image_count = len(self._layer_ends)
             self._check_dims(item.width, item.height)
             self._validate_properties(item)
 
@@ -245,8 +263,49 @@ class Decoder:
             parts.append(self._io.read_exact(ext.offset, ext.size))
         return b"".join(parts)
 
+    def _progressive_layer_ends(self, item: Item) -> list[int]:
+        """Cumulative layer byte boundaries from a1lx (read.c:690-730);
+        empty when the item is not layered or lsel pins one layer."""
+        a1lx = item.find_property("a1lx")
+        if a1lx is None:
+            return []
+        lsel = item.find_property("lsel")
+        if lsel is not None and lsel.layer_id != 0xFFFF:
+            return []
+        total = item.size or sum(e.size for e in item.extents)
+        ends = []
+        acc = 0
+        for s in a1lx.layer_size:
+            if s <= 0:
+                break
+            acc += s
+            if acc >= total:
+                break
+            ends.append(acc)
+        ends.append(total)
+        return ends if len(ends) > 1 else []
+
     def _decode_item_obus(self, item: Item, width: int = 0, height: int = 0) -> Image:
-        return decode_frame(self._item_payload(item), width, height)
+        payload = self._item_payload(item)
+        lsel = item.find_property("lsel")
+        if lsel is not None and lsel.layer_id != 0xFFFF:
+            # Layer selection: decode the prefix through the chosen layer
+            # (read.c lsel handling). Sizes beyond the a1lx entries mean
+            # "the rest of the payload" (the final layer).
+            a1lx = item.find_property("a1lx")
+            if a1lx is not None and lsel.layer_id < 3:
+                sizes = [s for s in a1lx.layer_size if s > 0]
+                cut = sum(sizes[: lsel.layer_id + 1])
+                if lsel.layer_id < len(sizes) and 0 < cut <= len(payload):
+                    payload = payload[:cut]
+        elif (
+            item is self._color_item
+            and self.progressive_state == ProgressiveState.ACTIVE
+            and self._layer_ends
+        ):
+            layer = min(self.image_index + 1, len(self._layer_ends) - 1)
+            payload = payload[: self._layer_ends[layer]]
+        return decode_frame(payload, width, height)
 
     def _decode_grid(self, grid_item: Item) -> Image:
         """Grid reassembly (reference: read.c:1696 generate tiles +

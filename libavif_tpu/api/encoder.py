@@ -454,6 +454,49 @@ class Encoder:
         ]
         return write_still(items, primary_item_id=base_item.id, groups=groups)
 
+    # ----------------------------------------------------------- progressive
+
+    def write_progressive(self, image: Image, layer_qualities: list[int]) -> bytes:
+        """Progressive still: up to 4 refinement layers in one item with an
+        'a1lx' layered-image index (reference: avifenc --progressive /
+        --layered; sample construction read.c:690-730).
+
+        Each layer is a self-contained stream at increasing quality; byte
+        prefixes through layer k decode to layer k.
+        """
+        if not 1 <= len(layer_qualities) <= 4:
+            raise AvifError(Result.INVALID_ARGUMENT, "1..4 layers required")
+        if any(
+            layer_qualities[i] > layer_qualities[i + 1]
+            for i in range(len(layer_qualities) - 1)
+        ):
+            raise AvifError(Result.INVALID_ARGUMENT, "layer quality must not decrease")
+        from ..containers.items import AV1LayeredImageIndexing
+
+        streams = []
+        for q in layer_qualities:
+            obus, hdr = encode_frame(image, self._params(q))
+            if self._first_hdr is None:
+                self._first_hdr = hdr
+            streams.append(obus)
+        payload = b"".join(streams)
+        sizes = [len(s) for s in streams[:-1]]
+        a1lx = AV1LayeredImageIndexing(layer_size=(sizes + [0, 0, 0])[:3])
+
+        alpha_obus = None
+        if image.alpha_plane is not None and not image.is_opaque():
+            qa = (
+                layer_qualities[-1]
+                if self.quality_alpha < 0
+                else self.quality_alpha
+            )
+            alpha_obus, ahdr = encode_frame(self._alpha_image(image), self._params(qa))
+            self._first_alpha_hdr = ahdr
+
+        items = self._build_items(image, payload, alpha_obus)
+        items[0].properties.append(Property("a1lx", a1lx))
+        return write_still(items, primary_item_id=1, extra_brands=["avio"])
+
     # ------------------------------------------------------------------ grid
 
     def write_grid(self, cells: list[Image], columns: int, rows: int) -> bytes:

@@ -213,12 +213,15 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
     width/height override the sequence-header size when the container's
     ispe disagrees (the container wins, read.c:5316-5349 semantics).
     """
+    # Keep the LAST (seq, frame) pair: progressive layers are concatenated
+    # self-contained streams, and a cumulative byte prefix through layer k
+    # must decode to layer k (read.c:690-730 sample semantics).
     seq: SequenceHeader | None = None
     frame: Obu | None = None
     for obu in split_obus(data):
-        if obu.obu_type == OBU_SEQUENCE_HEADER and seq is None:
+        if obu.obu_type == OBU_SEQUENCE_HEADER:
             seq = parse_sequence_header(obu.payload)
-        elif obu.obu_type == OBU_FRAME and frame is None:
+        elif obu.obu_type == OBU_FRAME:
             frame = obu
     if seq is None or frame is None:
         raise AvifError(Result.BMFF_PARSE_FAILED, "missing sequence header or frame OBU")
