@@ -44,7 +44,44 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clap", help="clean aperture: WN,WD,HN,HD,HON,HOD,VON,VOD")
     p.add_argument("--clli", help="content light level: MaxCLL,MaxPALL")
     p.add_argument("--tx-size", type=int, default=16, choices=(4, 8, 16, 32))
+    p.add_argument(
+        "--target-size", type=int,
+        help="search the quality that fits this many bytes (stills only)",
+    )
+    p.add_argument(
+        "--progressive", metavar="Q1,Q2,...",
+        help="layered progressive encode at these qualities (stills only)",
+    )
     return p
+
+
+def _target_size_search(image, args, proto_encoder):
+    """Bisect quality to fit --target-size (reference: avifenc.c
+    --target-size search loop)."""
+    from ..api.encoder import Encoder
+
+    lo, hi = 0, 100
+    best = None
+    while lo <= hi:
+        q = (lo + hi) // 2
+        enc = Encoder()
+        enc.quality = q
+        enc.quality_alpha = proto_encoder.quality_alpha
+        enc.speed = proto_encoder.speed
+        enc.tx_size = proto_encoder.tx_size
+        data = enc.write(image)
+        if len(data) <= args.target_size:
+            best = data
+            lo = q + 1  # best quality that still fits
+        else:
+            hi = q - 1
+    if best is None:
+        # Even quality 0 exceeds the budget: return the smallest encode.
+        enc = Encoder()
+        enc.quality = 0
+        enc.speed = proto_encoder.speed
+        best = enc.write(image)
+    return best
 
 
 def _parse_fraction_list(arg, count, flag):
@@ -155,7 +192,12 @@ def main(argv=None) -> int:
                     frames.append(read_y4m(path, i))
             else:
                 frames.append(load(path))
-        if len(frames) == 1:
+        if len(frames) == 1 and args.progressive:
+            qualities = [int(q) for q in args.progressive.split(",")]
+            data = enc.write_progressive(frames[0], qualities)
+        elif len(frames) == 1 and args.target_size:
+            data = _target_size_search(frames[0], args, enc)
+        elif len(frames) == 1:
             data = enc.write(frames[0])
         else:
             enc.timescale = args.timescale or int(round(args.fps))
