@@ -260,42 +260,88 @@ def pack_dtype(lossless: bool):
 @functools.partial(jax.jit, static_argnames=("geoms", "n", "depth", "lossless"))
 def encode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, lossless: bool):
     """packed: 1-D uint8/uint16 concat of padded planes (per `geoms`
-    (rb, cb) entries). Returns a single 1-D int16/int32 result buffer."""
+    (rb, cb) entries). Returns a single 1-D int16/int32 result buffer.
+
+    Same-geometry planes (U and V, grid cells) are grouped and vmapped so
+    the compiled program contains ONE wavefront body per distinct shape —
+    program size drives (remote) compile time."""
     out_dtype = pack_dtype(lossless)
-    outs = []
+    # plane index -> (offset, geom); group by geom preserving output order
+    offs = []
     off = 0
     for rb, cb in geoms:
+        offs.append(off)
+        off += rb * cb * n * n
+    groups: dict = {}
+    for i, g in enumerate(geoms):
+        groups.setdefault(g, []).append(i)
+
+    results: list = [None, None] * len(geoms)
+    for (rb, cb), idxs in groups.items():
         hp, wp = rb * n, cb * n
-        plane = jax.lax.dynamic_slice(packed, (off,), (hp * wp,))
-        src = plane.reshape(hp, wp).astype(jnp.int32)
-        modes, levels, _ = _encode_impl(src, dc_step, ac_step, n, depth, lossless)
-        outs.append(modes.reshape(-1).astype(out_dtype))
-        outs.append(levels.reshape(-1).astype(out_dtype))
-        off += hp * wp
-    return jnp.concatenate(outs)
+        planes = jnp.stack(
+            [
+                jax.lax.dynamic_slice(packed, (offs[i],), (hp * wp,))
+                .reshape(hp, wp)
+                .astype(jnp.int32)
+                for i in idxs
+            ]
+        )
+        enc = jax.vmap(
+            lambda p: _encode_impl(p, dc_step, ac_step, n, depth, lossless)
+        )
+        modes, levels, _ = enc(planes)
+        for k, i in enumerate(idxs):
+            results[2 * i] = modes[k].reshape(-1).astype(out_dtype)
+            results[2 * i + 1] = levels[k].reshape(-1).astype(out_dtype)
+    return jnp.concatenate(results)
 
 
 @functools.partial(jax.jit, static_argnames=("geoms", "n", "depth", "lossless"))
 def decode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, lossless: bool):
     """packed: 1-D int16/int32 [modes, levels] per plane. Returns 1-D
-    uint8/uint16 concat of reconstructed padded planes."""
+    uint8/uint16 concat of reconstructed padded planes. Same-geometry
+    planes share one vmapped wavefront body (see encode_frame_device)."""
     out_dtype = jnp.uint8 if depth == 8 else jnp.uint16
-    outs = []
+    offs = []
     off = 0
     for rb, cb in geoms:
+        offs.append(off)
+        off += rb * cb + rb * cb * n * n
+    groups: dict = {}
+    for i, g in enumerate(geoms):
+        groups.setdefault(g, []).append(i)
+
+    results: list = [None] * len(geoms)
+    for (rb, cb), idxs in groups.items():
         nb = rb * cb
-        modes = jax.lax.dynamic_slice(packed, (off,), (nb,)).reshape(rb, cb)
-        modes = jnp.clip(modes.astype(jnp.int32), 0, N_MODES - 1)
-        off += nb
-        levels = (
-            jax.lax.dynamic_slice(packed, (off,), (nb * n * n,))
-            .reshape(rb, cb, n, n)
-            .astype(jnp.int32)
+        modes = jnp.stack(
+            [
+                jnp.clip(
+                    jax.lax.dynamic_slice(packed, (offs[i],), (nb,))
+                    .reshape(rb, cb)
+                    .astype(jnp.int32),
+                    0,
+                    N_MODES - 1,
+                )
+                for i in idxs
+            ]
         )
-        off += nb * n * n
-        plane = _decode_impl(levels, modes, dc_step, ac_step, n, depth, lossless)
-        outs.append(plane.reshape(-1).astype(out_dtype))
-    return jnp.concatenate(outs)
+        levels = jnp.stack(
+            [
+                jax.lax.dynamic_slice(packed, (offs[i] + nb,), (nb * n * n,))
+                .reshape(rb, cb, n, n)
+                .astype(jnp.int32)
+                for i in idxs
+            ]
+        )
+        dec = jax.vmap(
+            lambda lv, md: _decode_impl(lv, md, dc_step, ac_step, n, depth, lossless)
+        )
+        planes = dec(levels, modes)
+        for k, i in enumerate(idxs):
+            results[i] = planes[k].reshape(-1).astype(out_dtype)
+    return jnp.concatenate(results)
 
 
 def _encode_impl(src, dc_step, ac_step, n, depth, lossless):

@@ -17,7 +17,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..codec import recon
@@ -110,6 +113,4 @@ def exchange_cell_boundaries(cells, mesh: Mesh):
         return jnp.where(idx == 0, jnp.zeros_like(halo), halo)
 
     spec = P("frames", "cells")
-    return shard_map(
-        body, mesh=mesh, in_specs=(spec,), out_specs=spec, check_rep=False
-    )(cells)
+    return shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)(cells)
