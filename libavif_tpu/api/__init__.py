@@ -7,4 +7,4 @@ contracts): avifImage (libavif_tpu.image.Image), avifEncoder
 """
 
 from .decoder import Decoder, decode  # noqa: F401
-from .encoder import Encoder, encode  # noqa: F401
+from .encoder import Encoder, encode, encode_batch  # noqa: F401

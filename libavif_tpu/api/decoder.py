@@ -30,6 +30,16 @@ from ..containers.parse import parse_image_grid, read_item_payload
 from ..image import Image
 from .io import IO, MemoryIO, wrap as wrap_io
 
+import dataclasses
+
+
+@dataclasses.dataclass
+class IOStats:
+    """avifIOStats (avif.h:1169-1175): coded payload byte sizes."""
+
+    color_obu_size: int = 0
+    alpha_obu_size: int = 0
+
 ALPHA_URN = "urn:mpeg:mpegB:cicp:systems:auxiliary:alpha"
 
 
@@ -71,6 +81,7 @@ class Decoder:
         self.duration_in_timescales = 0
         self.repetition_count = 0
         self.alpha_present = False
+        self.io_stats = IOStats()
 
         self._data: bytes = b""
         self._container: Optional[Container] = None
@@ -519,6 +530,22 @@ class Decoder:
         nxt = self.image_index + 1
         if nxt >= self.image_count:
             return False
+
+        def _item_size(it):
+            if it is None:
+                return 0
+            total = it.size or sum(e.size for e in it.extents)
+            if it.item_type == "grid":
+                total += sum(
+                    c.size or sum(e.size for e in c.extents)
+                    for c in self._container.meta.items.values()
+                    if c.dimg_for_id == it.id
+                )
+            return total
+
+        if not self._use_tracks:
+            self.io_stats.color_obu_size = _item_size(self._color_item)
+            self.io_stats.alpha_obu_size = _item_size(self._alpha_item)
         if self._use_tracks:
             img = self._decode_track_sample(self._color_track, nxt)
             if self._alpha_track is not None:

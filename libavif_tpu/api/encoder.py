@@ -677,3 +677,29 @@ def encode(image: Image, quality: int = 60, speed: int = 6) -> bytes:
     enc.quality = quality
     enc.speed = speed
     return enc.write(image)
+
+
+def encode_batch(images: list[Image], quality: int = 60, speed: int = 6) -> list[bytes]:
+    """Pipelined batch still encode: device compute for frame k+1 overlaps
+    host entropy for frame k (the production serving path — see
+    codec.frame.encode_frames_pipelined). Alpha/metadata follow the same
+    item-graph rules as Encoder.write per image."""
+    from ..codec.frame import FrameParams, encode_frames_pipelined
+
+    params = FrameParams(quality=quality, speed=speed)
+    color = encode_frames_pipelined(images, params)
+    out = []
+    for image, (obus, hdr) in zip(images, color):
+        enc = Encoder()
+        enc.quality = quality
+        enc.speed = speed
+        enc._first_hdr = hdr
+        alpha_obus = None
+        if image.alpha_plane is not None and not image.is_opaque():
+            from ..codec import encode_frame as _ef
+
+            alpha_obus, ahdr = _ef(enc._alpha_image(image), params)
+            enc._first_alpha_hdr = ahdr
+        items = enc._build_items(image, obus, alpha_obus)
+        out.append(write_still(items, primary_item_id=1))
+    return out

@@ -168,6 +168,76 @@ def _encode_planes(planes: list[np.ndarray], params: FrameParams, depth: int) ->
     return [entropy.encode_tile(lv, md, n) for md, lv in jobs]
 
 
+def encode_frames_pipelined(
+    images: list[Image], params: FrameParams
+) -> list[tuple[bytes, SequenceHeader]]:
+    """Batch still encode with device/host pipelining: ALL frames' device
+    programs are dispatched up front (JAX async dispatch queues them on
+    the chip), then host entropy coding drains results in order — device
+    compute for frame k+1 overlaps entropy for frame k.
+
+    This is the production serving path; per-frame latency is unchanged
+    but sustained MP/s is bounded by max(device, host) instead of sum.
+    """
+    staged = []
+    for image in images:
+        if image.depth not in (8, 10, 12):
+            raise AvifError(Result.UNSUPPORTED_DEPTH, f"depth {image.depth}")
+        hdr = _sequence_header_for(image)
+        planes = []
+        for c in range(_coded_planes(image)):
+            plane = image.yuv_planes[c]
+            if plane is None:
+                raise AvifError(Result.NO_CONTENT, f"missing plane {c}")
+            planes.append(plane)
+        n = params.tx_size
+        lossless = params.lossless
+        dc, ac = (1, 1) if lossless else step_sizes(params.qindex, image.depth)
+        in_dtype = np.uint8 if image.depth == 8 else np.uint16
+        padded = [recon.pad_to_blocks(p, n).astype(in_dtype) for p in planes]
+        geoms = tuple((p.shape[0] // n, p.shape[1] // n) for p in padded)
+        packed = np.concatenate([p.reshape(-1) for p in padded])
+        result = recon.encode_frame_device(  # async dispatch, not fetched yet
+            packed, np.int32(dc), np.int32(ac),
+            geoms=geoms, n=n, depth=image.depth, lossless=lossless,
+        )
+        staged.append((hdr, geoms, result))
+
+    out = []
+    for hdr, geoms, result in staged:
+        n = params.tx_size
+        result = np.asarray(result)
+        payloads = []
+        off = 0
+        jobs = []
+        for rb, cb in geoms:
+            nb = rb * cb
+            modes = result[off : off + nb].astype(np.int32).reshape(rb, cb)
+            off += nb
+            levels = result[off : off + nb * n * n].astype(np.int32).reshape(rb, cb, n, n)
+            off += nb * n * n
+            jobs.append((modes, levels))
+        if len(jobs) > 1:
+            with ThreadPoolExecutor(len(jobs)) as pool:
+                payloads = list(pool.map(lambda j: entropy.encode_tile(j[1], j[0], n), jobs))
+        else:
+            payloads = [entropy.encode_tile(lv, md, n) for md, lv in jobs]
+
+        body = RWStream()
+        body.write_u8(FRAME_MAGIC)
+        body.write_u8(params.qindex)
+        body.write_u8(params.tx_size.bit_length() - 1)
+        body.write_u8(1 if params.lossless else 0)
+        for payload in payloads:
+            write_leb128(body, len(payload))
+            body.write(payload)
+        s = RWStream()
+        write_obu(s, OBU_SEQUENCE_HEADER, write_sequence_header(hdr))
+        write_obu(s, OBU_FRAME, body.data())
+        out.append((s.data(), hdr))
+    return out
+
+
 def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHeader]:
     """Encode one still frame. Returns (obu_bytes, sequence_header)."""
     if image.depth not in (8, 10, 12):

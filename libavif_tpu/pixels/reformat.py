@@ -102,6 +102,33 @@ def _upsample_bilinear(c: jnp.ndarray, out_h: int, out_w: int, sx: int, sy: int)
 # ------------------------------------------------------------- downsampling
 
 
+def _downsample_sharp(p: jnp.ndarray, sx: int, sy: int) -> jnp.ndarray:
+    """Sharp chroma downsample: separable [1,3,3,1]/8 filter at the 2x
+    decimation points — wider support than the 2-tap box, preserving
+    chroma edges (our libsharpyuv-equivalent role, reformat_libsharpyuv.c;
+    algorithm is original, not webp's iterative solver)."""
+
+    def axis_sharp(x, axis):
+        n = x.shape[axis]
+        if n & 1:
+            edge = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+            x = jnp.concatenate([x, edge], axis=axis)
+            n += 1
+        xm = jnp.moveaxis(x, axis, 0)
+        left = jnp.concatenate([xm[:1], xm[:-1]], axis=0)
+        right = jnp.concatenate([xm[1:], xm[-1:]], axis=0)
+        f = (left + 3.0 * xm + 3.0 * right + jnp.concatenate([xm[2:], xm[-1:], xm[-1:]], axis=0)) / 8.0
+        # decimate at even positions of the filtered signal
+        out = f[0:n:2]
+        return jnp.moveaxis(out, 0, axis)
+
+    if sy:
+        p = axis_sharp(p, 0)
+    if sx:
+        p = axis_sharp(p, 1)
+    return p
+
+
 def _downsample_average(p: jnp.ndarray, sx: int, sy: int) -> jnp.ndarray:
     """Chroma downsample by block averaging (reformat.c:410-470).
 
@@ -194,7 +221,7 @@ def _yuv_to_rgb_float(
     jax.jit,
     static_argnames=(
         "depth", "rgb_depth", "yuv_range", "mc_mode", "kr", "kb",
-        "sx", "sy", "monochrome",
+        "sx", "sy", "monochrome", "sharp_yuv",
     ),
 )
 def _rgb_to_yuv_float(
@@ -209,6 +236,7 @@ def _rgb_to_yuv_float(
     sx: int,
     sy: int,
     monochrome: bool,
+    sharp_yuv: bool = False,
 ):
     """Float conversion core: (H, W, 3) -> (y, u, v) unorm planes."""
     rgb_max = float((1 << rgb_depth) - 1)
@@ -240,9 +268,11 @@ def _rgb_to_yuv_float(
     y_out = jnp.clip(_round_half_away(Y * y_rng + y_bias), 0, max_ch).astype(dtype)
     if monochrome:
         return y_out, None, None
-    # Downsample chroma in float (best-quality AVERAGE mode, reformat.c:410).
-    Ud = _downsample_average(U, sx, sy)
-    Vd = _downsample_average(V, sx, sy)
+    # Downsample chroma in float (best-quality AVERAGE mode, reformat.c:410;
+    # sharp mode plays the libsharpyuv role).
+    down = _downsample_sharp if sharp_yuv else _downsample_average
+    Ud = down(U, sx, sy)
+    Vd = down(V, sx, sy)
     u_out = jnp.clip(_round_half_away(Ud * uv_rng + uv_bias), 0, max_ch).astype(dtype)
     v_out = jnp.clip(_round_half_away(Vd * uv_rng + uv_bias), 0, max_ch).astype(dtype)
     return y_out, u_out, v_out
@@ -443,9 +473,11 @@ def rgb_to_yuv_arrays(
     yuv_range: Range,
     matrix_coefficients: int,
     color_primaries: int = 2,
+    sharp_yuv: bool = False,
 ):
     """Convert (H, W, 3) RGB -> YUV planes (reference: avifImageRGBToYUV,
-    reformat.c:221)."""
+    reformat.c:221; sharp_yuv plays the avifImageRGBToYUVLibSharpYUV role,
+    reformat_libsharpyuv.c)."""
     mode = _mc_mode(matrix_coefficients)
     from ..constants import pixel_format_info
 
@@ -480,6 +512,7 @@ def rgb_to_yuv_arrays(
         sx=info.chroma_shift_x,
         sy=info.chroma_shift_y,
         monochrome=info.monochrome,
+        sharp_yuv=sharp_yuv,
     )
     return (
         np.asarray(y),

@@ -197,3 +197,23 @@ class TestDecoderRobustness:
         d.image_size_limit = 100
         with pytest.raises(AvifError):
             d.read(data)
+
+
+class TestEncodeBatch:
+    def test_batch_matches_single(self):
+        from libavif_tpu.api import encode_batch
+
+        imgs = [make_image(48, 32, seed=i) for i in range(3)]
+        batch = encode_batch(imgs, quality=80)
+        singles = [encode(im, quality=80) for im in imgs]
+        assert batch == singles  # deterministic: byte-identical outputs
+
+    def test_batch_with_alpha(self):
+        from libavif_tpu.api import encode_batch
+
+        imgs = [make_image(48, 32, seed=7, alpha=True)]
+        data = encode_batch(imgs, quality=100)[0]
+        d = Decoder()
+        out = d.read(data)
+        assert d.alpha_present
+        np.testing.assert_array_equal(out.alpha_plane, imgs[0].alpha_plane)
