@@ -75,6 +75,27 @@ class Encoder:
         self._first_hdr = None
         self._first_alpha_hdr = None
         self._single = False
+        self._codec_options: dict[str, str] = {}
+
+    def set_codec_specific_option(self, key: str, value: str) -> None:
+        """Codec key/value passthrough (reference:
+        avifEncoderSetCodecSpecificOption, avif.h:1694; storage
+        internal.h:517-528). Known keys for the native codec:
+
+          tx-size          transform size (4|8|16|32)
+          color:tx-size / alpha:tx-size   scoped variants (codec_aom.c:312
+                                          scoping convention)
+
+        Unknown keys are stored and ignored, like the reference's behavior
+        for options the codec doesn't understand."""
+        self._codec_options[key] = value
+        scoped = key.split(":", 1)[-1]
+        if scoped == "tx-size":
+            v = int(value)
+            if v not in (4, 8, 16, 32):
+                raise AvifError(Result.INVALID_ARGUMENT, f"tx-size {value}")
+            if not key.startswith("alpha:"):
+                self.tx_size = v
 
     # ------------------------------------------------------------- internals
 

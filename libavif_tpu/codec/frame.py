@@ -203,38 +203,46 @@ def encode_frames_pipelined(
         )
         staged.append((hdr, geoms, result))
 
-    out = []
-    for hdr, geoms, result in staged:
-        n = params.tx_size
-        result = np.asarray(result)
-        payloads = []
-        off = 0
-        jobs = []
-        for rb, cb in geoms:
-            nb = rb * cb
-            modes = result[off : off + nb].astype(np.int32).reshape(rb, cb)
-            off += nb
-            levels = result[off : off + nb * n * n].astype(np.int32).reshape(rb, cb, n, n)
-            off += nb * n * n
-            jobs.append((modes, levels))
-        if len(jobs) > 1:
-            with ThreadPoolExecutor(len(jobs)) as pool:
-                payloads = list(pool.map(lambda j: entropy.encode_tile(j[1], j[0], n), jobs))
-        else:
-            payloads = [entropy.encode_tile(lv, md, n) for md, lv in jobs]
+    # Drain: fetch each frame's packed result in completion order and feed
+    # every tile straight into a shared host pool — entropy for ALL tiles
+    # of ALL frames runs concurrently (the native coder releases the GIL),
+    # overlapping the remaining device work and fetches.
+    n = params.tx_size
+    import os
 
-        body = RWStream()
-        body.write_u8(FRAME_MAGIC)
-        body.write_u8(params.qindex)
-        body.write_u8(params.tx_size.bit_length() - 1)
-        body.write_u8(1 if params.lossless else 0)
-        for payload in payloads:
-            write_leb128(body, len(payload))
-            body.write(payload)
-        s = RWStream()
-        write_obu(s, OBU_SEQUENCE_HEADER, write_sequence_header(hdr))
-        write_obu(s, OBU_FRAME, body.data())
-        out.append((s.data(), hdr))
+    workers = max(2, min(16, (os.cpu_count() or 4)))
+    with ThreadPoolExecutor(workers) as pool:
+        futures = []  # per frame: list of tile futures
+        for hdr, geoms, result in staged:
+            result = np.asarray(result)
+            off = 0
+            frame_futs = []
+            for rb, cb in geoms:
+                nb = rb * cb
+                modes = result[off : off + nb].astype(np.int32).reshape(rb, cb)
+                off += nb
+                levels = (
+                    result[off : off + nb * n * n].astype(np.int32).reshape(rb, cb, n, n)
+                )
+                off += nb * n * n
+                frame_futs.append(pool.submit(entropy.encode_tile, levels, modes, n))
+            futures.append(frame_futs)
+
+        out = []
+        for (hdr, _, _), frame_futs in zip(staged, futures):
+            body = RWStream()
+            body.write_u8(FRAME_MAGIC)
+            body.write_u8(params.qindex)
+            body.write_u8(params.tx_size.bit_length() - 1)
+            body.write_u8(1 if params.lossless else 0)
+            for fut in frame_futs:
+                payload = fut.result()
+                write_leb128(body, len(payload))
+                body.write(payload)
+            s = RWStream()
+            write_obu(s, OBU_SEQUENCE_HEADER, write_sequence_header(hdr))
+            write_obu(s, OBU_FRAME, body.data())
+            out.append((s.data(), hdr))
     return out
 
 

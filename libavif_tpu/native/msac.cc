@@ -98,66 +98,56 @@ class Encoder {
   int64_t total_shift() const { return total_shift_; }
 
  private:
-  // big-int finalize on the exact Python algorithm
+  // Byte-wise big-int finalize of the exact Python algorithm: left-align
+  // `low` into nbytes, add (rng-1)<<pad to get `hi`, find the maximal run
+  // of zeroable low bits, zero them, strip trailing zero bytes.
+  // O(nbytes) with a single output buffer (the invariant low + rng <=
+  // 2^(15+total_shift) guarantees no overflow past the top byte).
   std::vector<uint8_t> finalize_bigint(int64_t nbits) {
     const int wb = wbits_;
-    // Reconstruct low as base-256 big-endian digits where the final
-    // partial group has (wb%8) bits. Easier: build a bit vector.
-    size_t total_bits = static_cast<size_t>(nbits);
-    std::vector<uint8_t> bits(total_bits, 0);
-    // buf_ bytes contribute 8 bits each, then window contributes wb bits.
-    size_t pos = 0;
-    for (uint8_t b : buf_) {
-      for (int i = 7; i >= 0; --i) bits[pos++] = (b >> i) & 1;
+    const size_t nbytes = static_cast<size_t>((nbits + 7) / 8);
+    const int pad = static_cast<int>(nbytes * 8 - nbits);  // 0..7 low zeros
+    std::vector<uint8_t> out(nbytes, 0);
+    // low, left-aligned: buf_ bytes, then the window's wb bits, then pad.
+    std::memcpy(out.data(), buf_.data(), buf_.size());
+    uint64_t tail = window_ << pad;  // wb + pad <= 62 bits
+    int tail_bits = wb + pad;
+    for (size_t i = nbytes; tail_bits > 0 && i > buf_.size();) {
+      --i;
+      out[i] = static_cast<uint8_t>(tail & 0xFF);
+      tail >>= 8;
+      tail_bits -= 8;
     }
-    for (int i = wb - 1; i >= 0; --i) bits[pos++] = (window_ >> i) & 1;
-    // pos == total_bits by construction (total_shift+15 == 8*buf+wb).
-    // hi = low + rng - 1 : add (rng-1) at the LSB end with carry.
-    std::vector<uint8_t> hib = bits;
-    uint32_t add = rng_ - 1;
-    for (int i = static_cast<int>(total_bits) - 1; i >= 0 && add; --i) {
-      uint32_t v = hib[i] + (add & 1);
-      add >>= 1;
-      hib[i] = v & 1;
-      add += v >> 1;
+    // hi = low + (rng-1) << pad, carry-propagated from the LSB end.
+    uint64_t add = static_cast<uint64_t>(rng_ - 1) << pad;
+    for (size_t i = nbytes; add && i > 0;) {
+      --i;
+      uint64_t v = out[i] + (add & 0xFF);
+      add >>= 8;
+      out[i] = static_cast<uint8_t>(v & 0xFF);
+      add += v >> 8;
     }
-    bool hi_overflow = add != 0;  // hi >= 2^nbits (possible; Python allows)
-    // diff = hi - low < 2^16 always (rng-1). k_max = largest k such that
-    // (hi mod 2^k) <= diff, i.e. zeroing the k low bits keeps >= low.
-    // Walk k upward accumulating hi's low bits.
-    uint64_t diff = rng_ - 1;
+    // Find the largest k' such that (hi mod 2^k') <= (rng-1)<<pad; the
+    // low `pad` bits of hi are zero by construction, so start there.
+    const uint64_t diff = static_cast<uint64_t>(rng_ - 1) << pad;
     uint64_t hi_mod = 0;
     size_t k = 0;
+    const size_t total_bits = nbytes * 8;
     while (k < total_bits) {
-      int b = hib[total_bits - 1 - k];
-      if (b) {
-        if (k >= 63) break;  // hi_mod would exceed any diff
+      size_t byte_i = nbytes - 1 - (k >> 3);
+      int bit = (out[byte_i] >> (k & 7)) & 1;
+      if (bit) {
+        if (k >= 63) break;
         uint64_t nm = hi_mod + (1ull << k);
         if (nm > diff) break;
         hi_mod = nm;
       }
       ++k;
     }
-    // code = hi with low k bits zeroed
-    for (size_t i = 0; i < k; ++i) hib[total_bits - 1 - i] = 0;
-    // Serialize MSB-first padded on the right to whole bytes.
-    size_t nbytes = (total_bits + 7) / 8;
-    std::vector<uint8_t> out(nbytes, 0);
-    if (hi_overflow) {
-      // hi >= 2^nbits: code is 2^nbits (bit above MSB) — Python represents
-      // this naturally; the MSB-first byte stream then needs nbits+1 bits.
-      // Reproduce Python: code.to_bytes(nbytes,...) would fail; but Python
-      // computes nbytes from nbits only, and code < 2^nbits is guaranteed
-      // there because zeroing always reaches below low's MSB... keep the
-      // carry digit by prepending a byte (matches big-int semantics).
-      // In practice this cannot occur: code <= hi and the top zeroing
-      // keeps code < 2^nbits unless low itself needs nbits+1 bits, which
-      // renorm prevents. Guard anyway.
-      out.assign(nbytes, 0);
-    }
-    for (size_t i = 0; i < total_bits; ++i) {
-      if (hib[i]) out[i >> 3] |= 0x80u >> (i & 7);
-    }
+    // Zero the k low bits of hi.
+    size_t full = k >> 3;
+    for (size_t i = 0; i < full; ++i) out[nbytes - 1 - i] = 0;
+    if (k & 7) out[nbytes - 1 - full] &= static_cast<uint8_t>(0xFF << (k & 7));
     // strip trailing zero bytes; decoder zero-pads
     while (out.size() > 1 && out.back() == 0) out.pop_back();
     if (out.empty()) out.push_back(0);
