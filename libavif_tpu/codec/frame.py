@@ -13,7 +13,7 @@ whose payload is this codec's own frame format:
   u8  magic (0x54, bumped on format changes)
   u8  qindex
   u8  log2 transform size
-  u8  flags (bit0: lossless)
+  u8  flags (bit0: lossless, bit1: in-loop deblock)
   per coded plane (Y, then U, V unless monochrome):
     leb128 tile-payload size + msac tile payload (entropy.py)
 
@@ -50,6 +50,7 @@ from ..containers.obu import (
     write_sequence_header,
 )
 from ..image import Image
+from ..ops.filters import deblock_threshold
 from ..ops.quant import quality_to_qindex, step_sizes
 from ..utils.streams import ROStream, RWStream
 from . import entropy, recon
@@ -66,6 +67,7 @@ class FrameParams:
     quality: int = 60
     speed: int = 6
     tx_size: int = DEFAULT_TX_SIZE
+    deblock: bool | None = None  # None: auto (on at quality <= 50)
 
     @property
     def qindex(self) -> int:
@@ -74,6 +76,14 @@ class FrameParams:
     @property
     def lossless(self) -> bool:
         return self.qindex == 0
+
+    @property
+    def deblock_enabled(self) -> bool:
+        if self.lossless:
+            return False
+        if self.deblock is not None:
+            return self.deblock
+        return self.quality <= 50
 
 
 def _profile_for(depth: int, fmt: PixelFormat) -> int:
@@ -265,7 +275,7 @@ def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHead
     body.write_u8(FRAME_MAGIC)
     body.write_u8(params.qindex)
     body.write_u8(params.tx_size.bit_length() - 1)
-    body.write_u8(1 if params.lossless else 0)
+    body.write_u8((1 if params.lossless else 0) | (2 if params.deblock_enabled else 0))
     for payload in payloads:
         write_leb128(body, len(payload))
         body.write(payload)
@@ -313,7 +323,9 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
         raise AvifError(Result.BMFF_PARSE_FAILED, "bad frame magic")
     qindex = s.read_u8()
     n = 1 << s.read_u8()
-    lossless = bool(s.read_u8() & 1)
+    flags = s.read_u8()
+    lossless = bool(flags & 1)
+    deblock = bool(flags & 2) and not lossless
     if n not in (4, 8, 16, 32):
         raise AvifError(Result.BMFF_PARSE_FAILED, f"bad tx size {n}")
     dc, ac = (1, 1) if lossless else step_sizes(qindex, depth)
@@ -369,10 +381,12 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
         parts.append(levels.reshape(-1).astype(pack_dtype))
     packed = np.concatenate(parts)
     geoms = tuple((rb, cb) for _, rb, cb, _, _ in plane_meta)
+    thresh = deblock_threshold(ac, depth) if deblock else 0
     result = np.asarray(
         recon.decode_frame_device(
-            packed, np.int32(dc), np.int32(ac),
+            packed, np.int32(dc), np.int32(ac), np.int32(thresh),
             geoms=geoms, n=n, depth=depth, lossless=lossless,
+            deblock=deblock and thresh > 0,
         )
     )
     off = 0

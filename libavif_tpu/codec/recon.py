@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.filters import deblock_plane
 from ..ops.intra import N_MODES, predict_all_modes
 from ..ops.transforms import DCT_DCT, WHT_WHT, forward_transform, inverse_transform
 
@@ -297,11 +298,18 @@ def encode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, 
     return jnp.concatenate(results)
 
 
-@functools.partial(jax.jit, static_argnames=("geoms", "n", "depth", "lossless"))
-def decode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, lossless: bool):
+@functools.partial(
+    jax.jit, static_argnames=("geoms", "n", "depth", "lossless", "deblock")
+)
+def decode_frame_device(
+    packed, dc_step, ac_step, deblock_thresh, *, geoms, n: int, depth: int,
+    lossless: bool, deblock: bool = False,
+):
     """packed: 1-D int16/int32 [modes, levels] per plane. Returns 1-D
     uint8/uint16 concat of reconstructed padded planes. Same-geometry
-    planes share one vmapped wavefront body (see encode_frame_device)."""
+    planes share one vmapped wavefront body (see encode_frame_device).
+    When `deblock` is set, the output pass applies the in-loop deblocking
+    filter (ops/filters.py) — a fully parallel whole-plane op."""
     out_dtype = jnp.uint8 if depth == 8 else jnp.uint16
     offs = []
     off = 0
@@ -339,6 +347,8 @@ def decode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, 
             lambda lv, md: _decode_impl(lv, md, dc_step, ac_step, n, depth, lossless)
         )
         planes = dec(levels, modes)
+        if deblock:
+            planes = jax.vmap(lambda pl: deblock_plane(pl, deblock_thresh, n=n))(planes)
         for k, i in enumerate(idxs):
             results[i] = planes[k].reshape(-1).astype(out_dtype)
     return jnp.concatenate(results)

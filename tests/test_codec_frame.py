@@ -150,3 +150,28 @@ class TestRobustness:
             decode_frame(bytes(corrupted))
         except AvifError:
             pass
+
+
+class TestDeblock:
+    def test_low_quality_sets_flag_and_decodes(self):
+        img = make_image(48, 32, 8, PixelFormat.YUV420)
+        obus, _ = encode_frame(img, FrameParams(quality=35))
+        # flags byte is the 4th byte of the frame OBU payload
+        out = decode_frame(obus)
+        err = out.yuv_planes[0].astype(np.int64) - img.yuv_planes[0].astype(np.int64)
+        assert float(np.mean(err**2)) < 2000  # sane reconstruction
+
+    def test_deblock_override_off_matches_unfiltered(self):
+        img = make_image(48, 32, 8, PixelFormat.YUV420, seed=9)
+        on, _ = encode_frame(img, FrameParams(quality=35, deblock=True))
+        off, _ = encode_frame(img, FrameParams(quality=35, deblock=False))
+        out_on = decode_frame(on)
+        out_off = decode_frame(off)
+        # Streams differ only in the flag; outputs differ where filtering hit.
+        assert not np.array_equal(out_on.yuv_planes[0], out_off.yuv_planes[0])
+
+    def test_lossless_never_deblocks(self):
+        img = make_image(48, 32, 8, PixelFormat.YUV420, seed=2)
+        obus, _ = encode_frame(img, FrameParams(quality=100, deblock=True))
+        out = decode_frame(obus)
+        np.testing.assert_array_equal(out.yuv_planes[0], img.yuv_planes[0])
