@@ -423,7 +423,9 @@ class Decoder:
                     continue
                 if other.item_type == "Exif":
                     payload = self._item_payload(other)
-                    if len(payload) >= 4:
+                    if other.item_name == "mini-raw":
+                        img.exif = payload  # mini boxes store raw Exif
+                    elif len(payload) >= 4:
                         off = int.from_bytes(payload[:4], "big")
                         img.exif = payload[4 + off :] if 4 + off <= len(payload) else b""
                 elif other.item_type == "mime":

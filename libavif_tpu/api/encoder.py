@@ -475,6 +475,39 @@ class Encoder:
         ]
         return write_still(items, primary_item_id=base_item.id, groups=groups)
 
+    # ------------------------------------------------------------------ mini
+
+    def write_mini(self, image: Image) -> bytes:
+        """Still encode into a MinimizedImageBox file (reference:
+        avifEncoderWriteMiniBox, write.c:2509; 'mif3' brand)."""
+        from ..containers.mini import write_mini
+        from ..utils.exif import irot_imir_to_orientation
+
+        obus, alpha_obus = self._encode_pair(image)
+        return write_mini(
+            width=image.width,
+            height=image.height,
+            bit_depth=image.depth,
+            yuv_format=image.yuv_format,
+            full_range=image.yuv_range == Range.FULL,
+            cp=int(image.color_primaries),
+            tc=int(image.transfer_characteristics),
+            mc=int(image.matrix_coefficients),
+            orientation=irot_imir_to_orientation(image),
+            main_cfg=config_from_sequence_header(self._first_hdr),
+            main_data=obus,
+            alpha_cfg=(
+                config_from_sequence_header(self._first_alpha_hdr)
+                if alpha_obus is not None
+                else None
+            ),
+            alpha_data=alpha_obus or b"",
+            alpha_premultiplied=image.alpha_premultiplied,
+            icc=image.icc,
+            exif=image.exif,
+            xmp=image.xmp,
+        )
+
     # ----------------------------------------------------------- progressive
 
     def write_progressive(self, image: Image, layer_qualities: list[int]) -> bytes:

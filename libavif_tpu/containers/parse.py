@@ -86,7 +86,7 @@ def parse_ftyp(s: ROStream, container: Container) -> None:
     while s.remaining() >= 4:
         container.compatible_brands.append(s.read(4).decode("ascii", errors="replace"))
     # Brand compatibility check (reference: avifFileTypeIsCompatible, read.c:5029)
-    if not any(container.has_brand(b) for b in ("avif", "avis", "mif1", "msf1")):
+    if not any(container.has_brand(b) for b in ("avif", "avis", "mif1", "msf1", "mif3")):
         raise AvifError(
             Result.INVALID_FTYP,
             f"unsupported brands: {container.major_brand} {container.compatible_brands}",
@@ -622,6 +622,15 @@ def parse(data: bytes) -> Container:
             container.meta = parse_meta(sub)
         elif hdr.type == "moov":
             parse_moov(sub, container)
+        elif hdr.type == "mini":
+            # MinimizedImageBox (reference: read.c:4081): synthesizes the
+            # regular item model in place of a meta box.
+            from .mini import parse_mini
+
+            unique.check("mini")
+            container.meta = parse_mini(
+                data[hdr.content_start : hdr.content_end], hdr.content_start
+            )
         # mdat/free/skip: payload accessed later via iloc offsets
     if not saw_ftyp:
         raise AvifError(Result.INVALID_FTYP, "no ftyp box")

@@ -143,6 +143,11 @@ class ROStream:
         self._bit_cnt = shift
         return out
 
+    def align_bits_read(self) -> None:
+        """Drop remaining bits of the current byte (trailing_bits())."""
+        self._bit_buf = 0
+        self._bit_cnt = 0
+
 
 class BoxHeader:
     __slots__ = ("type", "start", "size", "content_start", "content_size", "usertype")
