@@ -5,6 +5,8 @@ Bitstream (per tile, this codec's own AV1-style design):
     mode          : 7-symbol adaptive CDF
     all_zero      : 2-symbol adaptive CDF
     if any nonzero coefficient:
+      tx_type     : 5-symbol adaptive CDF (lossy tiles only; lossless is
+                    always WHT and codes no symbol)
       eob_class   : adaptive CDF over log2 buckets of (eob-1)
       eob_offset  : raw literal bits (class-1 bits, classes >= 2)
       for each scan position k < eob (zigzag order):
@@ -30,34 +32,44 @@ from ..ops.intra import N_MODES
 from .scan import zigzag_flat
 
 
-def _encode_tile_native(lib, levels, modes, rb: int, cb: int, n: int) -> bytes:
+def _encode_tile_native(lib, levels, modes, rb: int, cb: int, n: int, tx_types=None) -> bytes:
     lv = np.ascontiguousarray(levels, dtype=np.int32)
     md = np.ascontiguousarray(modes, dtype=np.int32)
+    if tx_types is not None:
+        tx = np.ascontiguousarray(tx_types, dtype=np.int32)
+        tx_ptr = tx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    else:
+        tx_ptr = None
     cap = lv.size * 8 + 1024  # generous: worst case ~ few bytes per coeff
     out = np.empty(cap, dtype=np.uint8)
     size = lib.avt_encode_tile(
         lv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         md.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tx_ptr,
         rb, cb, n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
     )
     if size < 0:
-        return _encode_tile_py(levels, modes, rb, cb, n)
+        return _encode_tile_py(levels, modes, rb, cb, n, tx_types)
     return out[:size].tobytes()
 
 
-def _decode_tile_native(lib, data: bytes, rb: int, cb: int, n: int):
+def _decode_tile_native(lib, data: bytes, rb: int, cb: int, n: int, with_tx: bool = False):
     levels = np.zeros((rb, cb, n, n), dtype=np.int32)
     modes = np.zeros((rb, cb), dtype=np.int32)
+    txs = np.zeros((rb, cb), dtype=np.int32)
     buf = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, dtype=np.uint8)
     rc = lib.avt_decode_tile(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
         rb, cb, n,
         levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         modes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        txs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) if with_tx else None,
     )
     if rc < 0:
         raise ValueError(f"native tile decode failed ({rc})")
+    if with_tx:
+        return levels, modes, txs
     return levels, modes
 
 N_BASE_CTX = 3
@@ -68,6 +80,9 @@ def _eob_classes(n: int) -> int:
     return (n * n - 1).bit_length() + 1
 
 
+N_TX = 5  # must match recon.TX_SET_ALL
+
+
 class TileCdfs:
     """Fresh adaptive CDF set per tile (tiles are entropy-independent,
     which is what makes them the unit of host/chip parallelism —
@@ -76,6 +91,7 @@ class TileCdfs:
     def __init__(self, n: int):
         self.mode = uniform_icdf(N_MODES)
         self.allzero = uniform_icdf(2)
+        self.tx = uniform_icdf(N_TX)
         self.eob_class = uniform_icdf(_eob_classes(n))
         self.base = [uniform_icdf(4) for _ in range(N_BASE_CTX)]
 
@@ -86,25 +102,28 @@ def _base_ctx(k: int, n: int) -> int:
     return 1 if k < n else 2
 
 
-def encode_tile(levels: np.ndarray, modes: np.ndarray, n: int) -> bytes:
+def encode_tile(levels: np.ndarray, modes: np.ndarray, n: int, tx_types=None) -> bytes:
     """levels: (Rb, Cb, n, n) int32, modes: (Rb, Cb) int -> tile payload.
+    tx_types: (Rb, Cb) transform symbols, or None for lossless (no tx
+    symbols coded).
 
     Dispatches to the C++ fast path when available (bit-identical to the
     Python reference below; tests enforce)."""
     rb, cb = modes.shape
     lib = _native.load()
     if lib is not None:
-        return _encode_tile_native(lib, levels, modes, rb, cb, n)
-    return _encode_tile_py(levels, modes, rb, cb, n)
+        return _encode_tile_native(lib, levels, modes, rb, cb, n, tx_types)
+    return _encode_tile_py(levels, modes, rb, cb, n, tx_types)
 
 
-def _encode_tile_py(levels: np.ndarray, modes: np.ndarray, rb: int, cb: int, n: int) -> bytes:
+def _encode_tile_py(levels, modes, rb: int, cb: int, n: int, tx_types=None) -> bytes:
     scan = zigzag_flat(n)
     lv = np.asarray(levels, dtype=np.int64).reshape(rb * cb, n * n)[:, scan]
     md = np.asarray(modes).reshape(-1)
     cdfs = TileCdfs(n)
     enc = MsacEncoder()
     ec = _eob_classes(n)
+    tx = None if tx_types is None else np.asarray(tx_types).reshape(-1)
     for b in range(rb * cb):
         enc.encode_symbol(int(md[b]), cdfs.mode, N_MODES)
         row = lv[b]
@@ -113,6 +132,8 @@ def _encode_tile_py(levels: np.ndarray, modes: np.ndarray, rb: int, cb: int, n: 
             enc.encode_symbol(0, cdfs.allzero, 2)
             continue
         enc.encode_symbol(1, cdfs.allzero, 2)
+        if tx is not None:
+            enc.encode_symbol(int(tx[b]), cdfs.tx, N_TX)
         eob = int(nz[-1]) + 1
         cls = (eob - 1).bit_length()
         enc.encode_symbol(cls, cdfs.eob_class, ec)
@@ -130,25 +151,28 @@ def _encode_tile_py(levels: np.ndarray, modes: np.ndarray, rb: int, cb: int, n: 
     return enc.finish()
 
 
-def decode_tile(data: bytes, rb: int, cb: int, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of encode_tile: payload -> (levels (Rb,Cb,n,n), modes (Rb,Cb))."""
+def decode_tile(data: bytes, rb: int, cb: int, n: int, with_tx: bool = False):
+    """Inverse of encode_tile: payload -> (levels, modes[, tx_types])."""
     lib = _native.load()
     if lib is not None:
-        return _decode_tile_native(lib, data, rb, cb, n)
-    return _decode_tile_py(data, rb, cb, n)
+        return _decode_tile_native(lib, data, rb, cb, n, with_tx)
+    return _decode_tile_py(data, rb, cb, n, with_tx)
 
 
-def _decode_tile_py(data: bytes, rb: int, cb: int, n: int) -> tuple[np.ndarray, np.ndarray]:
+def _decode_tile_py(data: bytes, rb: int, cb: int, n: int, with_tx: bool = False):
     scan = zigzag_flat(n)
     cdfs = TileCdfs(n)
     dec = MsacDecoder(data)
     ec = _eob_classes(n)
     lv = np.zeros((rb * cb, n * n), dtype=np.int32)
     md = np.zeros(rb * cb, dtype=np.int32)
+    tx = np.zeros(rb * cb, dtype=np.int32)
     for b in range(rb * cb):
         md[b] = dec.decode_symbol(cdfs.mode, N_MODES)
         if dec.decode_symbol(cdfs.allzero, 2) == 0:
             continue
+        if with_tx:
+            tx[b] = dec.decode_symbol(cdfs.tx, N_TX)
         cls = dec.decode_symbol(cdfs.eob_class, ec)
         if cls >= 2:
             eob = (1 << (cls - 1)) + dec.decode_literal(cls - 1) + 1
@@ -164,4 +188,6 @@ def _decode_tile_py(data: bytes, rb: int, cb: int, n: int) -> tuple[np.ndarray, 
             if a:
                 sign = dec.decode_bit()
                 row[scan[k]] = -a if sign else a
+    if with_tx:
+        return lv.reshape(rb, cb, n, n), md.reshape(rb, cb), tx.reshape(rb, cb)
     return lv.reshape(rb, cb, n, n), md.reshape(rb, cb)

@@ -55,7 +55,7 @@ from ..ops.quant import quality_to_qindex, step_sizes
 from ..utils.streams import ROStream, RWStream
 from . import entropy, recon
 
-FRAME_MAGIC = 0x54
+FRAME_MAGIC = 0x55  # bumped: per-block transform-type symbols
 DEFAULT_TX_SIZE = 16
 
 
@@ -159,7 +159,7 @@ def _encode_planes(planes: list[np.ndarray], params: FrameParams, depth: int) ->
 
     result = recon.encode_frame_device(
         packed, np.int32(dc), np.int32(ac),
-        geoms=geoms, n=n, depth=depth, lossless=lossless,
+        geoms=geoms, n=n, depth=depth, lossless=lossless, speed=params.speed,
     )
     result = np.asarray(result)  # the one device->host fetch
 
@@ -169,13 +169,17 @@ def _encode_planes(planes: list[np.ndarray], params: FrameParams, depth: int) ->
         nb = rb * cb
         modes = result[off : off + nb].astype(np.int32).reshape(rb, cb)
         off += nb
+        txs = result[off : off + nb].astype(np.int32).reshape(rb, cb)
+        off += nb
         levels = result[off : off + nb * n * n].astype(np.int32).reshape(rb, cb, n, n)
         off += nb * n * n
-        jobs.append((modes, levels))
+        jobs.append((modes, levels, None if lossless else txs))
     if len(jobs) > 1:
         with ThreadPoolExecutor(len(jobs)) as pool:
-            return list(pool.map(lambda j: entropy.encode_tile(j[1], j[0], n), jobs))
-    return [entropy.encode_tile(lv, md, n) for md, lv in jobs]
+            return list(
+                pool.map(lambda j: entropy.encode_tile(j[1], j[0], n, j[2]), jobs)
+            )
+    return [entropy.encode_tile(lv, md, n, tx) for md, lv, tx in jobs]
 
 
 def encode_frames_pipelined(
@@ -210,8 +214,13 @@ def encode_frames_pipelined(
         result = recon.encode_frame_device(  # async dispatch, not fetched yet
             packed, np.int32(dc), np.int32(ac),
             geoms=geoms, n=n, depth=image.depth, lossless=lossless,
+            speed=params.speed,
         )
         staged.append((hdr, geoms, result))
+    for _, _, result in staged:
+        # Overlap D2H transfers with each other and with host entropy.
+        if hasattr(result, "copy_to_host_async"):
+            result.copy_to_host_async()
 
     # Drain: fetch each frame's packed result in completion order and feed
     # every tile straight into a shared host pool — entropy for ALL tiles
@@ -223,6 +232,7 @@ def encode_frames_pipelined(
     workers = max(2, min(16, (os.cpu_count() or 4)))
     with ThreadPoolExecutor(workers) as pool:
         futures = []  # per frame: list of tile futures
+        lossless = params.lossless
         for hdr, geoms, result in staged:
             result = np.asarray(result)
             off = 0
@@ -231,11 +241,18 @@ def encode_frames_pipelined(
                 nb = rb * cb
                 modes = result[off : off + nb].astype(np.int32).reshape(rb, cb)
                 off += nb
+                txs = result[off : off + nb].astype(np.int32).reshape(rb, cb)
+                off += nb
                 levels = (
                     result[off : off + nb * n * n].astype(np.int32).reshape(rb, cb, n, n)
                 )
                 off += nb * n * n
-                frame_futs.append(pool.submit(entropy.encode_tile, levels, modes, n))
+                frame_futs.append(
+                    pool.submit(
+                        entropy.encode_tile, levels, modes, n,
+                        None if lossless else txs,
+                    )
+                )
             futures.append(frame_futs)
 
         out = []
@@ -359,7 +376,10 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
 
     def _entropy(job):
         payload, rb, cb, _, _ = job
-        return entropy.decode_tile(payload, rb, cb, n)
+        if lossless:
+            levels, modes = entropy.decode_tile(payload, rb, cb, n)
+            return levels, modes, np.zeros((rb, cb), dtype=np.int32)
+        return entropy.decode_tile(payload, rb, cb, n, with_tx=True)
 
     try:
         if len(plane_meta) > 1:
@@ -372,12 +392,13 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
 
     pack_dtype = np.int32 if lossless else np.int16
     parts = []
-    for levels, modes in decoded:
+    for levels, modes, txs in decoded:
         # Lossy levels are re-bounded into int16 range; hostile streams may
         # carry larger values, which the decoder clamp handles either way.
         if pack_dtype == np.int16:
             levels = np.clip(levels, -32768, 32767)
         parts.append(modes.reshape(-1).astype(pack_dtype))
+        parts.append(txs.reshape(-1).astype(pack_dtype))
         parts.append(levels.reshape(-1).astype(pack_dtype))
     packed = np.concatenate(parts)
     geoms = tuple((rb, cb) for _, rb, cb, _, _ in plane_meta)

@@ -42,7 +42,33 @@ import numpy as np
 
 from ..ops.filters import deblock_plane
 from ..ops.intra import N_MODES, predict_all_modes
-from ..ops.transforms import DCT_DCT, WHT_WHT, forward_transform, inverse_transform
+from ..ops.transforms import (
+    ADST_ADST,
+    ADST_DCT,
+    DCT_ADST,
+    DCT_DCT,
+    IDTX,
+    WHT_WHT,
+    forward_transform,
+    inverse_transform,
+)
+
+# Transform-type alphabet for lossy coding (entropy symbol order).
+TX_SET_ALL = (DCT_DCT, ADST_DCT, DCT_ADST, ADST_ADST, IDTX)
+N_TX = len(TX_SET_ALL)
+
+
+def tx_search_set(speed: int, n: int) -> tuple:
+    """Speed ladder -> transform search breadth (the codec_aom.c:695-726
+    speed-to-effort role). The bitstream alphabet is always TX_SET_ALL;
+    speed only limits the encoder's search. ADST bases exist for n<=16."""
+    if n > 16:
+        return (DCT_DCT, IDTX)
+    if speed >= 6:
+        return (DCT_DCT,)
+    if speed >= 3:
+        return (DCT_DCT, ADST_ADST, IDTX)
+    return TX_SET_ALL
 
 
 def pad_to_blocks(plane: np.ndarray, n: int) -> np.ndarray:
@@ -116,11 +142,13 @@ def _wavefront_neighbors(carry, c_arr, mid):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "depth", "lossless"))
-def decode_plane(levels, modes, dc_step, ac_step, *, n: int, depth: int, lossless: bool):
+def decode_plane(levels, modes, dc_step, ac_step, tx_types=None, *, n: int, depth: int, lossless: bool):
     """Reconstruct a padded plane from entropy-decoded levels and modes.
 
     levels: (Rb, Cb, n, n) int32; modes: (Rb, Cb) int32 (index into
-    intra.MODE_SET). Returns (Rb*n, Cb*n) int32 reconstruction.
+    intra.MODE_SET); tx_types: (Rb, Cb) int32 index into TX_SET_ALL
+    (ignored for lossless; None means all-DCT). Returns (Rb*n, Cb*n)
+    int32 reconstruction.
     """
     rb, cb = modes.shape
     maxv = (1 << depth) - 1
@@ -137,7 +165,22 @@ def decode_plane(levels, modes, dc_step, ac_step, *, n: int, depth: int, lossles
         # transform gain) so adversarial levels can't wrap the inverse.
         cmax = 1 << (depth + 4 + n.bit_length())
         deq = jnp.clip(deq, -cmax, cmax)
-        residuals = inverse_transform(deq, DCT_DCT, n)
+        if tx_types is None:
+            residuals = inverse_transform(deq, DCT_DCT, n)
+        else:
+            # Per-block transform type: evaluate each basis over all
+            # blocks (batched MXU) and mask-select (no gathers).
+            txf = jnp.clip(tx_types.reshape(-1), 0, N_TX - 1)
+            if n > 16:
+                # ADST bases exist only for n<=16; treat those symbols as DCT.
+                txf = jnp.where((txf >= 1) & (txf <= 3), 0, txf)
+                pairs = [(0, DCT_DCT), (4, IDTX)]
+            else:
+                pairs = list(enumerate(TX_SET_ALL))
+            residuals = jnp.zeros_like(deq)
+            for ti, t in pairs:
+                sel = (txf == ti)[:, None, None]
+                residuals = jnp.where(sel, inverse_transform(deq, t, n), residuals)
     residuals = residuals.reshape(rb, cb, n, n)
 
     cc, _, _ = _diag_indices(rb, cb)
@@ -167,18 +210,23 @@ def decode_plane(levels, modes, dc_step, ac_step, *, n: int, depth: int, lossles
 # ------------------------------------------------------------------ encode
 
 
-@functools.partial(jax.jit, static_argnames=("n", "depth", "lossless"))
-def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool):
-    """Exhaustive-parallel mode search + quantization over a padded plane.
+@functools.partial(jax.jit, static_argnames=("n", "depth", "lossless", "speed"))
+def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool, speed: int = 6):
+    """Exhaustive-parallel mode × transform search over a padded plane.
 
     src: (Rb*n, Cb*n) int32 (already padded). Returns (modes (Rb,Cb) int32,
-    levels (Rb,Cb,n,n) int32, recon (Rb*n, Cb*n) int32).
+    levels (Rb,Cb,n,n) int32, recon (Rb*n, Cb*n) int32, tx_types (Rb,Cb)
+    int32 — indices into TX_SET_ALL). Speed limits the transform search
+    breadth (tx_search_set); the joint RD winner over modes × transforms
+    is selected per block.
     """
     hp, wp = src.shape
     rb, cb = hp // n, wp // n
     maxv = (1 << depth) - 1
     mid = 1 << (depth - 1)
-    tx = WHT_WHT if lossless else DCT_DCT
+    txs = (WHT_WHT,) if lossless else tx_search_set(speed, n)
+    tx_syms = tuple(TX_SET_ALL.index(t) if t in TX_SET_ALL else 0 for t in txs)
+    T = len(txs)
     steps = _steps_mat(n, dc_step, ac_step)
     # Integer lambda for SSE (8-bit-scaled) + lam·bits cost. acs8 is the AC
     # step in 8-bit pixel units; transform gain is 2^3 over orthonormal, so
@@ -196,31 +244,45 @@ def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool):
         top, left, topleft = _wavefront_neighbors(carry, c_arr, mid)
         preds = predict_all_modes(top, left, topleft, n)  # (L, M, n, n)
         resid = sb[:, None] - preds  # (L, M, n, n)
+        rflat = resid.reshape(-1, n, n)
 
-        coeffs = forward_transform(resid.reshape(-1, n, n), tx, n)
-        if lossless:
-            lv = coeffs
-            deq = lv
-        else:
-            mag = (jnp.abs(coeffs) + steps[None] // 2) // steps[None]
-            lv = jnp.sign(coeffs) * mag
-            deq = lv * steps[None]
-        res_hat = inverse_transform(deq, tx, n).reshape(resid.shape)
-        lv = lv.reshape(resid.shape)
+        lv_c, cand_c = [], []
+        for t in txs:
+            coeffs = forward_transform(rflat, t, n)
+            if lossless:
+                lv_t = coeffs
+                deq = lv_t
+            else:
+                mag = (jnp.abs(coeffs) + steps[None] // 2) // steps[None]
+                lv_t = jnp.sign(coeffs) * mag
+                deq = lv_t * steps[None]
+            res_hat = inverse_transform(deq, t, n).reshape(resid.shape)
+            lv_c.append(lv_t.reshape(resid.shape))
+            cand_c.append(jnp.clip(preds + res_hat, 0, maxv))
+        lv = jnp.stack(lv_c, axis=2)  # (L, M, T, n, n)
+        cand = jnp.stack(cand_c, axis=2)
 
-        cand = jnp.clip(preds + res_hat, 0, maxv)  # (L, M, n, n)
-        err = (sb[:, None] - cand) >> dshift if dshift else sb[:, None] - cand
-        sse = jnp.sum(err * err, axis=(-1, -2))  # (L, M)
-        bits = _rate_bits(lv)  # (L, M)
-        cost = sse + lam * bits
-        best = jnp.argmin(cost, axis=1).astype(jnp.int32)  # (L,)
+        err = sb[:, None, None] - cand
+        if dshift:
+            err = err >> dshift
+        sse = jnp.sum(err * err, axis=(-1, -2))  # (L, M, T)
+        bits = _rate_bits(lv)  # (L, M, T)
+        cost = (sse + lam * bits).reshape(sse.shape[0], -1)  # (L, M*T)
+        best = jnp.argmin(cost, axis=1).astype(jnp.int32)
+        best_mode = best // T
+        best_tx = best % T
 
+        flat_lv = lv.reshape(lv.shape[0], -1, n, n)
+        flat_cand = cand.reshape(cand.shape[0], -1, n, n)
         sel = best[:, None, None, None]
-        best_lv = jnp.take_along_axis(lv, sel, axis=1)[:, 0]
-        best_rec = jnp.take_along_axis(cand, sel, axis=1)[:, 0]
+        best_lv = jnp.take_along_axis(flat_lv, sel, axis=1)[:, 0]
+        best_rec = jnp.take_along_axis(flat_cand, sel, axis=1)[:, 0]
+        # map search index -> bitstream symbol
+        sym_table = jnp.asarray(tx_syms, dtype=jnp.int32)
+        best_tx_sym = sym_table[best_tx]
 
         carry = (best_rec[:, -1, :], best_rec[:, :, -1], top[:, -1])
-        return carry, (best, best_lv, best_rec)
+        return carry, (best_mode, best_lv, best_rec, best_tx_sym)
 
     L = rb
     init = (
@@ -228,11 +290,14 @@ def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool):
         jnp.full((L, n), mid, jnp.int32),
         jnp.full((L,), mid, jnp.int32),
     )
-    _, (modes_diag, lv_diag, rec_diag) = jax.lax.scan(step, init, (src_diag, cc))
+    _, (modes_diag, lv_diag, rec_diag, tx_diag) = jax.lax.scan(
+        step, init, (src_diag, cc)
+    )
     modes = _from_diag(modes_diag, rb, cb)
     levels = _from_diag(lv_diag, rb, cb)
     recon = _blocks_to_plane(_from_diag(rec_diag, rb, cb), rb, cb, n)
-    return modes, levels, recon
+    tx_types = _from_diag(tx_diag, rb, cb)
+    return modes, levels, recon, tx_types
 
 
 # ------------------------------------------------- packed frame-level calls
@@ -244,7 +309,7 @@ def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool):
 # boundary hygiene).
 #
 # Packing layout per plane, concatenated in plane order:
-#   [modes (Rb*Cb)] [levels (Rb*Cb*n*n)]
+#   [modes (Rb*Cb)] [tx_types (Rb*Cb)] [levels (Rb*Cb*n*n)]
 # packed dtype: int16 for lossy (|level| <= ~10880 by construction),
 # int32 for lossless (WHT levels need 17+ bits).
 
@@ -258,8 +323,10 @@ def pack_dtype(lossless: bool):
     return jnp.int32 if lossless else jnp.int16
 
 
-@functools.partial(jax.jit, static_argnames=("geoms", "n", "depth", "lossless"))
-def encode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, lossless: bool):
+@functools.partial(
+    jax.jit, static_argnames=("geoms", "n", "depth", "lossless", "speed")
+)
+def encode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, lossless: bool, speed: int = 6):
     """packed: 1-D uint8/uint16 concat of padded planes (per `geoms`
     (rb, cb) entries). Returns a single 1-D int16/int32 result buffer.
 
@@ -277,7 +344,7 @@ def encode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, 
     for i, g in enumerate(geoms):
         groups.setdefault(g, []).append(i)
 
-    results: list = [None, None] * len(geoms)
+    results: list = [None, None, None] * len(geoms)
     for (rb, cb), idxs in groups.items():
         hp, wp = rb * n, cb * n
         planes = jnp.stack(
@@ -289,12 +356,13 @@ def encode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, 
             ]
         )
         enc = jax.vmap(
-            lambda p: _encode_impl(p, dc_step, ac_step, n, depth, lossless)
+            lambda p: _encode_impl(p, dc_step, ac_step, n, depth, lossless, speed)
         )
-        modes, levels, _ = enc(planes)
+        modes, levels, _, txs = enc(planes)
         for k, i in enumerate(idxs):
-            results[2 * i] = modes[k].reshape(-1).astype(out_dtype)
-            results[2 * i + 1] = levels[k].reshape(-1).astype(out_dtype)
+            results[3 * i] = modes[k].reshape(-1).astype(out_dtype)
+            results[3 * i + 1] = txs[k].reshape(-1).astype(out_dtype)
+            results[3 * i + 2] = levels[k].reshape(-1).astype(out_dtype)
     return jnp.concatenate(results)
 
 
@@ -315,7 +383,7 @@ def decode_frame_device(
     off = 0
     for rb, cb in geoms:
         offs.append(off)
-        off += rb * cb + rb * cb * n * n
+        off += 2 * rb * cb + rb * cb * n * n
     groups: dict = {}
     for i, g in enumerate(geoms):
         groups.setdefault(g, []).append(i)
@@ -335,18 +403,30 @@ def decode_frame_device(
                 for i in idxs
             ]
         )
+        txs = jnp.stack(
+            [
+                jnp.clip(
+                    jax.lax.dynamic_slice(packed, (offs[i] + nb,), (nb,))
+                    .reshape(rb, cb)
+                    .astype(jnp.int32),
+                    0,
+                    N_TX - 1,
+                )
+                for i in idxs
+            ]
+        )
         levels = jnp.stack(
             [
-                jax.lax.dynamic_slice(packed, (offs[i] + nb,), (nb * n * n,))
+                jax.lax.dynamic_slice(packed, (offs[i] + 2 * nb,), (nb * n * n,))
                 .reshape(rb, cb, n, n)
                 .astype(jnp.int32)
                 for i in idxs
             ]
         )
         dec = jax.vmap(
-            lambda lv, md: _decode_impl(lv, md, dc_step, ac_step, n, depth, lossless)
+            lambda lv, md, tx: _decode_impl(lv, md, tx, dc_step, ac_step, n, depth, lossless)
         )
-        planes = dec(levels, modes)
+        planes = dec(levels, modes, txs)
         if deblock:
             planes = jax.vmap(lambda pl: deblock_plane(pl, deblock_thresh, n=n))(planes)
         for k, i in enumerate(idxs):
@@ -354,12 +434,16 @@ def decode_frame_device(
     return jnp.concatenate(results)
 
 
-def _encode_impl(src, dc_step, ac_step, n, depth, lossless):
-    return encode_plane.__wrapped__(src, dc_step, ac_step, n=n, depth=depth, lossless=lossless)
+def _encode_impl(src, dc_step, ac_step, n, depth, lossless, speed=6):
+    return encode_plane.__wrapped__(
+        src, dc_step, ac_step, n=n, depth=depth, lossless=lossless, speed=speed
+    )
 
 
-def _decode_impl(levels, modes, dc_step, ac_step, n, depth, lossless):
-    return decode_plane.__wrapped__(levels, modes, dc_step, ac_step, n=n, depth=depth, lossless=lossless)
+def _decode_impl(levels, modes, tx_types, dc_step, ac_step, n, depth, lossless):
+    return decode_plane.__wrapped__(
+        levels, modes, dc_step, ac_step, tx_types, n=n, depth=depth, lossless=lossless
+    )
 
 
 assert N_MODES == 7  # entropy layer alphabet size; bump both together

@@ -51,6 +51,7 @@ def load():
             lib.avt_encode_tile.restype = ctypes.c_long
             lib.avt_encode_tile.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
             ]
@@ -59,6 +60,7 @@ def load():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
             ]
             lib.avt_selftest_roundtrip.restype = ctypes.c_long
             lib.avt_selftest_roundtrip.argtypes = [

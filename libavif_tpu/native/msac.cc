@@ -276,6 +276,7 @@ class Decoder {
 
 constexpr int N_MODES = 7;
 constexpr int N_BASE_CTX = 3;
+constexpr int N_TX = 5;
 
 int eob_classes(int n) { return bit_length(n * n - 1) + 1; }
 
@@ -294,13 +295,15 @@ void zigzag_flat(int n, std::vector<int>& out) {
 }
 
 struct TileCdfs {
-  std::vector<uint16_t> mode, allzero, eobcls;
+  std::vector<uint16_t> mode, allzero, tx, eobcls;
   std::vector<uint16_t> base[N_BASE_CTX];
   explicit TileCdfs(int n) {
     mode.resize(N_MODES + 1);
     uniform_icdf(mode.data(), N_MODES);
     allzero.resize(3);
     uniform_icdf(allzero.data(), 2);
+    tx.resize(N_TX + 1);
+    uniform_icdf(tx.data(), N_TX);
     int ec = eob_classes(n);
     eobcls.resize(ec + 1);
     uniform_icdf(eobcls.data(), ec);
@@ -317,9 +320,11 @@ inline int base_ctx(int k, int n) { return k == 0 ? 0 : (k < n ? 1 : 2); }
 
 extern "C" {
 
-// Returns bytes written, or -1 if out_cap insufficient.
-long avt_encode_tile(const int32_t* levels, const int32_t* modes, int rb,
-                     int cb, int n, uint8_t* out, long out_cap) {
+// Returns bytes written, or -1 if out_cap insufficient. tx_types may be
+// null (lossless: no transform symbols are coded).
+long avt_encode_tile(const int32_t* levels, const int32_t* modes,
+                     const int32_t* tx_types, int rb, int cb, int n,
+                     uint8_t* out, long out_cap) {
   Encoder enc;
   TileCdfs cdfs(n);
   std::vector<int> scan;
@@ -340,6 +345,7 @@ long avt_encode_tile(const int32_t* levels, const int32_t* modes, int rb,
       continue;
     }
     enc.symbol(1, cdfs.allzero.data(), 2);
+    if (tx_types != nullptr) enc.symbol(tx_types[b], cdfs.tx.data(), N_TX);
     int cls = bit_length(eob - 1);
     enc.symbol(cls, cdfs.eobcls.data(), ec);
     if (cls >= 2) enc.literal(eob - 1 - (1 << (cls - 1)), cls - 1);
@@ -358,9 +364,11 @@ long avt_encode_tile(const int32_t* levels, const int32_t* modes, int rb,
   return long(payload.size());
 }
 
-// Returns 0, or <0 on malformed stream.
+// Returns 0, or <0 on malformed stream. tx_out may be null (no tx
+// symbols in the stream).
 int avt_decode_tile(const uint8_t* data, long size, int rb, int cb, int n,
-                    int32_t* levels_out, int32_t* modes_out) {
+                    int32_t* levels_out, int32_t* modes_out,
+                    int32_t* tx_out) {
   Decoder dec(data, int(size));
   TileCdfs cdfs(n);
   std::vector<int> scan;
@@ -368,9 +376,11 @@ int avt_decode_tile(const uint8_t* data, long size, int rb, int cb, int n,
   int ec = eob_classes(n);
   int nn = n * n;
   std::memset(levels_out, 0, sizeof(int32_t) * size_t(rb) * cb * nn);
+  if (tx_out) std::memset(tx_out, 0, sizeof(int32_t) * size_t(rb) * cb);
   for (long b = 0; b < long(rb) * cb; ++b) {
     modes_out[b] = dec.symbol(cdfs.mode.data(), N_MODES);
     if (dec.symbol(cdfs.allzero.data(), 2) == 0) continue;
+    if (tx_out) tx_out[b] = dec.symbol(cdfs.tx.data(), N_TX);
     int cls = dec.symbol(cdfs.eobcls.data(), ec);
     int eob;
     if (cls >= 2)

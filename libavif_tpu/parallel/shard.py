@@ -72,21 +72,24 @@ def encode_cells_sharded(cells, dc_step, ac_step, *, n, depth, lossless, mesh=No
 
 
 @functools.partial(jax.jit, static_argnames=("n", "depth", "lossless", "mesh"))
-def _decode_batch(levels, modes, dc_step, ac_step, *, n, depth, lossless, mesh):
+def _decode_batch(levels, modes, tx_types, dc_step, ac_step, *, n, depth, lossless, mesh):
     fn = functools.partial(recon.decode_plane, n=n, depth=depth, lossless=lossless)
-    batched = jax.vmap(jax.vmap(lambda lv, md: fn(lv, md, dc_step, ac_step)))
+    batched = jax.vmap(jax.vmap(lambda lv, md, tx: fn(lv, md, dc_step, ac_step, tx)))
     if mesh is not None:
         spec = NamedSharding(mesh, P("frames", "cells"))
         levels = jax.lax.with_sharding_constraint(levels, spec)
         modes = jax.lax.with_sharding_constraint(modes, spec)
-    return batched(levels, modes)
+        tx_types = jax.lax.with_sharding_constraint(tx_types, spec)
+    return batched(levels, modes, tx_types)
 
 
-def decode_cells_sharded(levels, modes, dc_step, ac_step, *, n, depth, lossless, mesh=None):
+def decode_cells_sharded(levels, modes, dc_step, ac_step, *, n, depth, lossless, mesh=None, tx_types=None):
     """Decode (F, K, Rb, Cb, n, n) levels + (F, K, Rb, Cb) modes, sharded as
     in encode_cells_sharded. Returns (F, K, Hp, Wp) reconstructions."""
+    if tx_types is None:
+        tx_types = jnp.zeros(modes.shape, dtype=jnp.int32)
     return _decode_batch(
-        levels, modes, jnp.int32(dc_step), jnp.int32(ac_step),
+        levels, modes, tx_types, jnp.int32(dc_step), jnp.int32(ac_step),
         n=n, depth=depth, lossless=lossless, mesh=mesh,
     )
 

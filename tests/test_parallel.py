@@ -37,31 +37,33 @@ def cells():
 
 class TestShardedCodec:
     def test_sharded_encode_matches_single_device(self, mesh, cells):
-        modes_s, levels_s, rec_s = encode_cells_sharded(
+        modes_s, levels_s, rec_s, tx_s = encode_cells_sharded(
             cells, 8, 11, n=16, depth=8, lossless=False, mesh=mesh
         )
         # Reference: per-cell single-device encode
         for f in range(cells.shape[0]):
             for k in range(cells.shape[1]):
-                m, l, r = recon.encode_plane(
+                m, l, r, t = recon.encode_plane(
                     cells[f, k], jnp.int32(8), jnp.int32(11),
                     n=16, depth=8, lossless=False,
                 )
                 np.testing.assert_array_equal(np.asarray(modes_s[f, k]), np.asarray(m))
                 np.testing.assert_array_equal(np.asarray(levels_s[f, k]), np.asarray(l))
                 np.testing.assert_array_equal(np.asarray(rec_s[f, k]), np.asarray(r))
+                np.testing.assert_array_equal(np.asarray(tx_s[f, k]), np.asarray(t))
 
     def test_sharded_decode_roundtrip_bit_exact(self, mesh, cells):
-        modes, levels, rec = encode_cells_sharded(
+        modes, levels, rec, txs = encode_cells_sharded(
             cells, 8, 11, n=16, depth=8, lossless=False, mesh=mesh
         )
         rec2 = decode_cells_sharded(
-            levels, modes, 8, 11, n=16, depth=8, lossless=False, mesh=mesh
+            levels, modes, 8, 11, n=16, depth=8, lossless=False, mesh=mesh,
+            tx_types=txs,
         )
         np.testing.assert_array_equal(np.asarray(rec), np.asarray(rec2))
 
     def test_lossless_sharded(self, mesh, cells):
-        modes, levels, rec = encode_cells_sharded(
+        modes, levels, rec, _ = encode_cells_sharded(
             cells, 1, 1, n=16, depth=8, lossless=True, mesh=mesh
         )
         np.testing.assert_array_equal(np.asarray(rec), np.asarray(cells))
