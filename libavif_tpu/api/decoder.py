@@ -624,6 +624,62 @@ class Decoder:
             raise AvifError(Result.NO_IMAGES_REMAINING, f"index {index}")
         return self.image
 
+    def nth_image_timing(self, index: int):
+        """(pts, duration) in timescales for frame `index`
+        (reference: avifDecoderNthImageTiming)."""
+        if self._use_tracks and self._color_track.sample_table is not None:
+            st = self._color_track.sample_table
+            if index >= self.image_count:
+                raise AvifError(Result.NO_IMAGES_REMAINING, f"index {index}")
+            pts = sum(st.image_delta(i) for i in range(index))
+            return pts, st.image_delta(index)
+        if index >= self.image_count:
+            raise AvifError(Result.NO_IMAGES_REMAINING, f"index {index}")
+        return 0, self.duration_in_timescales or 1
+
+    def nth_image_max_extent(self, index: int):
+        """(offset, size) byte range needed to decode frame `index`, for
+        prefetching (reference: avifDecoderNthImageMaxExtent, read.c:5169)."""
+        if self._container is None:
+            raise AvifError(Result.NO_CONTENT, "parse() not called")
+        if index >= self.image_count:
+            raise AvifError(Result.NO_IMAGES_REMAINING, f"index {index}")
+        ranges = []
+        if self._use_tracks:
+            st = self._color_track.sample_table
+            ranges.append(st.sample_ranges()[index])
+            if self._alpha_track is not None:
+                ranges.append(self._alpha_track.sample_table.sample_ranges()[index])
+        else:
+            meta = self._container.meta
+
+            def add_item(item):
+                if item is None:
+                    return
+                for e in item.extents:
+                    if not item.idat:
+                        ranges.append((e.offset, e.size))
+                if item.item_type == "grid":
+                    for c in meta.items.values():
+                        if c.dimg_for_id == item.id:
+                            add_item(c)
+
+            add_item(self._color_item)
+            add_item(self._alpha_item)
+            if self._tmap_item is not None and self.decode_gain_map:
+                add_item(self._tmap_item)
+                dimg = self._tmap_item.refs.get("dimg", [])
+                if len(dimg) == 2:
+                    add_item(meta.items.get(dimg[1]))
+            if self._sato_item is not None:
+                for iid in self._sato_item.refs.get("dimg", []):
+                    add_item(meta.items.get(iid))
+        if not ranges:
+            return 0, 0
+        start = min(o for o, _ in ranges)
+        end = max(o + s for o, s in ranges)
+        return start, end - start
+
     def read(self, data: bytes) -> Image:
         """One-shot decode (reference: avifDecoderRead, read.c:7248)."""
         self.parse(data)

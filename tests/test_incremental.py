@@ -118,3 +118,31 @@ class TestIOReaders:
         assert e.value.result == Result.WAITING_ON_IO
         d.parse(LimitedIO(inner, len(data)))
         assert d.next_image()
+
+
+class TestExtentAndTiming:
+    def test_max_extent_covers_decode(self, grid_file):
+        """Bytes within the reported extent suffice to decode (read.c:5169)."""
+        data, full = grid_file
+        d = Decoder()
+        d.parse(data)
+        off, size = d.nth_image_max_extent(0)
+        assert size > 0 and off + size <= len(data)
+        # Truncating right AT the end of the extent still decodes.
+        d2 = Decoder()
+        d2.parse(LimitedIO(MemoryIO(data), off + size))
+        assert d2.next_image()
+        np.testing.assert_array_equal(d2.image.yuv_planes[0], full.yuv_planes[0])
+
+    def test_animation_timing(self):
+        frames = [make_image(32, 24, seed=i) for i in range(3)]
+        enc = Encoder()
+        enc.quality = 100
+        enc.timescale = 30
+        for f in frames:
+            enc.add_image(f, duration=10)
+        d = Decoder()
+        d.parse(enc.finish())
+        assert d.nth_image_timing(0) == (0, 10)
+        assert d.nth_image_timing(1) == (10, 10)
+        assert d.nth_image_timing(2) == (20, 10)
