@@ -43,10 +43,11 @@ ADD_IMAGE_FLAG_SINGLE = 1 << 1
 
 @dataclasses.dataclass
 class _PendingFrame:
-    obus: bytes
-    alpha_obus: Optional[bytes]
+    image: Image  # deep copy; encoded in one pipelined batch at finish()
     duration: int
     keyframe: bool
+    obus: Optional[bytes] = None
+    alpha_obus: Optional[bytes] = None
 
 
 class Encoder:
@@ -308,20 +309,55 @@ class Encoder:
         keyframe = bool(flags & ADD_IMAGE_FLAG_FORCE_KEYFRAME) or not self._frames
         if self.keyframe_interval > 0 and len(self._frames) % self.keyframe_interval == 0:
             keyframe = True
+        if image.width <= 0 or image.height <= 0:
+            raise AvifError(Result.NO_CONTENT, "empty image")
+        if image.yuv_planes[0] is None:
+            raise AvifError(Result.NO_CONTENT, "no YUV planes")
         # Intra-only codec: every frame is independently decodable, but the
         # sync-sample table still records requested keyframes for containers.
-        obus, alpha_obus = self._encode_pair(image)
+        # Frames are queued and encoded in ONE pipelined batch at finish().
         if self._first_image is None:
             self._first_image = image.copy("none")
-        self._frames.append(_PendingFrame(obus, alpha_obus, duration, keyframe))
+        self._frames.append(_PendingFrame(image.copy("all"), duration, keyframe))
         if flags & ADD_IMAGE_FLAG_SINGLE:
             self._single = True
+
+    def _encode_pending(self) -> None:
+        """Batch-encode all queued frames (device/host pipelined; see
+        codec.frame.encode_frames_pipelined)."""
+        from ..codec.frame import encode_frames_pipelined
+
+        todo = [f for f in self._frames if f.obus is None]
+        if not todo:
+            return
+        color = encode_frames_pipelined(
+            [f.image for f in todo], self._params(self.quality)
+        )
+        if self._first_hdr is None:
+            self._first_hdr = color[0][1]
+        alpha_imgs = []
+        alpha_slots = []
+        qa = self.quality if self.quality_alpha < 0 else self.quality_alpha
+        for f, (obus, _) in zip(todo, color):
+            f.obus = obus
+            if f.image.alpha_plane is not None and not f.image.is_opaque():
+                alpha_imgs.append(self._alpha_image(f.image))
+                alpha_slots.append(f)
+        if alpha_imgs:
+            alpha = encode_frames_pipelined(alpha_imgs, self._params(qa))
+            if self._first_alpha_hdr is None:
+                self._first_alpha_hdr = alpha[0][1]
+            for f, (aobus, _) in zip(alpha_slots, alpha):
+                f.alpha_obus = aobus
 
     def finish(self) -> bytes:
         """Serialize (reference: avifEncoderFinish, write.c:3152)."""
         if not self._frames:
             raise AvifError(Result.NO_CONTENT, "no frames added")
+        self._encode_pending()
         image = self._first_image
+        image.alpha_plane = self._frames[0].image.alpha_plane
+        image.gain_map = self._frames[0].image.gain_map
         first = self._frames[0]
         items = self._build_items(image, first.obus, first.alpha_obus)
         if len(self._frames) == 1:
@@ -587,26 +623,31 @@ class Encoder:
         has_alpha = any(
             c.alpha_plane is not None and not c.is_opaque() for c in cells
         )
-        color_payloads = []
+        # All cells encode in one pipelined device/host batch (grid cells
+        # are independent bitstreams — SURVEY.md §2.4).
+        from ..codec.frame import encode_frames_pipelined
+
+        padded_cells = [_pad_cell(cell, cw, ch) for cell in cells]
+        color = encode_frames_pipelined(padded_cells, self._params(self.quality))
+        if self._first_hdr is None:
+            self._first_hdr = color[0][1]
+        color_payloads = [obus for obus, _ in color]
         alpha_payloads = []
-        for cell in cells:
-            padded = _pad_cell(cell, cw, ch)
-            obus, hdr = encode_frame(padded, self._params(self.quality))
-            if self._first_hdr is None:
-                self._first_hdr = hdr
-            color_payloads.append(obus)
-            if has_alpha:
+        if has_alpha:
+            alpha_imgs = []
+            for padded in padded_cells:
                 if padded.alpha_plane is None:
                     padded.alpha_plane = np.full(
                         (padded.height, padded.width),
                         (1 << padded.depth) - 1,
                         dtype=padded.dtype,
                     )
-                qa = self.quality if self.quality_alpha < 0 else self.quality_alpha
-                aobus, ahdr = encode_frame(self._alpha_image(padded), self._params(qa))
-                if self._first_alpha_hdr is None:
-                    self._first_alpha_hdr = ahdr
-                alpha_payloads.append(aobus)
+                alpha_imgs.append(self._alpha_image(padded))
+            qa = self.quality if self.quality_alpha < 0 else self.quality_alpha
+            alpha = encode_frames_pipelined(alpha_imgs, self._params(qa))
+            if self._first_alpha_hdr is None:
+                self._first_alpha_hdr = alpha[0][1]
+            alpha_payloads = [a for a, _ in alpha]
 
         grid_payload = _grid_descriptor(rows, columns, out_w, out_h)
         grid_like = first.copy("none")
