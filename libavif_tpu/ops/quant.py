@@ -34,14 +34,22 @@ DC_QLOOKUP = np.maximum((AC_QLOOKUP * 7 + 4) // 8, 1).astype(np.int32)  # DC sli
 
 
 def quality_to_qindex(quality: int) -> int:
-    """quality 0..100 -> qindex. Reference maps quality->quantizer(0..63)
-    (avifGetQuality, write.c:1210: qp=((100-q)*63+50)/100); we scale the
-    0..63 quantizer onto the 0..255 qindex axis like codec_aom.c:643-654."""
+    """quality 0..100 -> qindex, calibrated so a given ``quality`` lands at
+    a bitrate comparable to libavif/libaom at the same setting (measured
+    anchors vs Pillow->libaom on mixed gradient+noise content; our step
+    table spans a different range than AV1's, so the reference's linear
+    qp*4 scaling (codec_aom.c:643-654) would come out ~18x finer at q75).
+
+    Piecewise-linear anchors: q100 -> 0 (lossless, like the reference),
+    q85 -> 120, q75 -> 150, q0 -> 252."""
     quality = max(0, min(100, quality))
     if quality == 100:
         return 0  # lossless
-    qp = ((100 - quality) * 63 + 50) // 100
-    return max(1, qp * 4)
+    if quality >= 85:
+        return max(1, (100 - quality) * 8)
+    if quality >= 75:
+        return 120 + (85 - quality) * 3
+    return min(252, 150 + ((75 - quality) * 102 + 37) // 75)
 
 
 @functools.partial(jax.jit, static_argnames=("dc_step", "ac_step"))
