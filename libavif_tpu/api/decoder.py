@@ -417,6 +417,13 @@ class Decoder:
         clli = item.find_property("clli")
         if clli is not None:
             img.clli = clli
+        # Opaque/unrecognized properties pass through (avif.h:846-851;
+        # reference: properties.c known-fourcc filtering).
+        from ..containers.items import KNOWN_PROPERTY_TYPES
+
+        img.properties = [
+            p for p in item.properties if p.fourcc not in KNOWN_PROPERTY_TYPES
+        ]
         if meta is not None:
             for other in meta.items.values():
                 if other.desc_for_id != item.id:

@@ -125,3 +125,40 @@ class TestRemuxOracle:
         assert c2.meta.entity_groups[0].grouping_type == "altr"
         with PILImage.open(io.BytesIO(blob)) as im:
             im.load()
+
+
+class TestCompliance:
+    def test_our_files_are_compliant(self):
+        import numpy as np
+
+        from libavif_tpu.api import Encoder
+        from libavif_tpu.constants import PixelFormat
+        from libavif_tpu.containers.compliance import is_compliant, validate
+        from libavif_tpu.image import Image
+
+        img = Image(48, 32, 8, PixelFormat.YUV420)
+        img.allocate_planes("yuv")
+        img.yuv_planes[0][:] = 100
+        img.yuv_planes[1][:] = 120
+        img.yuv_planes[2][:] = 140
+        enc = Encoder()
+        enc.quality = 90
+        data = enc.write(img)
+        findings = validate(data)
+        assert not [f for f in findings if f.level == "error"], findings
+        assert is_compliant(data)
+
+    def test_corrupted_extent_flagged(self):
+        import numpy as np
+
+        from libavif_tpu.api import Encoder
+        from libavif_tpu.constants import PixelFormat
+        from libavif_tpu.containers.compliance import is_compliant
+        from libavif_tpu.image import Image
+
+        img = Image(48, 32, 8, PixelFormat.YUV420)
+        img.allocate_planes("yuv")
+        enc = Encoder()
+        enc.quality = 90
+        data = enc.write(img)
+        assert not is_compliant(data[: len(data) - 32])  # truncated mdat
