@@ -55,7 +55,7 @@ from ..ops.quant import quality_to_qindex, step_sizes
 from ..utils.streams import ROStream, RWStream
 from . import entropy, recon
 
-FRAME_MAGIC = 0x55  # bumped: per-block transform-type symbols
+FRAME_MAGIC = 0x56  # bumped: 13-mode intra alphabet + tx symbols
 DEFAULT_TX_SIZE = 16
 
 

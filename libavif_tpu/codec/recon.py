@@ -446,4 +446,4 @@ def _decode_impl(levels, modes, tx_types, dc_step, ac_step, n, depth, lossless):
     )
 
 
-assert N_MODES == 7  # entropy layer alphabet size; bump both together
+assert N_MODES == 13  # entropy layer alphabet size; bump both together

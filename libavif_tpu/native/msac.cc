@@ -274,7 +274,7 @@ class Decoder {
 
 // ------------------------------------------------------------- tile coding
 
-constexpr int N_MODES = 7;
+constexpr int N_MODES = 13;
 constexpr int N_BASE_CTX = 3;
 constexpr int N_TX = 5;
 
