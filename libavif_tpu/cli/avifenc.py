@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clli", help="content light level: MaxCLL,MaxPALL")
     p.add_argument("--tx-size", type=int, default=16, choices=(4, 8, 16, 32))
     p.add_argument(
+        "--sharpyuv", action="store_true",
+        help="sharp RGB->YUV420 chroma downsampling",
+    )
+    p.add_argument(
         "--target-size", type=int,
         help="search the quality that fits this many bytes (stills only)",
     )
@@ -118,7 +122,10 @@ def main(argv=None) -> int:
     quality = 100 if args.lossless else args.qcolor
 
     def load(path):
-        img = read_image(path, requested_format=req_fmt, requested_depth=args.depth)
+        img = read_image(
+            path, requested_format=req_fmt, requested_depth=args.depth,
+            sharp_yuv=args.sharpyuv,
+        )
         if args.range == "limited":
             img.yuv_range = Range.LIMITED
         if args.cicp:

@@ -158,9 +158,35 @@ def cmd_swapbase(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """JPEG with embedded gain map -> AVIF (reference: convert_command.cc,
+    avifjpeg.c MPF/XMP extraction)."""
+    from ..api.encoder import Encoder
+    from ..io_formats.jpeg_gainmap import read_jpeg_with_gain_map
+
+    img = read_jpeg_with_gain_map(args.input)
+    if img.gain_map is None:
+        print("No gain map found in JPEG", file=sys.stderr)
+        return 1
+    enc = Encoder()
+    enc.quality = args.qcolor
+    enc.quality_gain_map = args.qgain_map
+    data = enc.write(img)
+    pathlib.Path(args.output).write_bytes(data)
+    print(f"Wrote {args.output}: {len(data)} bytes", file=sys.stderr)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="avifgainmaputil")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    cv = sub.add_parser("convert", help="JPEG with gain map -> AVIF")
+    cv.add_argument("input")
+    cv.add_argument("output")
+    cv.add_argument("-q", "--qcolor", type=int, default=60)
+    cv.add_argument("--qgain-map", type=int, default=60)
+    cv.set_defaults(fn=cmd_convert)
 
     pm = sub.add_parser("printmetadata", help="print gain map metadata")
     pm.add_argument("input")

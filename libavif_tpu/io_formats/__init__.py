@@ -36,7 +36,7 @@ def guess_format(path_or_bytes) -> str:
     return "unknown"
 
 
-def read_image(path, requested_format=None, requested_depth=None):
+def read_image(path, requested_format=None, requested_depth=None, sharp_yuv=False):
     """Read any supported file into an Image (reference: avifReadImage,
     apps/shared/avifutil.c:318). RGB sources are converted to YUV with the
     requested format/depth (default 444 / source depth)."""
@@ -44,7 +44,7 @@ def read_image(path, requested_format=None, requested_depth=None):
     if fmt == "y4m":
         return read_y4m(path)
     if fmt in ("png", "jpeg"):
-        return read_png_jpeg(path, requested_format, requested_depth)
+        return read_png_jpeg(path, requested_format, requested_depth, sharp_yuv)
     if fmt == "avif":
         from ..api import decode
 

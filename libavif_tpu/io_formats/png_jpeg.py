@@ -39,6 +39,7 @@ def read_png_jpeg(
     path,
     requested_format: Optional[PixelFormat] = None,
     requested_depth: Optional[int] = None,
+    sharp_yuv: bool = False,
 ) -> Image:
     """Read PNG/JPEG into a YUV Image (reference: avifReadImage,
     apps/shared/avifutil.c:318)."""
@@ -80,6 +81,7 @@ def read_png_jpeg(
         fmt=RGBFormat.RGBA if has_alpha else RGBFormat.RGB,
     )
     rgb.pixels = rgb_px
+    rgb.sharp_yuv = sharp_yuv
     if src_depth == 16:
         # Scale 16-bit samples down to the coding depth on the RGB side.
         rgb.pixels = (rgb_px.astype(np.uint32) * ((1 << depth) - 1) // 65535).astype(

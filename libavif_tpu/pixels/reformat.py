@@ -573,7 +573,7 @@ def image_yuv_to_rgb(image, rgb) -> None:
 
 def image_rgb_to_yuv(rgb, image) -> None:
     """High-level API: fill ``image`` planes from ``rgb.pixels`` (avif.h:1032)."""
-    from ..constants import RGBFormat, rgb_format_has_alpha
+    from ..constants import ChromaDownsampling, RGBFormat, rgb_format_has_alpha
 
     px = rgb.pixels
     n = rgb.channel_count
@@ -597,6 +597,8 @@ def image_rgb_to_yuv(rgb, image) -> None:
         yuv_range=image.yuv_range,
         matrix_coefficients=image.matrix_coefficients,
         color_primaries=image.color_primaries,
+        sharp_yuv=getattr(rgb, "sharp_yuv", False)
+        or rgb.chroma_downsampling == ChromaDownsampling.SHARP_YUV,
     )
     image.yuv_planes = [y, u, v]
     if alpha is not None:

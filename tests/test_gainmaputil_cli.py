@@ -120,3 +120,54 @@ class TestAvifencExtras:
         d = Decoder()
         d.parse(out.read_bytes())
         assert d.progressive_state == ProgressiveState.AVAILABLE
+
+
+class TestJpegGainMap:
+    def _make_hdr_jpeg(self, tmp_path):
+        import io as _io
+
+        pil = pytest.importorskip("PIL.Image")
+        rng = np.random.default_rng(0)
+        base = pil.fromarray(
+            rng.integers(0, 256, (32, 48, 3)).astype(np.uint8), "RGB"
+        )
+        gm = pil.fromarray(
+            np.tile(np.linspace(0, 255, 48, dtype=np.uint8), (32, 1)), "L"
+        )
+        b1 = _io.BytesIO()
+        base.save(b1, format="JPEG", quality=92)
+        b2 = _io.BytesIO()
+        gm.save(b2, format="JPEG", quality=92)
+        gm_bytes = bytearray(b2.getvalue())
+        xmp = (
+            b'<x:xmpmeta xmlns:hdrgm="http://ns.adobe.com/hdr-gain-map/1.0/" '
+            b'hdrgm:Version="1.0" hdrgm:GainMapMin="0.0" hdrgm:GainMapMax="2.5" '
+            b'hdrgm:Gamma="1.0" hdrgm:OffsetSDR="0.015625" '
+            b'hdrgm:OffsetHDR="0.015625" hdrgm:HDRCapacityMin="0.0" '
+            b'hdrgm:HDRCapacityMax="2.5"/>'
+        )
+        seg = b"http://ns.adobe.com/xap/1.0/\x00" + xmp
+        app1 = b"\xff\xe1" + (len(seg) + 2).to_bytes(2, "big") + seg
+        gm_with_xmp = gm_bytes[:2] + app1 + gm_bytes[2:]
+        p = tmp_path / "hdr.jpg"
+        p.write_bytes(b1.getvalue() + bytes(gm_with_xmp))
+        return p
+
+    def test_extract_and_convert(self, tmp_path):
+        from libavif_tpu.io_formats.jpeg_gainmap import read_jpeg_with_gain_map
+
+        src = self._make_hdr_jpeg(tmp_path)
+        img = read_jpeg_with_gain_map(src)
+        assert img.gain_map is not None
+        assert float(img.gain_map.metadata.gain_map_max[0]) == pytest.approx(2.5)
+        assert float(img.gain_map.metadata.alternate_hdr_headroom) == pytest.approx(2.5)
+        out = tmp_path / "out.avif"
+        assert gainmaputil.main(["convert", str(src), str(out)]) == 0
+        from libavif_tpu.api import Decoder
+
+        d = Decoder()
+        decoded = d.read(out.read_bytes())
+        assert d.gain_map_present and decoded.gain_map is not None
+        assert float(decoded.gain_map.metadata.gain_map_max[0]) == pytest.approx(
+            2.5, rel=1e-4
+        )
