@@ -687,6 +687,39 @@ class Decoder:
         end = max(o + s for o, s in ranges)
         return start, end - start
 
+    def read_all(self) -> list[Image]:
+        """Decode every frame of an animation in one pipelined batch
+        (decode-side mirror of encode_batch; codec.frame
+        decode_frames_pipelined). Falls back to the sequential path for
+        item-based files."""
+        if self._container is None:
+            raise AvifError(Result.NO_CONTENT, "parse() not called")
+        if not self._use_tracks:
+            out = []
+            self.image_index = -1
+            while self.next_image():
+                out.append(self.image)
+            return out
+        from ..codec.frame import decode_frames_pipelined
+
+        st = self._color_track.sample_table
+        streams = [
+            self._io.read_exact(off, size) for off, size in st.sample_ranges()
+        ]
+        frames = decode_frames_pipelined(streams)
+        if self._alpha_track is not None:
+            ast = self._alpha_track.sample_table
+            astreams = [
+                self._io.read_exact(off, size) for off, size in ast.sample_ranges()
+            ]
+            alphas = decode_frames_pipelined(astreams)
+            for img, a in zip(frames, alphas):
+                self._attach_alpha(img, a, premultiplied=False)
+        if frames:
+            self.image = frames[-1]
+            self.image_index = len(frames) - 1
+        return frames
+
     def read(self, data: bytes) -> Image:
         """One-shot decode (reference: avifDecoderRead, read.c:7248)."""
         self.parse(data)

@@ -303,6 +303,121 @@ def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHead
     return s.data(), hdr
 
 
+def decode_frames_pipelined(streams: list[bytes]) -> list[Image]:
+    """Batch decode of independent OBU streams (animation samples, grid
+    cells): host entropy for ALL tiles runs on a shared pool, every
+    frame's device program is dispatched before any fetch, and D2H copies
+    overlap (the decode-side mirror of encode_frames_pipelined)."""
+    import os
+
+    metas = []
+    for data in streams:
+        seq = None
+        frame = None
+        for obu in split_obus(data):
+            if obu.obu_type == OBU_SEQUENCE_HEADER:
+                seq = parse_sequence_header(obu.payload)
+            elif obu.obu_type == OBU_FRAME:
+                frame = obu
+        if seq is None or frame is None:
+            raise AvifError(Result.BMFF_PARSE_FAILED, "missing seq header or frame")
+        s = ROStream(frame.payload)
+        if s.read_u8() != FRAME_MAGIC:
+            raise AvifError(Result.BMFF_PARSE_FAILED, "bad frame magic")
+        qindex = s.read_u8()
+        n = 1 << s.read_u8()
+        flags = s.read_u8()
+        lossless = bool(flags & 1)
+        deblock = bool(flags & 2) and not lossless
+        if n not in (4, 8, 16, 32):
+            raise AvifError(Result.BMFF_PARSE_FAILED, f"bad tx size {n}")
+        w, h = seq.max_frame_width, seq.max_frame_height
+        planes = []
+        for c in range(_coded_planes(seq)):
+            size = read_leb128(s)
+            payload = s.read(size)
+            pw, ph = _plane_dims(seq, c, w, h)
+            planes.append((payload, -(-ph // n), -(-pw // n), pw, ph))
+        metas.append((seq, qindex, n, lossless, deblock, planes))
+
+    workers = max(2, min(16, (os.cpu_count() or 4)))
+    with ThreadPoolExecutor(workers) as pool:
+        ent_futs = [
+            [
+                pool.submit(
+                    entropy.decode_tile, payload, rb, cb, meta[2],
+                    not meta[3],  # with_tx unless lossless
+                )
+                for payload, rb, cb, _, _ in meta[5]
+            ]
+            for meta in metas
+        ]
+        staged = []
+        for meta, futs in zip(metas, ent_futs):
+            seq, qindex, n, lossless, deblock, planes = meta
+            depth = seq.bit_depth
+            dc, ac = (1, 1) if lossless else step_sizes(qindex, depth)
+            pack = np.int32 if lossless else np.int16
+            parts = []
+            for fut in futs:
+                got = fut.result()
+                if lossless:
+                    levels, modes = got
+                    txs = np.zeros(modes.shape, np.int32)
+                else:
+                    levels, modes, txs = got
+                if pack == np.int16:
+                    levels = np.clip(levels, -32768, 32767)
+                parts.append(modes.reshape(-1).astype(pack))
+                parts.append(txs.reshape(-1).astype(pack))
+                parts.append(levels.reshape(-1).astype(pack))
+            geoms = tuple((rb, cb) for _, rb, cb, _, _ in planes)
+            thresh = deblock_threshold(ac, depth) if deblock else 0
+            result = recon.decode_frame_device(
+                np.concatenate(parts), np.int32(dc), np.int32(ac), np.int32(thresh),
+                geoms=geoms, n=n, depth=depth, lossless=lossless,
+                deblock=deblock and thresh > 0,
+            )
+            staged.append(result)
+
+    for r in staged:
+        if hasattr(r, "copy_to_host_async"):
+            r.copy_to_host_async()
+
+    out = []
+    for meta, result in zip(metas, staged):
+        seq, qindex, n, lossless, deblock, planes = meta
+        result = np.asarray(result)
+        img = _image_for_header(seq, seq.max_frame_width, seq.max_frame_height)
+        off = 0
+        for c, (_, rb, cb, pw, ph) in enumerate(planes):
+            hp, wp = rb * n, cb * n
+            plane = result[off : off + hp * wp].reshape(hp, wp)
+            off += hp * wp
+            img.yuv_planes[c][:, :] = plane[:ph, :pw].astype(img.dtype)
+        out.append(img)
+    return out
+
+
+def _image_for_header(seq: SequenceHeader, w: int, h: int) -> Image:
+    if seq.monochrome:
+        fmt = PixelFormat.YUV400
+    elif seq.subsampling_x and seq.subsampling_y:
+        fmt = PixelFormat.YUV420
+    elif seq.subsampling_x:
+        fmt = PixelFormat.YUV422
+    else:
+        fmt = PixelFormat.YUV444
+    out = Image(w, h, seq.bit_depth, fmt)
+    out.yuv_range = Range.FULL if seq.color_range else Range.LIMITED
+    out.color_primaries = seq.color_primaries
+    out.transfer_characteristics = seq.transfer_characteristics
+    out.matrix_coefficients = seq.matrix_coefficients
+    out.chroma_sample_position = ChromaSamplePosition(seq.chroma_sample_position)
+    out.allocate_planes("yuv")
+    return out
+
+
 def _plane_dims(hdr: SequenceHeader, c: int, width: int, height: int) -> tuple[int, int]:
     if c == 0:
         return width, height

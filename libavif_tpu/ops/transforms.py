@@ -129,7 +129,14 @@ def forward_transform(residual: jnp.ndarray, tx_type: int, n: int) -> jnp.ndarra
     """Batched 2-D forward transform: (B, n, n) int32 residual -> coeffs.
 
     Output scale: 2^_FWD_SHIFT_EXTRA × orthonormal (AV1-like 3-bit headroom).
+    Routes through the hand-scheduled Pallas kernel when
+    LIBAVIF_TPU_PALLAS=1 (bit-identical; ops/pallas_kernels.py).
     """
+    if tx_type != WHT_WHT:
+        from .pallas_kernels import forward_transform_pallas, use_pallas
+
+        if use_pallas():
+            return forward_transform_pallas(residual, tx_type, n)
     if tx_type == WHT_WHT:
         h = jnp.asarray(_hadamard(n), dtype=jnp.int32)
         # Exact: coeff = H X Hᵀ (no rounding). Inverse divides by n².
@@ -152,7 +159,13 @@ def inverse_transform(coeffs: jnp.ndarray, tx_type: int, n: int) -> jnp.ndarray:
     Exactly inverts ``forward_transform``'s scaling: fwd gain is
     2^(2·cos_bit) / 2^(2·cos_bit - 3) = 2^3 over orthonormal, so the inverse
     applies the transposed kernels and shifts 2·cos_bit + 3 total.
+    Routes through the Pallas kernel when LIBAVIF_TPU_PALLAS=1.
     """
+    if tx_type != WHT_WHT:
+        from .pallas_kernels import inverse_transform_pallas, use_pallas
+
+        if use_pallas():
+            return inverse_transform_pallas(coeffs, tx_type, n)
     if tx_type == WHT_WHT:
         h = jnp.asarray(_hadamard(n), dtype=jnp.int32)
         t = jnp.einsum("ji,bjk->bik", h, coeffs.astype(jnp.int32))

@@ -217,3 +217,19 @@ class TestEncodeBatch:
         out = d.read(data)
         assert d.alpha_present
         np.testing.assert_array_equal(out.alpha_plane, imgs[0].alpha_plane)
+
+
+class TestReadAll:
+    def test_read_all_matches_sequential(self):
+        frames = [make_image(48, 32, seed=i) for i in range(4)]
+        enc = Encoder()
+        enc.quality = 100
+        for f in frames:
+            enc.add_image(f)
+        data = enc.finish()
+        d = Decoder()
+        d.parse(data)
+        got = d.read_all()
+        assert len(got) == 4
+        for f, g in zip(frames, got):
+            np.testing.assert_array_equal(g.yuv_planes[0], f.yuv_planes[0])
