@@ -82,6 +82,23 @@ def _eob_classes(n: int) -> int:
 
 N_TX = 5  # must match recon.TX_SET_ALL
 
+# Trained initial inverse-CDFs (15-bit), measured over mixed synthetic
+# content and blended toward uniform (role of libaom's default_*_cdf
+# tables; values are this codec's own). The C++ coder mirrors these
+# exactly (native/msac.cc kInit*).
+_INIT_MODE = (27197, 22610, 19661, 18678, 17039, 16056, 14746, 13763, 12452, 7209, 4588, 2294, 0, 0)
+_INIT_ALLZERO = (22938, 0, 0)
+_INIT_TX = (9830, 7209, 4588, 1966, 0, 0)
+_INIT_BASE = (
+    (26214, 19661, 16384, 0, 0),
+    (16384, 9175, 5898, 0, 0),
+    (6554, 1638, 655, 0, 0),
+)
+
+
+def _icdf(values) -> np.ndarray:
+    return np.asarray(values, dtype=np.uint16)
+
 
 class TileCdfs:
     """Fresh adaptive CDF set per tile (tiles are entropy-independent,
@@ -89,11 +106,11 @@ class TileCdfs:
     SURVEY.md §2.4)."""
 
     def __init__(self, n: int):
-        self.mode = uniform_icdf(N_MODES)
-        self.allzero = uniform_icdf(2)
-        self.tx = uniform_icdf(N_TX)
+        self.mode = _icdf(_INIT_MODE)
+        self.allzero = _icdf(_INIT_ALLZERO)
+        self.tx = _icdf(_INIT_TX)
         self.eob_class = uniform_icdf(_eob_classes(n))
-        self.base = [uniform_icdf(4) for _ in range(N_BASE_CTX)]
+        self.base = [_icdf(t) for t in _INIT_BASE]
 
 
 def _base_ctx(k: int, n: int) -> int:

@@ -294,22 +294,31 @@ void zigzag_flat(int n, std::vector<int>& out) {
   }
 }
 
+// Trained initial inverse-CDFs — must mirror entropy.py _INIT_* exactly.
+constexpr uint16_t kInitMode[N_MODES + 1] = {27197, 22610, 19661, 18678,
+                                             17039, 16056, 14746, 13763,
+                                             12452, 7209,  4588,  2294,
+                                             0,     0};
+constexpr uint16_t kInitAllZero[3] = {22938, 0, 0};
+constexpr uint16_t kInitTx[N_TX + 1] = {9830, 7209, 4588, 1966, 0, 0};
+constexpr uint16_t kInitBase[N_BASE_CTX][5] = {
+    {26214, 19661, 16384, 0, 0},
+    {16384, 9175, 5898, 0, 0},
+    {6554, 1638, 655, 0, 0},
+};
+
 struct TileCdfs {
   std::vector<uint16_t> mode, allzero, tx, eobcls;
   std::vector<uint16_t> base[N_BASE_CTX];
   explicit TileCdfs(int n) {
-    mode.resize(N_MODES + 1);
-    uniform_icdf(mode.data(), N_MODES);
-    allzero.resize(3);
-    uniform_icdf(allzero.data(), 2);
-    tx.resize(N_TX + 1);
-    uniform_icdf(tx.data(), N_TX);
+    mode.assign(kInitMode, kInitMode + N_MODES + 1);
+    allzero.assign(kInitAllZero, kInitAllZero + 3);
+    tx.assign(kInitTx, kInitTx + N_TX + 1);
     int ec = eob_classes(n);
     eobcls.resize(ec + 1);
     uniform_icdf(eobcls.data(), ec);
-    for (auto& b : base) {
-      b.resize(5);
-      uniform_icdf(b.data(), 4);
+    for (int i = 0; i < N_BASE_CTX; ++i) {
+      base[i].assign(kInitBase[i], kInitBase[i] + 5);
     }
   }
 };
