@@ -171,3 +171,28 @@ class TestJpegGainMap:
         assert float(decoded.gain_map.metadata.gain_map_max[0]) == pytest.approx(
             2.5, rel=1e-4
         )
+
+
+class TestCorpusJpegGainMap:
+    @pytest.mark.parametrize(
+        "name,expect_headroom",
+        [
+            ("paris_exif_xmp_gainmap_littleendian.jpg", 3.5),
+            ("apple_gainmap_new.jpg", None),
+        ],
+    )
+    def test_real_corpus_extraction(self, name, expect_headroom):
+        import pathlib
+
+        p = pathlib.Path("/root/reference/tests/data") / name
+        if not p.exists():
+            pytest.skip("reference corpus not available")
+        from libavif_tpu.io_formats.jpeg_gainmap import read_jpeg_with_gain_map
+
+        img = read_jpeg_with_gain_map(p)
+        assert img.gain_map is not None and img.gain_map.image is not None
+        assert img.gain_map.image.width > 0
+        if expect_headroom is not None:
+            assert float(img.gain_map.metadata.alternate_hdr_headroom) == pytest.approx(
+                expect_headroom, rel=1e-3
+            )

@@ -30,16 +30,25 @@ def main(out_path=None):
         mse = np.mean((a.astype(np.int64) - b.astype(np.int64)) ** 2)
         return 10 * np.log10(255**2 / max(mse, 1e-9))
 
+    kodim = "/root/reference/tests/data/kodim23_yuv420_8bpc.y4m"
+    import os
+
+    if os.path.exists(kodim):
+        from libavif_tpu.io_formats.y4m import read_y4m
+
+        img = read_y4m(kodim)
+        content = "kodim23 (768x512 natural photo, BASELINE.md config 1)"
+    else:
+        img = B.make_yuv_image(seed=7)
+        content = "768x512 synthetic gradients + texture + noise"
     lines = [
         "# Rate-distortion vs libaom (via Pillow/libavif)",
         "",
-        "Content: 768x512 synthetic gradients + low-frequency texture + noise "
-        "(bench.make_yuv_image). Y-plane PSNR.",
+        f"Content: {content}. Y-plane PSNR.",
         "",
         "| q | ours bytes | ours dB | libaom bytes | libaom dB |",
         "|---|---|---|---|---|",
     ]
-    img = B.make_yuv_image(seed=7)
     H, W = img.height, img.width
     rgb = np.stack(
         [
