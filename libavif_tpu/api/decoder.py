@@ -334,13 +334,21 @@ class Decoder:
             )
         decoded = []
         incremental = self.allow_incremental and grid_item is self._color_item
-        for cell in cells:
-            try:
-                decoded.append(self._decode_item_obus(cell))
-            except AvifError as e:
-                if e.result == Result.WAITING_ON_IO and incremental and decoded:
-                    break  # expose the rows decoded so far (read.c:6736-6740)
-                raise
+        if not incremental:
+            # Fast path: all cells in one pipelined device/host batch
+            # (cells are independent bitstreams).
+            from ..codec.frame import decode_frames_pipelined
+
+            streams = [self._item_payload(c) for c in cells]
+            decoded = decode_frames_pipelined(streams)
+        else:
+            for cell in cells:
+                try:
+                    decoded.append(self._decode_item_obus(cell))
+                except AvifError as e:
+                    if e.result == Result.WAITING_ON_IO and decoded:
+                        break  # expose decoded rows so far (read.c:6736-6740)
+                    raise
         first = decoded[0]
         cw, ch = first.width, first.height
         out = Image(grid.output_width, grid.output_height, first.depth, first.yuv_format)
