@@ -31,7 +31,7 @@ except Exception:
 
 W, H = 768, 512  # kodim-class frame
 QUALITY = 75
-RUNS = 3
+RUNS = 5
 BATCH = 8  # sustained-throughput batch (pipelined device/host overlap)
 
 
@@ -65,6 +65,7 @@ def bench_ours(imgs):
     from libavif_tpu.api import encode_batch
 
     encode_batch(imgs[:1], quality=QUALITY)  # warm-up: jit compile
+    encode_batch(imgs, quality=QUALITY)  # warm-up: steady-state path
     best = float("inf")
     for _ in range(RUNS):
         t0 = time.perf_counter()
