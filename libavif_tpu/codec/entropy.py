@@ -208,3 +208,85 @@ def _decode_tile_py(data: bytes, rb: int, cb: int, n: int, with_tx: bool = False
     if with_tx:
         return lv.reshape(rb, cb, n, n), md.reshape(rb, cb), tx.reshape(rb, cb)
     return lv.reshape(rb, cb, n, n), md.reshape(rb, cb)
+
+
+# ------------------------------------------------- entropy column tiles
+
+def tile_cols(cb: int) -> int:
+    """Entropy tile-column count for a plane of cb block-columns: tiles of
+    >= 16 block columns (~256 px at n=16), at most 8 — the auto-tiling
+    role of write.c:89-119, applied to entropy partitions. Prediction is
+    NOT reset at tile edges (the wavefront is whole-plane); tiles are
+    purely independent entropy streams for host parallelism."""
+    return min(8, max(1, cb // 16))
+
+
+def tile_col_ranges(cb: int):
+    """[(c0, c1)] block-column spans per entropy tile."""
+    t = tile_cols(cb)
+    base = cb // t
+    rem = cb % t
+    out = []
+    c0 = 0
+    for i in range(t):
+        w = base + (1 if i < rem else 0)
+        out.append((c0, c0 + w))
+        c0 += w
+    return out
+
+
+def encode_plane_payload(levels, modes, n: int, tx_types=None, pool=None) -> bytes:
+    """Plane payload: leb128 tile count, per-tile leb128 size, payloads.
+    Tiles run concurrently on ``pool`` when given."""
+    from ..containers.obu import write_leb128
+    from ..utils.streams import RWStream
+
+    cb = modes.shape[1]
+    spans = tile_col_ranges(cb)
+
+    def one(span):
+        c0, c1 = span
+        tx = None if tx_types is None else tx_types[:, c0:c1]
+        return encode_tile(levels[:, c0:c1], modes[:, c0:c1], n, tx)
+
+    if pool is not None and len(spans) > 1:
+        payloads = list(pool.map(one, spans))
+    else:
+        payloads = [one(s) for s in spans]
+    s = RWStream()
+    write_leb128(s, len(payloads))
+    for p in payloads:
+        write_leb128(s, len(p))
+    for p in payloads:
+        s.write(p)
+    return s.data()
+
+
+def decode_plane_payload(payload: bytes, rb: int, cb: int, n: int,
+                         with_tx: bool = False, pool=None):
+    """Inverse of encode_plane_payload -> (levels, modes[, tx])."""
+    from ..containers.obu import read_leb128
+    from ..utils.streams import ROStream
+
+    s = ROStream(payload)
+    t = read_leb128(s)
+    spans = tile_col_ranges(cb)
+    if t != len(spans):
+        raise ValueError(f"tile count {t} != expected {len(spans)}")
+    sizes = [read_leb128(s) for _ in range(t)]
+    blobs = [s.read(sz) for sz in sizes]
+
+    def one(args):
+        blob, (c0, c1) = args
+        return decode_tile(blob, rb, c1 - c0, n, with_tx)
+
+    if pool is not None and t > 1:
+        parts = list(pool.map(one, zip(blobs, spans)))
+    else:
+        parts = [one(a) for a in zip(blobs, spans)]
+    levels = np.concatenate([p[0] for p in parts], axis=1)
+    modes = np.concatenate([p[1] for p in parts], axis=1)
+    if with_tx:
+        tx = np.concatenate([p[2] for p in parts], axis=1)
+        return levels, modes, tx
+    return levels, modes

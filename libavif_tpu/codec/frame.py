@@ -15,7 +15,8 @@ whose payload is this codec's own frame format:
   u8  log2 transform size
   u8  flags (bit0: lossless, bit1: in-loop deblock)
   per coded plane (Y, then U, V unless monochrome):
-    leb128 tile-payload size + msac tile payload (entropy.py)
+    leb128 plane-payload size + plane payload (entropy.py column tiles:
+    leb128 tile count, per-tile sizes, msac tile payloads)
 
 Profile selection mirrors codec_aom.c:834-869 semantics: 12-bit → profile
 2, 4:4:4 → 1, 4:2:2 → 2, 4:2:0/4:0:0 → 0.
@@ -55,7 +56,7 @@ from ..ops.quant import quality_to_qindex, step_sizes
 from ..utils.streams import ROStream, RWStream
 from . import entropy, recon
 
-FRAME_MAGIC = 0x56  # bumped: 13-mode intra alphabet + tx symbols
+FRAME_MAGIC = 0x57  # bumped: entropy column tiles per plane
 DEFAULT_TX_SIZE = 16
 
 
@@ -141,6 +142,54 @@ def _coded_planes(image_or_hdr) -> int:
     return 1 if image_or_hdr.monochrome else 3
 
 
+def _submit_plane_encode(pool, levels, modes, txs, n: int):
+    """Per-entropy-tile futures for one plane (column tiles code
+    concurrently; entropy.tile_col_ranges)."""
+    spans = entropy.tile_col_ranges(modes.shape[1])
+    return [
+        pool.submit(
+            entropy.encode_tile,
+            levels[:, c0:c1], modes[:, c0:c1], n,
+            None if txs is None else txs[:, c0:c1],
+        )
+        for c0, c1 in spans
+    ]
+
+
+def _assemble_plane_payload(futs) -> bytes:
+    payloads = [f.result() for f in futs]
+    s = RWStream()
+    write_leb128(s, len(payloads))
+    for p in payloads:
+        write_leb128(s, len(p))
+    for p in payloads:
+        s.write(p)
+    return s.data()
+
+
+def _submit_plane_decode(pool, payload: bytes, rb: int, cb: int, n: int, with_tx: bool):
+    s = ROStream(payload)
+    t = read_leb128(s)
+    spans = entropy.tile_col_ranges(cb)
+    if t != len(spans):
+        raise ValueError(f"tile count {t} != expected {len(spans)}")
+    sizes = [read_leb128(s) for _ in range(t)]
+    blobs = [s.read(sz) for sz in sizes]
+    return [
+        pool.submit(entropy.decode_tile, blob, rb, c1 - c0, n, with_tx)
+        for blob, (c0, c1) in zip(blobs, spans)
+    ]
+
+
+def _assemble_plane_decode(futs, with_tx: bool):
+    parts = [f.result() for f in futs]
+    levels = np.concatenate([p[0] for p in parts], axis=1)
+    modes = np.concatenate([p[1] for p in parts], axis=1)
+    if with_tx:
+        return levels, modes, np.concatenate([p[2] for p in parts], axis=1)
+    return levels, modes, np.zeros(modes.shape, np.int32)
+
+
 def _encode_planes(planes: list[np.ndarray], params: FrameParams, depth: int) -> list[bytes]:
     """Encode planes with host/device boundary hygiene: every plane padded
     and packed into ONE device upload, one compiled program over all
@@ -174,12 +223,13 @@ def _encode_planes(planes: list[np.ndarray], params: FrameParams, depth: int) ->
         levels = result[off : off + nb * n * n].astype(np.int32).reshape(rb, cb, n, n)
         off += nb * n * n
         jobs.append((modes, levels, None if lossless else txs))
-    if len(jobs) > 1:
-        with ThreadPoolExecutor(len(jobs)) as pool:
-            return list(
-                pool.map(lambda j: entropy.encode_tile(j[1], j[0], n, j[2]), jobs)
-            )
-    return [entropy.encode_tile(lv, md, n, tx) for md, lv, tx in jobs]
+    import os
+
+    with ThreadPoolExecutor(max(2, min(16, os.cpu_count() or 4))) as pool:
+        plane_futs = [
+            _submit_plane_encode(pool, lv, md, tx, n) for md, lv, tx in jobs
+        ]
+        return [_assemble_plane_payload(f) for f in plane_futs]
 
 
 def encode_frames_pipelined(
@@ -248,9 +298,8 @@ def encode_frames_pipelined(
                 )
                 off += nb * n * n
                 frame_futs.append(
-                    pool.submit(
-                        entropy.encode_tile, levels, modes, n,
-                        None if lossless else txs,
+                    _submit_plane_encode(
+                        pool, levels, modes, None if lossless else txs, n
                     )
                 )
             futures.append(frame_futs)
@@ -262,8 +311,8 @@ def encode_frames_pipelined(
             body.write_u8(params.qindex)
             body.write_u8(params.tx_size.bit_length() - 1)
             body.write_u8(1 if params.lossless else 0)
-            for fut in frame_futs:
-                payload = fut.result()
+            for plane_futs in frame_futs:
+                payload = _assemble_plane_payload(plane_futs)
                 write_leb128(body, len(payload))
                 body.write(payload)
             s = RWStream()
@@ -344,10 +393,7 @@ def decode_frames_pipelined(streams: list[bytes]) -> list[Image]:
     with ThreadPoolExecutor(workers) as pool:
         ent_futs = [
             [
-                pool.submit(
-                    entropy.decode_tile, payload, rb, cb, meta[2],
-                    not meta[3],  # with_tx unless lossless
-                )
+                _submit_plane_decode(pool, payload, rb, cb, meta[2], not meta[3])
                 for payload, rb, cb, _, _ in meta[5]
             ]
             for meta in metas
@@ -359,13 +405,8 @@ def decode_frames_pipelined(streams: list[bytes]) -> list[Image]:
             dc, ac = (1, 1) if lossless else step_sizes(qindex, depth)
             pack = np.int32 if lossless else np.int16
             parts = []
-            for fut in futs:
-                got = fut.result()
-                if lossless:
-                    levels, modes = got
-                    txs = np.zeros(modes.shape, np.int32)
-                else:
-                    levels, modes, txs = got
+            for plane_futs in futs:
+                levels, modes, txs = _assemble_plane_decode(plane_futs, not lossless)
                 if pack == np.int16:
                     levels = np.clip(levels, -32768, 32767)
                 parts.append(modes.reshape(-1).astype(pack))
@@ -489,19 +530,15 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
         rb, cb = -(-ph // n), -(-pw // n)
         plane_meta.append((payload, rb, cb, pw, ph))
 
-    def _entropy(job):
-        payload, rb, cb, _, _ = job
-        if lossless:
-            levels, modes = entropy.decode_tile(payload, rb, cb, n)
-            return levels, modes, np.zeros((rb, cb), dtype=np.int32)
-        return entropy.decode_tile(payload, rb, cb, n, with_tx=True)
+    import os
 
     try:
-        if len(plane_meta) > 1:
-            with ThreadPoolExecutor(len(plane_meta)) as pool:
-                decoded = list(pool.map(_entropy, plane_meta))
-        else:
-            decoded = [_entropy(j) for j in plane_meta]
+        with ThreadPoolExecutor(max(2, min(16, os.cpu_count() or 4))) as pool:
+            plane_futs = [
+                _submit_plane_decode(pool, payload, rb, cb, n, not lossless)
+                for payload, rb, cb, _, _ in plane_meta
+            ]
+            decoded = [_assemble_plane_decode(f, not lossless) for f in plane_futs]
     except ValueError as e:
         raise AvifError(Result.BMFF_PARSE_FAILED, f"tile entropy error: {e}") from e
 
