@@ -18,7 +18,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="avifenc", description="Encode images to AVIF (TPU-native codec)"
     )
-    p.add_argument("inputs", nargs="+", help="input file(s): png/jpeg/y4m")
+    p.add_argument(
+        "inputs", nargs="+",
+        help="input file(s): png/jpeg/y4m, or '-' for stdin (test_cmd_stdin.sh parity)",
+    )
     p.add_argument("output", help="output.avif")
     p.add_argument("-q", "--qcolor", type=int, default=60, help="color quality 0-100")
     p.add_argument("--qalpha", type=int, default=-1, help="alpha quality 0-100")
@@ -97,6 +100,16 @@ def _parse_fraction_list(arg, count, flag):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if "-" in args.inputs:
+        # Materialize stdin once so format sniffing and multi-pass reads work.
+        import tempfile
+
+        raw = sys.stdin.buffer.read()
+        tmp = tempfile.NamedTemporaryFile(suffix=".stdin", delete=False)
+        tmp.write(raw)
+        tmp.close()
+        args.inputs = [tmp.name if p == "-" else p for p in args.inputs]
 
     from ..api.encoder import Encoder
     from ..constants import PixelFormat, Range, TransformFlags
