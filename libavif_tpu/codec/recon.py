@@ -253,7 +253,13 @@ def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool, s
                 lv_t = coeffs
                 deq = lv_t
             else:
-                mag = (jnp.abs(coeffs) + steps[None] // 2) // steps[None]
+                # Deadzone quantization (encoder-only): AC rounds with a
+                # 3/8 bias toward zero (saves rate for near-threshold
+                # coefficients), DC keeps round-half (the deadzone is an
+                # encoder decision; the bitstream/dequant is unchanged).
+                bias = (steps[None] * 3) // 8
+                bias = bias.at[:, 0, 0].set(steps[0, 0] // 2)
+                mag = (jnp.abs(coeffs) + bias) // steps[None]
                 lv_t = jnp.sign(coeffs) * mag
                 deq = lv_t * steps[None]
             res_hat = inverse_transform(deq, t, n).reshape(resid.shape)
