@@ -99,20 +99,51 @@ def _to_rgb_array(img: Image, depth: int = 8) -> np.ndarray:
     return rgb.pixels
 
 
+def _write_png16(path, px: np.ndarray, icc: bytes = b"") -> None:
+    """Minimal 16-bit PNG writer (Pillow has no RGB;16 encoder): IHDR +
+    optional iCCP + IDAT (filter 0, big-endian samples) + IEND."""
+    import struct
+    import zlib
+
+    h, w, ch = px.shape
+    color_type = {3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
+    rows = px.astype(">u2").tobytes()
+    stride = w * ch * 2
+    raw = b"".join(
+        b"\x00" + rows[y * stride : (y + 1) * stride] for y in range(h)
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if icc:
+        out += chunk(b"iCCP", b"icc\x00\x00" + zlib.compress(icc))
+    out += chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+    with open(path, "wb") as f:
+        f.write(out)
+
+
 def write_png(path, img: Image, depth: Optional[int] = None) -> None:
-    """Write an Image to PNG (reference: avifpng.c avifPNGWrite)."""
+    """Write an Image to PNG (reference: avifpng.c avifPNGWrite).
+
+    16-bit output uses a native PNG chunk writer (16-bit RGB(A), samples
+    scaled up from the coding depth like the reference)."""
     PILImage = _pillow()
     out_depth = depth or (8 if img.depth == 8 else 16)
-    if out_depth == 8:
-        px = _to_rgb_array(img, 8).astype(np.uint8)
-        mode = "RGBA" if px.shape[-1] == 4 else "RGB"
-        pim = PILImage.fromarray(px, mode)
-    else:
-        # Pillow has no RGB;16 writer: emit 16-bit grayscale for mono,
-        # else fall back to 8-bit RGB (full 16-bit PNG is a round-2 item).
-        px = _to_rgb_array(img, 8).astype(np.uint8)
-        mode = "RGBA" if px.shape[-1] == 4 else "RGB"
-        pim = PILImage.fromarray(px, mode)
+    if out_depth == 16:
+        px = _to_rgb_array(img, 16).astype(np.uint16)
+        _write_png16(path, px, img.icc)
+        return
+    px = _to_rgb_array(img, 8).astype(np.uint8)
+    mode = "RGBA" if px.shape[-1] == 4 else "RGB"
+    pim = PILImage.fromarray(px, mode)
     kwargs = {}
     if img.icc:
         kwargs["icc_profile"] = img.icc

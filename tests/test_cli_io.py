@@ -143,3 +143,51 @@ class TestCliEndToEnd:
         out = tmp_path / "back.y4m"
         assert avifdec.main([str(avif), str(out), "--index", "all"]) == 0
         assert count_y4m_frames(out) == 2
+
+
+class TestPng16:
+    def test_16bit_png_writer_bytes(self, tmp_path):
+        import struct
+        import zlib
+
+        from libavif_tpu.constants import MatrixCoefficients
+        from libavif_tpu.io_formats.png_jpeg import write_png
+
+        rng = np.random.default_rng(0)
+        img = make_image(16, 8, depth=10, fmt=PixelFormat.YUV444)
+        img.matrix_coefficients = MatrixCoefficients.IDENTITY  # GBR: lossless map
+        p = tmp_path / "deep.png"
+        write_png(p, img)
+        data = p.read_bytes()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        # IHDR says 16-bit truecolor
+        w, h, bits, ctype = struct.unpack(">IIBB", data[16:26])
+        assert (w, h, bits, ctype) == (16, 8, 16, 2)
+        # decode IDAT and check the G channel equals Y scaled 10->16 bits
+        pos = 8
+        idat = b""
+        while pos < len(data):
+            (ln,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                idat += data[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = 1 + w * 3 * 2
+        row0 = np.frombuffer(raw[1:stride], dtype=">u2").reshape(w, 3)
+        # identity path scales 10->16 bit by left shift (integer exact)
+        expect_g = img.yuv_planes[0][0].astype(np.uint32) << 6
+        np.testing.assert_array_equal(row0[:, 1].astype(np.uint32), expect_g)
+
+    def test_avifdec_png16(self, tmp_path):
+        img = make_image(24, 16, depth=10, fmt=PixelFormat.YUV444)
+        src = tmp_path / "t.y4m"
+        write_y4m(src, img)
+        avif = tmp_path / "t.avif"
+        assert avifenc.main([str(src), str(avif), "-l"]) == 0
+        out = tmp_path / "deep.png"
+        assert avifdec.main([str(avif), str(out), "--png-depth", "16"]) == 0
+        import struct
+
+        data = out.read_bytes()
+        assert struct.unpack(">B", data[24:25])[0] == 16  # bit depth field
