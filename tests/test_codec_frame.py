@@ -175,3 +175,25 @@ class TestDeblock:
         obus, _ = encode_frame(img, FrameParams(quality=100, deblock=True))
         out = decode_frame(obus)
         np.testing.assert_array_equal(out.yuv_planes[0], img.yuv_planes[0])
+
+
+class TestWriterConsistency:
+    def test_pipelined_and_single_paths_byte_identical(self):
+        """The single-frame and pipelined encoders must emit identical
+        OBU streams (a divergence here once dropped the filter flags)."""
+        from libavif_tpu.codec.frame import encode_frames_pipelined
+
+        img = make_image(48, 32, 8, PixelFormat.YUV420, seed=4)
+        for q in (35, 75, 100):
+            params = FrameParams(quality=q)
+            single, _ = encode_frame(img, params)
+            batched = encode_frames_pipelined([img], params)[0][0]
+            assert single == batched, f"q{q} writer divergence"
+
+    def test_cdef_flag_reaches_decoder(self):
+        img = make_image(48, 32, 8, PixelFormat.YUV420, seed=5)
+        on, _ = encode_frame(img, FrameParams(quality=60, cdef=True))
+        off, _ = encode_frame(img, FrameParams(quality=60, cdef=False))
+        out_on = decode_frame(on)
+        out_off = decode_frame(off)
+        assert not np.array_equal(out_on.yuv_planes[0], out_off.yuv_planes[0])
