@@ -12,9 +12,12 @@ import sys
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from ..constants import VERSION
+
     p = argparse.ArgumentParser(
         prog="avifdec", description="Decode AVIF files (TPU-native codec)"
     )
+    p.add_argument("-V", "--version", action="version", version=f"avifdec (libavif_tpu) {VERSION}")
     p.add_argument("input", help="input.avif")
     p.add_argument("output", nargs="?", help="output: png/jpg/y4m (omit with --info)")
     p.add_argument("--index", default="0", help="frame index, or 'all'")

@@ -15,9 +15,12 @@ import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from ..constants import VERSION
+
     p = argparse.ArgumentParser(
         prog="avifenc", description="Encode images to AVIF (TPU-native codec)"
     )
+    p.add_argument("-V", "--version", action="version", version=f"avifenc (libavif_tpu) {VERSION}")
     p.add_argument(
         "inputs", nargs="+",
         help="input file(s): png/jpeg/y4m, or '-' for stdin (test_cmd_stdin.sh parity)",
