@@ -14,6 +14,30 @@ Public API mirrors the reference's surface: Image/RGBImage, Decoder/Encoder,
 result codes, and the pixel-conversion entry points.
 """
 
+import os as _os
+
+# Platform override knob. In images whose sitecustomize pre-imports jax and
+# force-sets jax_platforms to "axon,cpu", the `JAX_PLATFORMS` env var is
+# ignored by jax's own config init; honoring it here (before any device use)
+# makes the CLIs and library usable without claiming a TPU.
+#   - LIBAVIF_TPU_PLATFORM always wins.
+#   - JAX_PLATFORMS is applied only while the sitecustomize default
+#     ("axon,cpu") is still in effect, so test harnesses that already called
+#     jax.config.update() are never overridden.
+try:
+    import jax as _jax
+
+    _plat = _os.environ.get("LIBAVIF_TPU_PLATFORM")
+    if not _plat:
+        _env = _os.environ.get("JAX_PLATFORMS")
+        if _env and _env != "axon" and _jax.config.jax_platforms == "axon,cpu":
+            _plat = _env
+    if _plat and _jax.config.jax_platforms != _plat:
+        _jax.config.update("jax_platforms", _plat)
+    del _plat
+except Exception:  # pragma: no cover - jax absent or already initialized
+    pass
+
 from .constants import (
     VERSION,
     AvifError,

@@ -41,6 +41,8 @@ class IOStats:
     alpha_obu_size: int = 0
 
 ALPHA_URN = "urn:mpeg:mpegB:cicp:systems:auxiliary:alpha"
+# read.c isAlphaURN also accepts the HEVC auxid (AVIF_URN_ALPHA1).
+ALPHA_URN_1 = "urn:mpeg:hevc:2015:auxid:1"
 
 
 class Source(enum.IntEnum):
@@ -122,7 +124,7 @@ class Decoder:
             if item.aux_for_id != color.id or item.item_type != "av01":
                 continue
             aux = item.find_property("auxC")
-            if aux is None or aux.aux_type == ALPHA_URN:
+            if aux is None or aux.aux_type in (ALPHA_URN, ALPHA_URN_1):
                 return item
         return None
 

@@ -2,7 +2,7 @@
 
 Bitstream (per tile, this codec's own AV1-style design):
   for each block in raster order:
-    mode          : 7-symbol adaptive CDF
+    mode          : N_MODES(=13)-symbol adaptive CDF
     all_zero      : 2-symbol adaptive CDF
     if any nonzero coefficient:
       tx_type     : 5-symbol adaptive CDF (lossy tiles only; lossless is
@@ -86,6 +86,9 @@ N_TX = 5  # must match recon.TX_SET_ALL
 # content and blended toward uniform (role of libaom's default_*_cdf
 # tables; values are this codec's own). The C++ coder mirrors these
 # exactly (native/msac.cc kInit*).
+# 13-symbol alphabet: 12 descending ICDF thresholds + terminal 0, plus one
+# trailing 0 that is the msac adaptation counter slot (n+1 entries total —
+# same layout convention as aom's AOM_CDF tables).
 _INIT_MODE = (27197, 22610, 19661, 18678, 17039, 16056, 14746, 13763, 12452, 7209, 4588, 2294, 0, 0)
 _INIT_ALLZERO = (22938, 0, 0)
 _INIT_TX = (9830, 7209, 4588, 1966, 0, 0)
@@ -202,6 +205,10 @@ def _decode_tile_py(data: bytes, rb: int, cb: int, n: int, with_tx: bool = False
             a = dec.decode_symbol(cdfs.base[_base_ctx(k, n)], 4)
             if a == 3:
                 a += dec.decode_golomb()
+                # Same clamp as msac.cc's native golomb tail: a hostile
+                # stream can otherwise yield values > int32 and crash the
+                # levels-array store with an uncaught numpy OverflowError.
+                a = min(a, 1 << 24)
             if a:
                 sign = dec.decode_bit()
                 row[scan[k]] = -a if sign else a

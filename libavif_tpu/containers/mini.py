@@ -81,6 +81,39 @@ def _write_av1c_fields(s: RWStream, c: CodecConfiguration) -> None:
     s.write_u8(0)
 
 
+def _read_mini_hdr_properties(f) -> tuple:
+    """One mini HDR-properties group: 6 flag bits (clli, mdcv, cclv, amve,
+    reve, ndwt) + conditional payloads. Only clli is retained; the rest are
+    skipped with the reference's exact bit widths (read.c:2547-2646)."""
+    has_clli = bool(f(1))
+    has_mdcv, has_cclv, has_amve, has_reve, has_ndwt = (bool(f(1)) for _ in range(5))
+    clli = ContentLightLevelInformationBox()
+    if has_clli:
+        clli = ContentLightLevelInformationBox(f(16), f(16))
+    if has_mdcv:  # 3*(16+16) primaries + 2*16 white point + 2*32 luminance
+        for _ in range(3):
+            f(16), f(16)
+        f(16), f(16), f(32), f(32)
+    if has_cclv:
+        f(2)  # ccv_cancel/persistence (reserved)
+        ccv_primaries = f(1)
+        ccv_min, ccv_max, ccv_avg = f(1), f(1), f(1)
+        f(2)  # reserved
+        if ccv_primaries:
+            for _ in range(3):
+                f(32), f(32)
+        for present in (ccv_min, ccv_max, ccv_avg):
+            if present:
+                f(32)
+    if has_amve:
+        f(32), f(16), f(16)
+    if has_reve:
+        f(32), f(16), f(16), f(32), f(16), f(16)
+    if has_ndwt:
+        f(32)
+    return has_clli, clli
+
+
 _SUBSAMPLING_TO_FORMAT = {
     0: PixelFormat.YUV400,
     1: PixelFormat.YUV420,
@@ -169,14 +202,15 @@ def parse_mini(payload: bytes, raw_offset: int) -> Meta:
             if f(1):  # tmap_explicit_cicp
                 tmap_cicp = (f(8), f(8), f(8), f(1))
             else:
-                tmap_has_icc_default = True
+                # Defaults per avifParseMinimizedImageBox (read.c:4270-4274):
+                # BT709 primaries / sRGB transfer / BT601 matrix, full range.
+                tmap_cicp = (1, 13, 6, 1)
+        # Main image HDR properties group first, then the tmap's — each is
+        # 6 flag bits + conditional payloads (avifParseMiniHDRProperties,
+        # read.c:2618-2646; call order read.c:4276-4279).
+        has_clli, clli = _read_mini_hdr_properties(f)
         if has_gainmap:
-            tmap_has_clli = bool(f(1))
-            if tmap_has_clli:
-                tmap_clli = ContentLightLevelInformationBox(f(16), f(16))
-        has_clli = bool(f(1))
-        if has_clli:
-            clli = ContentLightLevelInformationBox(f(16), f(16))
+            tmap_has_clli, tmap_clli = _read_mini_hdr_properties(f)
     else:
         tmap_has_icc = False
 
@@ -185,7 +219,8 @@ def parse_mini(payload: bytes, raw_offset: int) -> Meta:
     large_item_data = f(1)
 
     icc_size = (f(20 if large_meta else 10) + 1) if has_icc else 0
-    tmap_icc_size = (f(20 if large_meta else 10)) if (has_hdr and has_gainmap and tmap_has_icc) else 0
+    # tmap_icc_data_size_minus1 (read.c:4296-4301)
+    tmap_icc_size = (f(20 if large_meta else 10) + 1) if (has_hdr and has_gainmap and tmap_has_icc) else 0
     gm_meta_size = gm_data_size = gm_cfg_size = 0
     if has_hdr and has_gainmap:
         gm_meta_size = f(20 if large_meta else 10)
