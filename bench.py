@@ -1,8 +1,12 @@
 """Headline bench: still-image encode throughput (MP/s) at q75 4:2:0.
 
-BASELINE.md config 1: "MP/s/chip > avifenc/avifdec on 32-core CPU". The
-CPU reference is measured live via Pillow's AVIF plugin (real libavif +
-libaom at quality 75) on the same pixels; `vs_baseline` is ours/theirs.
+BASELINE.md config 1: "MP/s/chip > avifenc/avifdec on N-core CPU". The
+CPU reference is measured live through the libavif/libaom oracle
+(libavif_tpu.interop.libavif_oracle): real libaom at quality 75 speed 6,
+fed the SAME native YUV planes (no RGB conversion detour on either
+side), using every host core. Content is the reference corpus's kodim
+y4m frames (tests/data/kodim03/23_yuv420_8bpc.y4m), not synthetic
+gradients. `vs_baseline` is ours/theirs on this host.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -29,34 +33,50 @@ try:
 except Exception:
     pass
 
-W, H = 768, 512  # kodim-class frame
+W, H = 768, 512  # kodim frame size
 QUALITY = 75
+SPEED = 6  # avifenc's default speed
 RUNS = 5
 BATCH = 8  # sustained-throughput batch (pipelined device/host overlap)
 
+_KODIM = (
+    "/root/reference/tests/data/kodim03_yuv420_8bpc.y4m",
+    "/root/reference/tests/data/kodim23_yuv420_8bpc.y4m",
+)
 
-def make_yuv_image(seed=42):
+
+def load_kodim_batch():
+    """BATCH kodim frames (alternating kodim03/kodim23, shifted crops so
+    the batch isn't byte-identical repeats)."""
+    import os.path
+
     from libavif_tpu.constants import PixelFormat
     from libavif_tpu.image import Image
+    from libavif_tpu.io_formats.y4m import read_y4m
 
-    rng = np.random.default_rng(seed)
-    img = Image(W, H, 8, PixelFormat.YUV420)
-    img.allocate_planes("yuv")
-    yy, xx = np.mgrid[0:H, 0:W]
-    # natural-ish content: gradients + low-frequency texture + mild noise
-    base = 96 + 64 * np.sin(yy / 37.0) + 48 * np.cos(xx / 53.0)
-    img.yuv_planes[0][:] = np.clip(
-        base + rng.normal(0, 6, (H, W)), 0, 255
-    ).astype(np.uint8)
-    for c in (1, 2):
-        h, w = img.yuv_planes[c].shape
-        yy2, xx2 = np.mgrid[0:h, 0:w]
-        img.yuv_planes[c][:] = np.clip(
-            128 + 40 * np.sin((xx2 + 60 * c) / 41.0) + rng.normal(0, 3, (h, w)),
-            0,
-            255,
-        ).astype(np.uint8)
-    return img
+    sources = [read_y4m(p) for p in _KODIM if os.path.exists(p)]
+    if not sources:  # corpus unavailable: fall back to noise-free gradients
+        rng = np.random.default_rng(0)
+        sources = []
+        for seed in (1, 2):
+            img = Image(W, H, 8, PixelFormat.YUV420)
+            img.allocate_planes("yuv")
+            for c in range(3):
+                h, w = img.yuv_planes[c].shape
+                yy, xx = np.mgrid[0:h, 0:w]
+                img.yuv_planes[c][:] = ((yy * 3 + xx + seed * 37) % 256).astype(np.uint8)
+            sources.append(img)
+    imgs = []
+    for i in range(BATCH):
+        src = sources[i % len(sources)]
+        img = Image(W, H, 8, PixelFormat.YUV420)
+        img.allocate_planes("yuv")
+        for c in range(3):
+            # cyclic row shift per batch slot: same statistics, distinct bytes
+            shift = (i // len(sources)) * 16 >> (0 if c == 0 else 1)
+            img.yuv_planes[c][:] = np.roll(src.yuv_planes[c], shift, axis=0)
+        imgs.append(img)
+    return imgs
 
 
 def bench_ours(imgs):
@@ -64,54 +84,45 @@ def bench_ours(imgs):
     host entropy across frames — the production serving path)."""
     from libavif_tpu.api import encode_batch
 
-    encode_batch(imgs[:1], quality=QUALITY)  # warm-up: jit compile
-    encode_batch(imgs, quality=QUALITY)  # warm-up: steady-state path
+    encode_batch(imgs[:1], quality=QUALITY, speed=SPEED)  # warm-up: jit compile
+    encode_batch(imgs, quality=QUALITY, speed=SPEED)  # warm-up: steady-state path
     best = float("inf")
     for _ in range(RUNS):
         t0 = time.perf_counter()
-        encode_batch(imgs, quality=QUALITY)
+        encode_batch(imgs, quality=QUALITY, speed=SPEED)
         best = min(best, time.perf_counter() - t0)
     return (len(imgs) * W * H / 1e6) / best
 
 
-def bench_pillow_baseline(imgs):
-    """CPU reference: Pillow→libavif→libaom on the same batch."""
+def bench_cpu_baseline(imgs):
+    """CPU reference: real libaom (through the libavif oracle) fed the
+    same native YUV planes, quality 75, speed 6, all host cores."""
     try:
-        import io
+        from libavif_tpu.interop import libavif_oracle as oracle
 
-        from PIL import Image as PILImage
-    except ImportError:
+        if not oracle.available():
+            return None
+    except Exception:
         return None
-    pims = []
-    for img in imgs:
-        rgb = np.stack(
-            [
-                img.yuv_planes[0],
-                np.repeat(np.repeat(img.yuv_planes[1], 2, 0), 2, 1)[:H, :W],
-                np.repeat(np.repeat(img.yuv_planes[2], 2, 0), 2, 1)[:H, :W],
-            ],
-            axis=-1,
-        )
-        pims.append(PILImage.fromarray(rgb, "RGB"))
+    planes = [[im.yuv_planes[0], im.yuv_planes[1], im.yuv_planes[2]] for im in imgs]
+    kw = dict(quality=QUALITY, speed=SPEED, max_threads=os.cpu_count() or 1)
     try:
-        buf = io.BytesIO()
-        pims[0].save(buf, format="AVIF", quality=QUALITY)  # warm-up
+        oracle.encode(planes[0], **kw)  # warm-up
     except Exception:
         return None
     best = float("inf")
     for _ in range(RUNS):
         t0 = time.perf_counter()
-        for pim in pims:
-            buf = io.BytesIO()
-            pim.save(buf, format="AVIF", quality=QUALITY)
+        for p in planes:
+            oracle.encode(p, **kw)
         best = min(best, time.perf_counter() - t0)
     return (len(imgs) * W * H / 1e6) / best
 
 
 def main():
-    imgs = [make_yuv_image(seed=100 + i) for i in range(BATCH)]
+    imgs = load_kodim_batch()
     ours = bench_ours(imgs)
-    baseline = bench_pillow_baseline(imgs)
+    baseline = bench_cpu_baseline(imgs)
     vs = (ours / baseline) if baseline else 0.0
     print(
         json.dumps(
