@@ -1,0 +1,270 @@
+"""Extract the AV1 spec's default probability/quantizer constants from the
+codec libraries installed in this image, into
+libavif_tpu/codec/av1/tables_data.npz.
+
+Why extraction: these are *specification constants* (AV1 §8.x default CDF
+tables, §7.12 quantizer lookups) required bit-exactly by every conformant
+AV1 codec. The reference (libavif) contains no codec and hence none of
+these tables; the system libaom (libaom.so.3) and the dav1d statically
+linked into Pillow's bundled libavif carry independent copies. We locate
+each table structurally — an N-symbol CDF row is stored as N-1
+monotonically non-increasing inverse-CDF uint16 probs followed by a zero
+terminator and a zero adaptation counter — anchored by an 8-value
+fingerprint, validate the full shape, and cross-check values between the
+two independent copies where both exist.
+
+Storage convention in the npz: aom-style inverse CDFs (icdf = 32768 -
+cumulative_prob), one row per context, trimmed to `width` u16 slots as
+found in the binary. Consumers slice/convert as needed (tables.py).
+
+Run:  python tools/extract_av1_tables.py
+"""
+
+import glob
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+OUT = os.path.join(
+    os.path.dirname(__file__), "..", "libavif_tpu", "codec", "av1", "tables_data.npz"
+)
+
+
+def rodata(path):
+    with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+        subprocess.run(
+            ["objcopy", "-O", "binary", "--only-section=.rodata", path, f.name],
+            check=True,
+        )
+        return np.fromfile(f.name, dtype="<u2").astype(np.int64)
+
+
+def find_aom():
+    for p in ("/usr/lib/x86_64-linux-gnu/libaom.so.3", "/usr/lib/libaom.so.3"):
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError("libaom.so.3")
+
+
+def find_bundled_avif():
+    import PIL
+
+    hits = sorted(
+        glob.glob(os.path.join(os.path.dirname(PIL.__file__), "../pillow.libs/libavif*.so*"))
+    )
+    if not hits:
+        raise FileNotFoundError("pillow bundled libavif")
+    return hits[0]
+
+
+# ----------------------------------------------------------------- manifest
+# (name, source, shape_rows [(n_rows, nsym), ...], width_u16, fingerprint)
+# source 'A' = libaom.so.3 .rodata, 'B' = bundled libavif .rodata (dav1d).
+# Fingerprints are the first 8 u16 of the table as stored (spec constants).
+MANIFEST = [
+    ("coeff_base_eob", "A", [(4 * 5 * 2 * 4, 3)], 4, [14931, 3713, 0, 0, 3168, 1322, 0, 0]),
+    ("coeff_base", "A", [(4 * 5 * 2 * 42, 4)], 5, [28734, 23838, 20041, 0, 0, 14686, 3027, 891]),
+    ("coeff_br", "A", [(4 * 5 * 2 * 21, 4)], 5, [18470, 12050, 8594, 0, 0, 20232, 13167, 8979]),
+    ("eob_pt_1024", "A", [(16, 11)], 12, [32375, 32347, 32017, 31145, 29608, 26416, 19423, 14721]),
+    ("eob_pt_512", "A", [(16, 10)], 11, [32127, 31785, 29061, 27338, 22534, 17810, 13980, 9356]),
+    ("eob_pt_256", "A", [(16, 9)], 10, [32458, 32184, 30881, 29179, 26600, 24157, 21416, 17116]),
+    ("eob_pt_128", "A", [(16, 8)], 9, [32549, 32286, 31628, 30677, 29088, 26740, 20182, 0]),
+    ("eob_pt_64", "A", [(16, 7)], 8, [32439, 32270, 31667, 30984, 29503, 25010, 0, 0]),
+    ("eob_pt_32", "A", [(16, 6)], 7, [32368, 32248, 31791, 30666, 26226, 0, 0, 32558]),
+    ("eob_pt_16", "A", [(16, 5)], 6, [31928, 31729, 30788, 27873, 0, 0, 32398, 32097]),
+    ("eob_extra", "A", [(4 * 5 * 2 * 9, 2)], 3, [15807, 0, 0, 15545, 0, 0, 25147, 0]),
+    ("txb_skip", "A", [(4 * 5 * 13, 2)], 3, [919, 0, 0, 26876, 0, 0, 20656, 0]),
+    ("dc_sign", "A", [(4 * 2 * 3, 2)], 3, [16768, 0, 0, 19712, 0, 0, 13952, 0]),
+    # [3 sets][4 tx-size cats][13 intra modes]; set0 dummy-uniform (16 sym),
+    # set1 7 symbols, set2 5 symbols. Fingerprint is all-zero (set0 row0 is
+    # zeroed in the binary), so anchor on set1's first row instead.
+    ("intra_ext_tx_set1", "A", [(52, 7)], 17, [31233, 24733, 23307, 20017, 9301, 4943, 0, 0]),
+    ("intra_ext_tx_set2", "A", [(52, 5)], 17, [26214, 19661, 13107, 6554, 0, 0, 0, 0]),
+    ("partition", "A", [(4, 4), (12, 10), (4, 8)], 11, [13636, 7258, 2376, 0, 0, 0, 0, 0]),
+    ("uv_mode", "A", [(13, 13), (13, 14)], 15, [10137, 8616, 7390, 7107, 6782, 6248, 5713, 4845]),
+    ("kf_y_mode", "A", [(25, 13)], 14, [17180, 15741, 13430, 12550, 12086, 11658, 10943, 9524]),
+    ("palette_y_size", "A", [(7, 7)], 8, [24816, 19768, 14619, 11290, 7241, 3527, 0, 0]),
+    ("palette_uv_size", "A", [(7, 7)], 8, [24055, 12789, 5640, 3159, 1437, 496, 0, 0]),
+    ("angle_delta", "A", [(8, 7)], 8, [30588, 27736, 25201, 9992, 5779, 2551, 0, 0]),
+    ("y_mode", "A", [(4, 13)], 14, [9967, 9279, 8475, 8012, 7167, 6645, 6162, 5350]),
+    ("skip_mode", "A", [(3, 2)], 3, [147, 0, 0, 12060, 0, 0, 24641, 0]),
+    ("skip", "A", [(3, 2)], 3, [1097, 0, 0, 16253, 0, 0, 28192, 0]),
+    ("tx_size", "A", [(3, 2), (9, 3)], 4, [12800, 0, 0, 0, 12800, 0, 0, 0]),
+    ("delta_q", "A", [(1, 4)], 5, [4608, 648, 91, 0, 0, 4608, 648, 91]),
+    # dav1d side (bundled libavif): tables whose aom 3.6 layout is irregular.
+    ("cfl_alpha", "B", [(6, 16)], 16, [25131, 12049, 1367, 287, 111, 80, 76, 72]),
+    ("cfl_sign", "B", [(1, 8)], 8, [31350, 30645, 19428, 14363, 5796, 4425, 474, 0]),
+    ("filter_intra_mode", "B", [(1, 5)], 8, [23819, 19992, 15557, 3210, 0, 0, 0, 0]),
+]
+
+# raw byte-region extractions (layout documented in tables.py)
+RAW_REGIONS = [
+    # intrabc DV (nmv) defaults: joints[3 probs], then per-component
+    # classes[10], class0_fp[2][3], fp[3], sign/class0/classN bools, bits[10],
+    # class0_hp/hp — aom layout at this block, two components sequential.
+    ("dv_block", "A", [28672, 21504, 13440, 0, 0, 4096, 1792, 910], 288),
+    # dav1d palette color_map ladders: [y|uv][sizes 2..8][5 ctx], stride-2
+    # bool rows for size 2, aligned 16-byte rows for sizes 3..8.
+    ("pal_color_raw", "B", [0, 0, 0, 0, 5732, 0, 0, 0], 1088),
+    # loop-restoration: switchable_restore[2 probs] pad, wiener bool, sgr bool
+    ("restore_raw", "B", [23355, 10187, 0, 0, 21198, 0, 15913, 0], 16),
+]
+
+# single bools recorded directly (value verified in both copies/spec)
+SCALARS = {
+    "intrabc": 2237,  # icdf(30531)
+    "palette_uv_mode": [10094, 9337],
+    # use_filter_intra in aom BLOCK_SIZES_ALL order (multiset-validated
+    # against dav1d's descending-block-size copy)
+    "use_filter_intra": [
+        28147, 26025, 26875, 24902, 20217, 23374, 20360, 18467, 20012, 10425,
+        16384, 16384, 16384, 16384, 16384, 16384, 19998, 22400, 12539, 14667,
+        16384, 16384,
+    ],
+}
+
+# palette_y_mode: 21 bools from the dav1d copy ([7 bsize ctx][3 ctx])
+PALETTE_Y_MODE_FP = [5940, 0, 8733, 0, 20737, 0, 22128, 0]
+
+
+def u16pat(vals):
+    return np.array(vals, dtype="<u2").tobytes()
+
+
+def find_fp(U, fp):
+    hits = []
+    hay = U.astype("<u2").tobytes()
+    pat = u16pat(fp)
+    i = hay.find(pat)
+    while i >= 0:
+        if i % 2 == 0:
+            hits.append(i // 2)
+        i = hay.find(pat, i + 1)
+    return hits
+
+
+def valid_row(U, off, nsym, width, last=False):
+    row = U[off : off + width]
+    if len(row) < width:
+        return False
+    probs = row[: nsym - 1]
+    if probs[0] <= 0 or probs[0] >= 32768:
+        return False
+    if np.any(np.diff(probs) > 0) or probs[-1] == 0:
+        return False
+    if last:
+        # some builds elide the final row's trailing zero slots when the
+        # next object packs tightly; probs alone suffice there
+        return True
+    return not np.any(row[nsym - 1 : width] != 0)
+
+
+def extract_table(U, name, shapes, width, fp):
+    hits = find_fp(U, fp)
+    total_span = sum(r for r, _ in shapes) * width
+    # repeated-pattern tables (e.g. dc_sign repeats per qctx) self-hit
+    # inside their own span; only hits outside the first table's span are
+    # genuine ambiguity.
+    if hits and all(h - hits[0] < total_span for h in hits):
+        hits = hits[:1]
+    elif len(hits) > 1 and all(
+        np.array_equal(U[h : h + total_span], U[hits[0] : hits[0] + total_span])
+        for h in hits
+    ):
+        # identical content at every hit (e.g. delta_q == delta_lf defaults)
+        hits = hits[:1]
+    if len(hits) != 1:
+        raise RuntimeError(f"{name}: fingerprint hits={len(hits)} (need 1)")
+    off = hits[0]
+    total = sum(r for r, _ in shapes)
+    o = off
+    seen = 0
+    for n_rows, nsym in shapes:
+        for _ in range(n_rows):
+            seen += 1
+            if not valid_row(U, o, nsym, width, last=(seen == total)):
+                raise RuntimeError(f"{name}: invalid row at u16 off {o}")
+            o += width
+    out = U[off : off + total * width].copy()
+    # zero any tail slots borrowed from the next object (elided padding)
+    last_nsym = shapes[-1][1]
+    out[(total - 1) * width + last_nsym - 1 :] = 0
+    return out.reshape(total, width).astype(np.uint16)
+
+
+def extract_quant(U):
+    """Locate the six 256-entry quantizer lookups: monotone non-decreasing,
+    start at 4, assigned by terminal magnitude (dc8<ac8<dc10<ac10<dc12<ac12)."""
+    blocks = []
+    idx = np.where(U == 4)[0]
+    for i in idx:
+        w = U[i : i + 256]
+        if len(w) == 256 and w[0] == 4 and np.all(np.diff(w) >= 0) and w[-1] > 1000:
+            if not any(abs(i - b[0]) < 256 for b in blocks):
+                blocks.append((i, int(w[-1])))
+    if len(blocks) != 6:
+        raise RuntimeError(f"quant lookups: found {len(blocks)} blocks, need 6")
+    blocks.sort(key=lambda b: b[1])
+    names = ["dc_qlookup_8", "ac_qlookup_8", "dc_qlookup_10", "ac_qlookup_10",
+             "dc_qlookup_12", "ac_qlookup_12"]
+    out = {}
+    for (i, last), nm in zip(blocks, names):
+        out[nm] = U[i : i + 256].astype(np.uint16)
+    # sanity: the classic 8-bit endpoints
+    assert out["dc_qlookup_8"][-1] == 1336 and out["ac_qlookup_8"][-1] == 1828
+    return out
+
+
+def main():
+    A = rodata(find_aom())
+    B = rodata(find_bundled_avif())
+    tables = {}
+    # dav1d's CdfContext block sits near the end of the bundled rodata; the
+    # bundled aom 3.12 carries its own differently-padded copy earlier, so
+    # restrict B-side searches to the dav1d region.
+    Bd = B[600000 // 2 :]
+    for name, src, shapes, width, fp in MANIFEST:
+        U = A if src == "A" else Bd
+        tables[name] = extract_table(U, name, shapes, width, fp)
+        print(f"{name:20s} rows={tables[name].shape[0]:5d} width={width}")
+    for name, src, fp, nbytes in RAW_REGIONS:
+        U = A if src == "A" else Bd
+        hits = find_fp(U, fp)
+        if len(hits) != 1:
+            raise RuntimeError(f"{name}: raw fingerprint hits={len(hits)}")
+        tables[name] = U[hits[0] : hits[0] + nbytes // 2].astype(np.uint16)
+        print(f"{name:20s} raw u16={len(tables[name])}")
+    hits = find_fp(Bd, PALETTE_Y_MODE_FP)
+    if len(hits) != 1:
+        raise RuntimeError("palette_y_mode fingerprint")
+    seq = Bd[hits[0] : hits[0] + 42 : 2].astype(np.uint16)
+    tables["palette_y_mode"] = seq.reshape(7, 3)
+    for k, v in SCALARS.items():
+        tables[k] = np.atleast_1d(np.array(v, dtype=np.uint16))
+    tables.update(extract_quant(A))
+
+    # cross-copy validation: every aom-side mode-table row's prob bytes must
+    # appear in the dav1d region too (independent copy of the same constants)
+    Bb = B.astype("<u2").tobytes()
+    for name in ("kf_y_mode", "uv_mode", "partition", "angle_delta", "y_mode",
+                 "skip", "coeff_base", "eob_pt_16"):
+        t = tables[name]
+        missing = 0
+        for row in t[: min(len(t), 60)]:
+            nz = row[row > 0]
+            if len(nz) >= 2 and Bb.find(u16pat(list(nz[:4]))) < 0:
+                missing += 1
+        if missing:
+            raise RuntimeError(f"{name}: {missing} rows missing from dav1d copy")
+    print("cross-copy validation OK")
+
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    np.savez_compressed(OUT, **tables)
+    print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes, {len(tables)} tables)")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
