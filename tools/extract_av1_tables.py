@@ -246,6 +246,25 @@ def main():
         tables[k] = np.atleast_1d(np.array(v, dtype=np.uint16))
     tables.update(extract_quant(A))
 
+    # intra-prediction constant tables (§7.11.2), located by known prefixes
+    A8 = A.astype("<u2").tobytes()
+    Au8 = np.frombuffer(A8, dtype=np.uint8)
+    i = A8.find(bytes([255, 149, 85, 64, 255, 197, 146, 105]))
+    if i < 0:
+        raise RuntimeError("sm_weights not found")
+    tables["sm_weights"] = Au8[i : i + 124].astype(np.uint16)  # sizes 4..64 concat
+    i = A8.find(np.array([-6, 10, 0, 0, 0, 12, 0, 0], dtype=np.int8).tobytes())
+    if i < 0:
+        raise RuntimeError("filter_intra_taps not found")
+    tables["filter_intra_taps"] = (
+        np.frombuffer(A8[i : i + 320], dtype=np.int8).astype(np.int16).reshape(5, 8, 8)
+    )
+    i = A8.find(np.array([1023, 0, 0, 547, 0, 0, 372], dtype="<u2").tobytes())
+    if i < 0:
+        raise RuntimeError("dr_intra_derivative not found")
+    i -= 6  # table starts 3 entries (angle 0..2) before the first nonzero
+    tables["dr_intra_derivative"] = np.frombuffer(A8[i : i + 180], dtype="<u2").copy()
+
     # cross-copy validation: every aom-side mode-table row's prob bytes must
     # appear in the dav1d region too (independent copy of the same constants)
     Bb = B.astype("<u2").tobytes()
