@@ -1,0 +1,953 @@
+"""Spec AV1 intra-frame tile decoder (§5.11, §7.11-7.13).
+
+Role: the decode half of the reference's codec delegation
+(codec_dav1d.c:58-156) — consumes real AV1 OBU payloads and produces YUV
+planes. Sequential symbol decoding runs on the host (this module);
+reconstruction math is numpy int32 (correctness reference — the batched
+device path reuses the own-format codec's wavefront machinery later).
+
+Current coverage: intra frames, lossless (WHT) transforms; lossy
+transforms land with transforms.py's DCT/ADST family. Palette, intrabc
+and film grain raise NOT_IMPLEMENTED cleanly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...constants import AvifError, Result
+from ...models.av1.msac import MsacDecoder
+from . import blocks as B
+from . import intra as I
+from . import tables as T
+from .headers import FrameHeader
+from .transforms import inverse_wht4x4
+
+INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
+SKIP_CONTEXTS_TABLE = [
+    [1, 2, 2, 2, 3],
+    [1, 4, 4, 4, 5],
+    [1, 4, 4, 4, 5],
+    [1, 4, 4, 4, 5],
+    [1, 4, 4, 4, 6],
+]
+COEFF_CONTEXT_MASK = 63
+NUM_BASE_LEVELS = 2
+COEFF_BASE_RANGE = 12
+
+# cfl joint-sign helpers (aom cfl.h macros)
+CFL_SIGN_ZERO, CFL_SIGN_NEG, CFL_SIGN_POS = 0, 1, 2
+
+
+def _cfl_sign_u(js):
+    return ((js + 1) * 11) >> 5
+
+
+def _cfl_sign_v(js):
+    return (js + 1) - 3 * _cfl_sign_u(js)
+
+
+class TileContexts:
+    """Per-tile entropy/neighbor contexts; tiles are fully independent."""
+
+    def __init__(self, mi_rows, mi_cols, n_planes):
+        self.above_part = np.zeros(mi_cols, dtype=np.uint8)
+        self.left_part = np.zeros(mi_rows, dtype=np.uint8)
+        self.above_skip = np.zeros(mi_cols, dtype=np.uint8)
+        self.left_skip = np.zeros(mi_rows, dtype=np.uint8)
+        self.y_modes = np.zeros((mi_rows, mi_cols), dtype=np.int8)
+        self.uv_modes = np.zeros((mi_rows, mi_cols), dtype=np.int8)
+        self.block_of = np.zeros((mi_rows, mi_cols), dtype=np.int8)  # bsize per mi
+        # coefficient contexts per plane, at 4px granularity of that plane
+        self.above_coef = [np.zeros(mi_cols, dtype=np.uint8) for _ in range(n_planes)]
+        self.left_coef = [np.zeros(mi_rows, dtype=np.uint8) for _ in range(n_planes)]
+        # tx dims per mi (for tx_size ctx, lossy)
+        self.tx_w = np.zeros((mi_rows, mi_cols), dtype=np.uint8)
+        self.tx_h = np.zeros((mi_rows, mi_cols), dtype=np.uint8)
+
+
+class FrameDecoder:
+    def __init__(self, seq, hdr: FrameHeader):
+        self.seq = seq
+        self.hdr = hdr
+        self.bd = seq.bit_depth
+        self.n_planes = 1 if seq.monochrome else 3
+        self.ss_x = seq.subsampling_x if not seq.monochrome else 1
+        self.ss_y = seq.subsampling_y if not seq.monochrome else 1
+        w, h = hdr.width, hdr.height
+        # aligned plane buffers (multiple of 8 luma px for safety)
+        aw = (w + 127) & ~127
+        ah = (h + 127) & ~127
+        self.planes = [np.zeros((ah, aw), dtype=np.int32)]
+        for _ in range(self.n_planes - 1):
+            self.planes.append(
+                np.zeros(((ah + self.ss_y) >> self.ss_y, (aw + self.ss_x) >> self.ss_x), dtype=np.int32)
+            )
+        self.pw = [w] + [(w + self.ss_x) >> self.ss_x] * (self.n_planes - 1)
+        self.ph = [h] + [(h + self.ss_y) >> self.ss_y] * (self.n_planes - 1)
+        self.sb_px = 128 if seq.use_128x128_superblock else 64
+        self.sb_mi = self.sb_px >> 2
+        if hdr.allow_intrabc:
+            raise AvifError(Result.NOT_IMPLEMENTED, "intrabc")
+
+    # ------------------------------------------------------------ tiles
+
+    def decode_tiles(self, tile_payloads: list) -> list:
+        """tile_payloads: list of (tile_index, bytes) in order."""
+        ti = self.hdr.tile
+        expected = ti.cols * ti.rows
+        if len(tile_payloads) != expected:
+            raise AvifError(Result.BMFF_PARSE_FAILED, "tile count mismatch")
+        for idx, data in tile_payloads:
+            tr, tc = divmod(idx, ti.cols)
+            self._decode_tile(tr, tc, data)
+        return [
+            p[: self.ph[i], : self.pw[i]].copy() for i, p in enumerate(self.planes)
+        ]
+
+    def _decode_tile(self, tr: int, tc: int, data: bytes) -> None:
+        ti = self.hdr.tile
+        self.mi_col0 = ti.col_starts[tc] * self.sb_mi
+        self.mi_col1 = min(ti.col_starts[tc + 1] * self.sb_mi, self.hdr.mi_cols)
+        self.mi_row0 = ti.row_starts[tr] * self.sb_mi
+        self.mi_row1 = min(ti.row_starts[tr + 1] * self.sb_mi, self.hdr.mi_rows)
+        self.ctx = TileContexts(self.hdr.mi_rows, self.hdr.mi_cols, self.n_planes)
+        self.cdf = T.defaults().copy()
+        self.qctx = self._q_ctx()
+        self.dec = MsacDecoder(data)
+        self.adapt = not self.hdr.disable_cdf_update
+        for r in range(self.mi_row0, self.mi_row1, self.sb_mi):
+            for c in range(self.mi_col0, self.mi_col1, self.sb_mi):
+                self._clear_block_decoded(r, c)
+                sz = B.block_size(self.sb_px, self.sb_px)
+                self._decode_partition(r, c, sz)
+
+    def _q_ctx(self) -> int:
+        q = self.hdr.quant.base_q_idx
+        if q <= 20:
+            return 0
+        if q <= 60:
+            return 1
+        if q <= 120:
+            return 2
+        return 3
+
+    # -------------------------------------------------- block-decoded flags
+
+    def _clear_block_decoded(self, r, c):
+        """§5.11.30: per-SB decoded flags at 4x4 granularity, with a
+        border row/col; top row available, bottom-left corner not."""
+        self.bd_flags = []
+        for p in range(self.n_planes):
+            sx = self.ss_x if p else 0
+            sy = self.ss_y if p else 0
+            sbw4 = self.sb_mi >> sx
+            sbh4 = self.sb_mi >> sy
+            # grid index [y4+1][x4+1] for y4 in -1..sbh4, x4 in -1..sbw4+1
+            g = np.zeros((sbh4 + 2, sbw4 + 3), dtype=np.uint8)
+            g[0, : sbw4 + 2] = 1  # above row decoded through one past right
+            g[1 : sbh4 + 1, 0] = 1  # left col decoded for rows inside the SB
+            # row y4 == sbh4 (below the SB) stays 0, incl. its left border
+            self.bd_flags.append(g)
+        self.sb_r, self.sb_c = r, c
+
+    def _bd_get(self, plane, y4, x4):
+        """y4/x4 relative to SB in plane-4px units; -1 allowed."""
+        g = self.bd_flags[plane]
+        yy = min(y4 + 1, g.shape[0] - 1)
+        xx = min(x4 + 1, g.shape[1] - 1)
+        if yy < 0 or xx < 0:
+            return 0
+        return int(g[yy, xx])
+
+    def _bd_set(self, plane, y4, x4, h4, w4):
+        g = self.bd_flags[plane]
+        g[y4 + 1 : y4 + 1 + h4, x4 + 1 : x4 + 1 + w4] = 1
+
+    # ------------------------------------------------------- partitions
+
+    def _decode_partition(self, r, c, bsize):
+        if r >= self.mi_row1 or c >= self.mi_col1:
+            return
+        w4 = B.w4(bsize)
+        half = w4 >> 1
+        quarter = w4 >> 2
+        has_rows = r + half < self.mi_row1
+        has_cols = c + half < self.mi_col1
+        bsl = w4.bit_length() - 1  # 8x8 -> 1
+        if w4 == 1:
+            self._decode_block(r, c, bsize)
+            return
+        if has_rows and has_cols:
+            ctx_idx = (bsl - 1) * 4 + self._part_ctx(r, c, bsl)
+            nsym = self.cdf.partition_nsym[ctx_idx]
+            part = self.dec.decode_symbol(
+                self.cdf.partition[ctx_idx], nsym, adapt=self.adapt
+            )
+        elif has_cols:
+            part = (
+                B.PARTITION_SPLIT
+                if self._gather_bool(bsl, r, c, vert=False)
+                else B.PARTITION_HORZ
+            )
+        elif has_rows:
+            part = (
+                B.PARTITION_SPLIT
+                if self._gather_bool(bsl, r, c, vert=True)
+                else B.PARTITION_VERT
+            )
+        else:
+            part = B.PARTITION_SPLIT
+
+        w = B.BLOCK_DIMS[bsize][0]
+        hw = w >> 1
+        qw = w >> 2
+        bs = B.block_size
+        if part == B.PARTITION_NONE:
+            self._decode_block(r, c, bsize)
+        elif part == B.PARTITION_HORZ:
+            self._decode_block(r, c, bs(w, hw))
+            if has_rows:
+                self._decode_block(r + half, c, bs(w, hw))
+        elif part == B.PARTITION_VERT:
+            self._decode_block(r, c, bs(hw, w))
+            if has_cols:
+                self._decode_block(r, c + half, bs(hw, w))
+        elif part == B.PARTITION_SPLIT:
+            sub = bs(hw, hw)
+            self._decode_partition(r, c, sub)
+            self._decode_partition(r, c + half, sub)
+            self._decode_partition(r + half, c, sub)
+            self._decode_partition(r + half, c + half, sub)
+        elif part == B.PARTITION_HORZ_A:
+            self._decode_block(r, c, bs(hw, hw))
+            self._decode_block(r, c + half, bs(hw, hw))
+            self._decode_block(r + half, c, bs(w, hw))
+        elif part == B.PARTITION_HORZ_B:
+            self._decode_block(r, c, bs(w, hw))
+            self._decode_block(r + half, c, bs(hw, hw))
+            self._decode_block(r + half, c + half, bs(hw, hw))
+        elif part == B.PARTITION_VERT_A:
+            self._decode_block(r, c, bs(hw, hw))
+            self._decode_block(r + half, c, bs(hw, hw))
+            self._decode_block(r, c + half, bs(hw, w))
+        elif part == B.PARTITION_VERT_B:
+            self._decode_block(r, c, bs(hw, w))
+            self._decode_block(r, c + half, bs(hw, hw))
+            self._decode_block(r + half, c + half, bs(hw, hw))
+        elif part == B.PARTITION_HORZ_4:
+            for k in range(4):
+                rr = r + quarter * k
+                if k > 0 and rr >= self.mi_row1:
+                    break
+                self._decode_block(rr, c, bs(w, qw))
+        elif part == B.PARTITION_VERT_4:
+            for k in range(4):
+                cc = c + quarter * k
+                if k > 0 and cc >= self.mi_col1:
+                    break
+                self._decode_block(r, cc, bs(qw, w))
+        if part != B.PARTITION_SPLIT:
+            # partition context update is done per coded block (bsize of
+            # leaves) in _decode_block; nothing extra here
+            pass
+
+    def _part_ctx(self, r, c, bsl):
+        above = (int(self.ctx.above_part[c]) >> bsl) & 1
+        left = (int(self.ctx.left_part[r]) >> bsl) & 1
+        return left * 2 + above
+
+    # Non-split-result probability groups for the truncated-edge bools: the
+    # partitions whose reading collapses to VERT (resp. HORZ) rather than
+    # SPLIT when the other half is off-frame. Verified empirically against
+    # aom streams (the alternative groupings desync).
+    _ONE_FOR_VERT = (B.PARTITION_NONE, B.PARTITION_VERT, B.PARTITION_VERT_B,
+                     B.PARTITION_VERT_4)
+    _ONE_FOR_HORZ = (B.PARTITION_NONE, B.PARTITION_HORZ, B.PARTITION_HORZ_B,
+                     B.PARTITION_HORZ_4)
+
+    def _gather_bool(self, bsl, r, c, vert: bool) -> int:
+        """Derived split-vs-{horz,vert} bool at frame edges; returns 1 for
+        SPLIT. Probability gathered from the full partition cdf, read
+        without adaptation."""
+        ctx_idx = (bsl - 1) * 4 + self._part_ctx(r, c, bsl)
+        cdf = self.cdf.partition[ctx_idx]
+        nsym = self.cdf.partition_nsym[ctx_idx]
+
+        def prob(sym):  # probability mass of symbol in q15
+            lo = 32768 if sym == 0 else int(cdf[sym - 1])
+            hi = int(cdf[sym]) if sym < nsym - 1 else 0
+            return lo - hi
+
+        members = self._ONE_FOR_VERT if vert else self._ONE_FOR_HORZ
+        if bsl == 5:  # 128x128: no 4-way partitions in the gather
+            members = members[:3]
+        p_one = sum(prob(m) for m in members if m < nsym)
+        icdf2 = np.array([max(1, 32768 - p_one), 0, 0], dtype=np.uint16)
+        return self.dec.decode_symbol(icdf2, 2, adapt=False)
+
+    # ----------------------------------------------------------- blocks
+
+    def _has_chroma(self, r, c, bsize):
+        if self.n_planes == 1:
+            return False
+        bw4, bh4 = B.w4(bsize), B.h4(bsize)
+        if bw4 == 1 and self.ss_x and not (c & 1):
+            return False
+        if bh4 == 1 and self.ss_y and not (r & 1):
+            return False
+        return True
+
+    def _decode_block(self, r, c, bsize):
+        ctx = self.ctx
+        bw4, bh4 = B.w4(bsize), B.h4(bsize)
+        wpx, hpx = B.BLOCK_DIMS[bsize]
+        avail_u = r > self.mi_row0
+        avail_l = c > self.mi_col0
+        has_chroma = self._has_chroma(r, c, bsize)
+        dec = self.dec
+        cdf = self.cdf
+
+        # ---- skip
+        skip_ctx = 0
+        if avail_u:
+            skip_ctx += int(ctx.above_skip[c])
+        if avail_l:
+            skip_ctx += int(ctx.left_skip[r])
+        skip = dec.decode_symbol(cdf.skip[skip_ctx], 2, adapt=self.adapt)
+
+        # cdef / delta q / delta lf would be read here (lossy, non-lossless)
+        if self.hdr.delta_q_present:
+            raise AvifError(Result.NOT_IMPLEMENTED, "delta_q in intra decode")
+
+        # ---- y mode
+        above_mode = int(ctx.y_modes[r - 1, c]) if avail_u else I.DC_PRED
+        left_mode = int(ctx.y_modes[r, c - 1]) if avail_l else I.DC_PRED
+        actx = INTRA_MODE_CONTEXT[above_mode]
+        lctx = INTRA_MODE_CONTEXT[left_mode]
+        y_mode = dec.decode_symbol(cdf.kf_y_mode[actx][lctx], 13, adapt=self.adapt)
+        angle_y = 0
+        use_angle = wpx >= 8 and hpx >= 8
+        if I.is_directional(y_mode) and use_angle:
+            sym = dec.decode_symbol(
+                cdf.angle_delta[y_mode - I.V_PRED], 7, adapt=self.adapt
+            )
+            angle_y = sym - I.MAX_ANGLE_DELTA
+
+        # ---- uv mode
+        uv_mode = I.DC_PRED
+        angle_uv = 0
+        cfl_alpha_u = cfl_alpha_v = 0
+        if has_chroma:
+            if self.hdr.coded_lossless:
+                # lossless: CFL only when the chroma plane block is 4x4
+                cfl_allowed = (
+                    max(4, wpx >> self.ss_x) == 4 and max(4, hpx >> self.ss_y) == 4
+                )
+            else:
+                cfl_allowed = wpx <= 32 and hpx <= 32
+            if cfl_allowed:
+                uv_mode = dec.decode_symbol(
+                    cdf.uv_mode_cfl[y_mode], 14, adapt=self.adapt
+                )
+            else:
+                uv_mode = dec.decode_symbol(
+                    cdf.uv_mode_nocfl[y_mode], 13, adapt=self.adapt
+                )
+            if uv_mode == I.UV_CFL_PRED:
+                js = dec.decode_symbol(cdf.cfl_sign[0], 8, adapt=self.adapt)
+                su, sv = _cfl_sign_u(js), _cfl_sign_v(js)
+                if su != CFL_SIGN_ZERO:
+                    cu = js + 1 - 3
+                    idx = dec.decode_symbol(cdf.cfl_alpha[cu], 16, adapt=self.adapt)
+                    cfl_alpha_u = (idx + 1) * (-1 if su == CFL_SIGN_NEG else 1)
+                if sv != CFL_SIGN_ZERO:
+                    cv = sv * 3 + su - 3
+                    idx = dec.decode_symbol(cdf.cfl_alpha[cv], 16, adapt=self.adapt)
+                    cfl_alpha_v = (idx + 1) * (-1 if sv == CFL_SIGN_NEG else 1)
+            elif I.is_directional(uv_mode) and use_angle:
+                sym = dec.decode_symbol(
+                    cdf.angle_delta[uv_mode - I.V_PRED], 7, adapt=self.adapt
+                )
+                angle_uv = sym - I.MAX_ANGLE_DELTA
+
+        # ---- palette (only with screen content tools)
+        if (
+            self.hdr.allow_screen_content_tools
+            and wpx <= 64
+            and hpx <= 64
+            and bsize >= B.block_size(8, 8)
+        ):
+            raise AvifError(Result.NOT_IMPLEMENTED, "palette mode")
+
+        # ---- filter intra
+        use_filter_intra = False
+        fi_mode = 0
+        if (
+            self.seq.enable_filter_intra
+            and y_mode == I.DC_PRED
+            and wpx <= 32
+            and hpx <= 32
+        ):
+            use_filter_intra = bool(
+                dec.decode_symbol(cdf.use_filter_intra[bsize], 2, adapt=self.adapt)
+            )
+            if use_filter_intra:
+                fi_mode = dec.decode_symbol(
+                    cdf.filter_intra_mode[0], 5, adapt=self.adapt
+                )
+
+        # ---- tx size (lossless: 4x4 implied)
+        if self.hdr.coded_lossless:
+            txw = txh = 4
+        else:
+            txw, txh = self._read_tx_size(r, c, bsize, skip)
+
+        # record mode info
+        r1 = min(r + bh4, self.hdr.mi_rows)
+        c1 = min(c + bw4, self.hdr.mi_cols)
+        ctx.y_modes[r:r1, c:c1] = y_mode
+        ctx.uv_modes[r:r1, c:c1] = uv_mode
+        ctx.block_of[r:r1, c:c1] = bsize
+        ctx.above_skip[c:c1] = skip
+        ctx.left_skip[r:r1] = skip
+        ctx.tx_w[r:r1, c:c1] = txw
+        ctx.tx_h[r:r1, c:c1] = txh
+        # partition context bytes
+        lw = bw4.bit_length() - 1
+        lh = bh4.bit_length() - 1
+        # byte bit k set <=> this block is narrower than scale k (so a
+        # later partition read at that scale sees "split" above/left)
+        ctx.above_part[c:c1] = (~((1 << (lw + 1)) - 1)) & 0x3F
+        ctx.left_part[r:r1] = (~((1 << (lh + 1)) - 1)) & 0x3F
+
+        self.block = dict(
+            r=r, c=c, bsize=bsize, skip=skip, y_mode=y_mode, uv_mode=uv_mode,
+            angle_y=angle_y, angle_uv=angle_uv, use_filter_intra=use_filter_intra,
+            fi_mode=fi_mode, cfl_u=cfl_alpha_u, cfl_v=cfl_alpha_v,
+            avail_u=avail_u, avail_l=avail_l, has_chroma=has_chroma,
+            txw=txw, txh=txh,
+        )
+        self._residual()
+
+    def _read_tx_size(self, r, c, bsize, skip):
+        wpx, hpx = B.BLOCK_DIMS[bsize]
+        max_txw, max_txh = B.MAX_TX_SIZE_RECT[(wpx, hpx)]
+        if not self.hdr.tx_mode_select or skip:
+            return (max_txw, max_txh)
+        if wpx == 4 and hpx == 4:
+            return (4, 4)
+        # tx_depth via tx_size_cdf
+        cat = min(max(wpx, hpx).bit_length() - 4, 3)  # 8->0,16->1,32->2,64->3
+        # ctx from above/left tx widths vs block size
+        a = int(self.ctx.tx_w[r - 1, c]) if r > self.mi_row0 else 64
+        l = int(self.ctx.tx_h[r, c - 1]) if c > self.mi_col0 else 64
+        above = 1 if a >= wpx else 0
+        left = 1 if l >= hpx else 0
+        tctx = above + left if (r > self.mi_row0 or c > self.mi_col0) else 0
+        nsym = self.cdf.tx_size_nsym[cat]
+        depth = self.dec.decode_symbol(self.cdf.tx_size[cat][tctx], nsym, adapt=self.adapt)
+        txw, txh = max_txw, max_txh
+        for _ in range(depth):
+            txw, txh = B.SUB_TX[(txw, txh)]
+        return (txw, txh)
+
+    # ---------------------------------------------------------- residual
+
+    def _residual(self):
+        """§5.11.34: blocks wider/taller than 64 process residual in 64x64
+        chunks, each chunk covering all planes before the next."""
+        b = self.block
+        bsize = b["bsize"]
+        wpx, hpx = B.BLOCK_DIMS[bsize]
+        for cy in range(0, hpx, 64):
+            for cx in range(0, wpx, 64):
+                self._residual_chunk(cx, cy, min(64, wpx - cx), min(64, hpx - cy))
+
+    def _residual_chunk(self, cx, cy, cwpx, chpx):
+        b = self.block
+        r, c, bsize = b["r"], b["c"], b["bsize"]
+        wpx, hpx = cwpx, chpx
+        for plane in range(self.n_planes if b["has_chroma"] else 1):
+            sx = self.ss_x if plane else 0
+            sy = self.ss_y if plane else 0
+            if plane == 0:
+                txw, txh = b["txw"], b["txh"]
+                px, py = c * 4 + cx, r * 4 + cy
+                pw = wpx
+                ph = hpx
+            else:
+                pw = max(4, wpx >> sx)
+                ph = max(4, hpx >> sy)
+                txw, txh = self._chroma_tx_size(pw, ph)
+                px = (c >> sx) * 4 + (cx >> sx)
+                py = (r >> sy) * 4 + (cy >> sy)
+            if self.hdr.coded_lossless:
+                txw, txh = 4, 4
+            max_x = self.pw[plane]
+            max_y = self.ph[plane]
+            for y in range(0, ph, txh):
+                if py + y >= max_y:
+                    break
+                for x in range(0, pw, txw):
+                    if px + x >= max_x:
+                        break
+                    self._transform_block(plane, px + x, py + y, txw, txh)
+
+    def _chroma_tx_size(self, pw, ph):
+        txw, txh = B.MAX_TX_SIZE_RECT[
+            (min(pw, 64), min(ph, 64))
+        ] if (min(pw, 64), min(ph, 64)) in B.MAX_TX_SIZE_RECT else (32, 32)
+        return (min(txw, 32), min(txh, 32))
+
+    # ------------------------------------------------- one transform block
+
+    def _transform_block(self, plane, x, y, txw, txh):
+        b = self.block
+        pred = self._predict(plane, x, y, txw, txh)
+        frame = self.planes[plane]
+        if b["skip"]:
+            frame[y : y + txh, x : x + txw] = pred
+        else:
+            coeffs, eob = self._coeffs(plane, x, y, txw, txh)
+            if eob == 0:
+                frame[y : y + txh, x : x + txw] = pred
+            else:
+                if self.hdr.coded_lossless:
+                    res = inverse_wht4x4(coeffs)
+                else:
+                    raise AvifError(Result.NOT_IMPLEMENTED, "lossy inverse transform")
+                maxv = (1 << self.bd) - 1
+                frame[y : y + txh, x : x + txw] = np.clip(pred + res, 0, maxv)
+        # mark decoded
+        sb_y4 = (y - ((self.sb_r >> (self.ss_y if plane else 0)) * 4)) >> 2
+        sb_x4 = (x - ((self.sb_c >> (self.ss_x if plane else 0)) * 4)) >> 2
+        self._bd_set(plane, sb_y4, sb_x4, txh >> 2, txw >> 2)
+        if b["skip"]:
+            # zero coefficient contexts
+            self._set_coef_ctx(plane, x, y, txw, txh, 0)
+
+    # ------------------------------------------------------- prediction
+
+    def _predict(self, plane, x, y, txw, txh):
+        b = self.block
+        sx = self.ss_x if plane else 0
+        sy = self.ss_y if plane else 0
+        frame = self.planes[plane]
+        bd = self.bd
+        mode = b["y_mode"] if plane == 0 else b["uv_mode"]
+        angle_delta = b["angle_y"] if plane == 0 else b["angle_uv"]
+        # availability
+        block_px = (b["c"] >> sx) * 4
+        block_py = (b["r"] >> sy) * 4
+        have_left = x > block_px or (b["avail_l"] if plane == 0 else self._avail_chroma(left=True))
+        have_above = y > block_py or (b["avail_u"] if plane == 0 else self._avail_chroma(left=False))
+        sb_y4 = (y - ((self.sb_r >> sy) * 4)) >> 2
+        sb_x4 = (x - ((self.sb_c >> sx) * 4)) >> 2
+        decoded_ur = self._bd_get(plane, sb_y4 - 1, sb_x4 + (txw >> 2))
+        decoded_bl = self._bd_get(plane, sb_y4 + (txh >> 2), sb_x4 - 1)
+        max_x = self.pw[plane] - 1
+        max_y = self.ph[plane] - 1
+
+        if plane > 0 and b["uv_mode"] == I.UV_CFL_PRED:
+            return self._cfl_predict(plane, x, y, txw, txh, have_above, have_left)
+
+        w, h = txw, txh
+        base = 1 << (bd - 1)
+        # edge buffers: above[-1 .. w+h-1], left[-1 .. w+h-1]
+        above = np.zeros(w + h + 1, dtype=np.int32)  # above[i+1] = ref_above[i]
+        left = np.zeros(w + h + 1, dtype=np.int32)
+        if have_above and have_left:
+            corner = int(frame[y - 1, x - 1])
+        elif have_above:
+            corner = int(frame[y - 1, x])
+        elif have_left:
+            corner = int(frame[y, x - 1])
+        else:
+            corner = base
+        above[0] = left[0] = corner
+        if have_above:
+            for i in range(w + h):
+                if decoded_ur or i < w:
+                    above[i + 1] = int(frame[y - 1, min(x + i, max_x)])
+                else:
+                    above[i + 1] = above[w]  # replicate last in-block sample
+        else:
+            above[1:] = int(frame[y, x - 1]) if have_left else base - 1
+        if have_left:
+            for i in range(w + h):
+                if decoded_bl or i < h:
+                    left[i + 1] = int(frame[min(y + i, max_y), x - 1])
+                else:
+                    left[i + 1] = left[h]
+        else:
+            left[1:] = int(frame[y - 1, x]) if have_above else base + 1
+
+        if b["use_filter_intra"] and plane == 0:
+            return I.filter_intra_pred(above[1:], left[1:], corner, w, h, b["fi_mode"], bd)
+
+        if I.is_directional(mode):
+            angle = I.pred_angle(mode, angle_delta)
+            if angle == 90:
+                return np.broadcast_to(above[1 : w + 1], (h, w)).copy()
+            if angle == 180:
+                return np.broadcast_to(left[1 : h + 1].reshape(h, 1), (h, w)).copy()
+            filt_type = self._filt_type(plane)
+            up_a = up_l = False
+            if self.seq.enable_intra_edge_filter:
+                if have_above and have_left and w + h >= 24 and 90 < angle < 180:
+                    s = 5 * int(above[1]) + 6 * int(above[0]) + 5 * int(left[1])
+                    above[0] = left[0] = (s + 8) >> 4
+                if have_above:
+                    strength = I.intra_edge_filter_strength(w, h, filt_type, angle - 90)
+                    n_px = min(w, max_x - x + 1) + (h if angle < 90 else 0) + 1
+                    I.filter_edge(above, n_px, strength)
+                if have_left:
+                    strength = I.intra_edge_filter_strength(h, w, filt_type, angle - 180)
+                    n_px = min(h, max_y - y + 1) + (w if angle > 180 else 0) + 1
+                    I.filter_edge(left, n_px, strength)
+                up_a = I.use_intra_edge_upsample(w, h, angle - 90, filt_type)
+                up_l = I.use_intra_edge_upsample(h, w, angle - 180, filt_type)
+            a_arr, a_off = above, 1
+            l_arr, l_off = left, 1
+            if up_a:
+                n = w + (h if angle < 90 else 0)
+                a_arr, a_off = I.upsample_edge(above, n, bd), 2
+            if up_l:
+                n = h + (w if angle > 180 else 0)
+                l_arr, l_off = I.upsample_edge(left, n, bd), 2
+            return I.directional_pred(
+                a_arr, a_off, l_arr, l_off, w, h, angle, up_a, up_l, bd
+            )
+        if mode == I.DC_PRED:
+            v = I.dc_pred(above[1:], left[1:], w, h, have_above, have_left, bd)
+            return np.full((h, w), v, dtype=np.int32)
+        if mode == I.PAETH_PRED:
+            return I.paeth_pred(above[1:], left[1:], corner, w, h)
+        return I.smooth_pred(above[1:], left[1:], w, h, mode)
+
+    def _avail_chroma(self, left: bool) -> bool:
+        b = self.block
+        r, c = b["r"], b["c"]
+        # chroma-aligned origin of this block
+        cr = r & ~self.ss_y if B.h4(b["bsize"]) == 1 and self.ss_y else r
+        cc = c & ~self.ss_x if B.w4(b["bsize"]) == 1 and self.ss_x else c
+        return (cc > self.mi_col0) if left else (cr > self.mi_row0)
+
+    def _filt_type(self, plane) -> int:
+        """1 if the above or left neighbor block used a smooth mode. For
+        chroma, neighbors are taken at the chroma-aligned block origin
+        (sub-8x8 blocks own the chroma of their 2x2 mi group)."""
+        b = self.block
+        r, c = b["r"], b["c"]
+        if plane == 0:
+            modes = self.ctx.y_modes
+            ar, ac = r, c
+            lr, lc = r, c
+        else:
+            # chroma neighbor mi positions (aom's pointer arithmetic from
+            # the block mi): above = ((r & ~ssy) - 1, c | ssx),
+            # left = (r | ssy, (c & ~ssx) - 1)
+            modes = self.ctx.uv_modes
+            ar = r & ~self.ss_y
+            ac = min(c | self.ss_x, self.mi_col1 - 1)
+            lr = min(r | self.ss_y, self.mi_row1 - 1)
+            lc = c & ~self.ss_x
+        smooth = False
+        if ar > self.mi_row0:
+            m = int(modes[ar - 1, ac])
+            smooth |= m in I.SMOOTH_MODES
+        if lc > self.mi_col0:
+            m = int(modes[lr, lc - 1])
+            smooth |= m in I.SMOOTH_MODES
+        return 1 if smooth else 0
+
+    def _cfl_predict(self, plane, x, y, txw, txh, have_above, have_left):
+        b = self.block
+        bd = self.bd
+        luma = self.planes[0]
+        sx, sy = self.ss_x, self.ss_y
+        # DC prediction base
+        frame = self.planes[plane]
+        base = 1 << (bd - 1)
+        above = np.array(
+            [int(frame[y - 1, min(x + i, self.pw[plane] - 1)]) for i in range(txw)]
+            if have_above
+            else [],
+            dtype=np.int32,
+        )
+        leftc = np.array(
+            [int(frame[min(y + i, self.ph[plane] - 1), x - 1]) for i in range(txh)]
+            if have_left
+            else [],
+            dtype=np.int32,
+        )
+        if have_above and have_left:
+            dc = (int(above.sum() + leftc.sum()) + ((txw + txh) >> 1)) // (txw + txh)
+        elif have_above:
+            dc = (int(above.sum()) + (txw >> 1)) >> (txw.bit_length() - 1)
+        elif have_left:
+            dc = (int(leftc.sum()) + (txh >> 1)) >> (txh.bit_length() - 1)
+        else:
+            dc = base
+        # luma AC (q3)
+        lx0 = x << sx
+        ly0 = y << sy
+        lmax_x = self.pw[0] - 1
+        lmax_y = self.ph[0] - 1
+        L = np.zeros((txh, txw), dtype=np.int64)
+        for i in range(txh):
+            for j in range(txw):
+                ly = min(ly0 + (i << sy), lmax_y - sy if lmax_y - sy >= 0 else 0)
+                lx = min(lx0 + (j << sx), lmax_x - sx if lmax_x - sx >= 0 else 0)
+                if sx and sy:
+                    t = (
+                        int(luma[ly, lx]) + int(luma[ly, lx + 1])
+                        + int(luma[ly + 1, lx]) + int(luma[ly + 1, lx + 1])
+                    )
+                    L[i, j] = t << 1
+                elif sx:
+                    t = int(luma[ly, lx]) + int(luma[ly, lx + 1])
+                    L[i, j] = t << 2
+                else:
+                    L[i, j] = int(luma[ly, lx]) << 3
+        npel_log2 = (txw * txh).bit_length() - 1
+        avg = (int(L.sum()) + (1 << npel_log2 >> 1)) >> npel_log2
+        ac = L - avg
+        alpha = b["cfl_u"] if plane == 1 else b["cfl_v"]
+        scaled = np.sign(ac * alpha) * ((np.abs(ac * alpha) + 32) >> 6)
+        return np.clip(dc + scaled, 0, (1 << bd) - 1).astype(np.int32)
+
+    # ---------------------------------------------------------- coeffs
+
+    def _coeffs(self, plane, x, y, txw, txh):
+        dec = self.dec
+        cdf = self.cdf
+        q = self.qctx
+        ptype = 1 if plane else 0
+        tctx = B.txs_ctx(txw, txh)
+        cw = min(txw, 32)
+        ch = min(txh, 32)
+        n_coeff = cw * ch
+        skip_ctx = self._txb_skip_ctx(plane, x, y, txw, txh)
+        all_zero = dec.decode_symbol(
+            cdf.txb_skip[q][tctx][skip_ctx], 2, adapt=self.adapt
+        )
+        if all_zero:
+            self._set_coef_ctx(plane, x, y, txw, txh, 0)
+            return None, 0
+        # tx type: lossless => WHT (no symbol)
+        if not self.hdr.coded_lossless and plane == 0:
+            raise AvifError(Result.NOT_IMPLEMENTED, "lossy tx type")
+        scan = T.default_scan(cw, ch)
+        # ---- eob
+        size_key = n_coeff
+        eob_cdf = cdf.eob_pt[size_key][q][ptype][0]  # [qctx][plane][2D class]
+        nsym = {16: 5, 32: 6, 64: 7, 128: 8, 256: 9, 512: 10, 1024: 11}[size_key]
+        eob_pt = dec.decode_symbol(eob_cdf, nsym, adapt=self.adapt) + 1
+        eob = eob_pt if eob_pt < 3 else (1 << (eob_pt - 2)) + 1
+        if eob_pt >= 3:
+            eshift = eob_pt - 3
+            extra = dec.decode_symbol(
+                cdf.eob_extra[q][tctx][ptype][eob_pt - 3], 2, adapt=self.adapt
+            )
+            if extra:
+                eob += 1 << eshift
+            for i in range(1, eob_pt - 2):
+                if dec.decode_bit():
+                    eob += 1 << (eshift - i)
+        # ---- levels, reverse scan
+        bwl = cw.bit_length() - 1
+        lev = np.zeros((ch + 4, cw + 4), dtype=np.int32)  # padded below/right
+        quant = np.zeros(n_coeff, dtype=np.int64)
+        for si in range(eob - 1, -1, -1):
+            pos = int(scan[si])
+            row, col = pos >> bwl, pos & (cw - 1)
+            if si == eob - 1:
+                ctx_e = self._eob_base_ctx(si, n_coeff)
+                level = (
+                    dec.decode_symbol(
+                        cdf.coeff_base_eob[q][tctx][ptype][ctx_e], 3, adapt=self.adapt
+                    )
+                    + 1
+                )
+            else:
+                ctx_b = self._base_ctx(lev, row, col, pos)
+                level = dec.decode_symbol(
+                    cdf.coeff_base[q][tctx][ptype][ctx_b], 4, adapt=self.adapt
+                )
+            if level > NUM_BASE_LEVELS:
+                br_ctx = self._br_ctx(lev, row, col, pos)
+                bq = min(tctx, 3)
+                for _ in range(4):
+                    k = dec.decode_symbol(
+                        cdf.coeff_br[q][bq][ptype][br_ctx], 4, adapt=self.adapt
+                    )
+                    level += k
+                    if k < 3:
+                        break
+            lev[row, col] = min(level, 127)
+            quant[pos] = level
+        # ---- signs (forward) + golomb tails
+        dc_sign_neg = 0
+        culsum = 0
+        for si in range(eob):
+            pos = int(scan[si])
+            if quant[pos] != 0:
+                if si == 0:
+                    sctx = self._dc_sign_ctx(plane, x, y, txw, txh)
+                    sign = dec.decode_symbol(
+                        cdf.dc_sign[q][ptype][sctx], 2, adapt=self.adapt
+                    )
+                    dc_sign_neg = sign
+                else:
+                    sign = dec.decode_bit()
+                if quant[pos] > NUM_BASE_LEVELS + COEFF_BASE_RANGE:
+                    quant[pos] += dec.decode_golomb()
+                culsum += int(quant[pos])
+                if sign:
+                    quant[pos] = -quant[pos]
+        # context store
+        cul = min(culsum, COEFF_CONTEXT_MASK)
+        if quant[0] != 0:
+            cul |= 64 if dc_sign_neg else 128  # dc sign category in bits 6-7
+        self._set_coef_ctx(plane, x, y, txw, txh, cul)
+        # dequant (lossless: flat 4)
+        dq = np.zeros((ch, cw), dtype=np.int64)
+        qd = self.hdr.quant
+        depth = self.bd
+        dcq = T.dc_q(qd.base_q_idx + (qd.delta_q_y_dc if plane == 0 else (qd.delta_q_u_dc if plane == 1 else qd.delta_q_v_dc)), depth)
+        acq = T.ac_q(qd.base_q_idx + (0 if plane == 0 else (qd.delta_q_u_ac if plane == 1 else qd.delta_q_v_ac)), depth)
+        for si in range(eob):
+            pos = int(scan[si])
+            v = int(quant[pos])
+            if v == 0:
+                continue
+            row, col = pos >> bwl, pos & (cw - 1)
+            qv = dcq if pos == 0 else acq
+            s = -1 if v < 0 else 1
+            dq[row, col] = s * ((abs(v) * qv) & 0xFFFFFF)
+        return dq, eob
+
+    def _eob_base_ctx(self, si, n):
+        if si == 0:
+            return 0
+        if si <= n // 8:
+            return 1
+        if si <= n // 4:
+            return 2
+        return 3
+
+    def _base_ctx(self, lev, row, col, pos):
+        mag = (
+            min(int(lev[row, col + 1]), 3)
+            + min(int(lev[row + 1, col]), 3)
+            + min(int(lev[row + 1, col + 1]), 3)
+            + min(int(lev[row, col + 2]), 3)
+            + min(int(lev[row + 2, col]), 3)
+        )
+        ctx = min((mag + 1) >> 1, 4)
+        if pos == 0:
+            return 0
+        if row + col < 2:
+            return ctx + 1
+        if row + col < 4:
+            return 5 + ctx + 1
+        return 21 + ctx
+
+    def _br_ctx(self, lev, row, col, pos):
+        mag = (
+            min(int(lev[row, col + 1]), 15)
+            + min(int(lev[row + 1, col]), 15)
+            + min(int(lev[row + 1, col + 1]), 15)
+        )
+        mag = min((mag + 1) >> 1, 6)
+        if pos == 0:
+            return mag
+        return mag + (7 if (row < 2 and col < 2) else 14)
+
+    # -------------------------------------------- coefficient neighbor ctx
+
+    def _coef_units(self, plane, x, y, txw, txh):
+        """(above slice, left slice) of the coef context arrays covering
+        this tx block, in plane 4px units (clamped to tile)."""
+        sx = self.ss_x if plane else 0
+        sy = self.ss_y if plane else 0
+        x4 = x >> 2
+        y4 = y >> 2
+        w4 = txw >> 2
+        h4 = txh >> 2
+        return x4, y4, w4, h4
+
+    def _txb_skip_ctx(self, plane, x, y, txw, txh):
+        b = self.block
+        x4, y4, w4, h4 = self._coef_units(plane, x, y, txw, txh)
+        above = self.ctx.above_coef[plane]
+        left = self.ctx.left_coef[plane]
+        sx = self.ss_x if plane else 0
+        sy = self.ss_y if plane else 0
+        if plane == 0:
+            wpx, hpx = B.BLOCK_DIMS[b["bsize"]]
+            if txw == wpx and txh == hpx:
+                return 0
+            top = 0
+            lft = 0
+            for k in range(w4):
+                if x4 + k < len(above):
+                    top = max(top, int(above[x4 + k]) & COEFF_CONTEXT_MASK)
+            for k in range(h4):
+                if y4 + k < len(left):
+                    lft = max(lft, int(left[y4 + k]) & COEFF_CONTEXT_MASK)
+            top = min(top, 4)
+            lft = min(lft, 4)
+            mx = min(top | lft, 4)
+            mn = min(min(top, lft), 4)
+            return SKIP_CONTEXTS_TABLE[mn][mx]
+        else:
+            t = l = 0
+            for k in range(w4):
+                if x4 + k < len(above):
+                    t |= int(above[x4 + k])
+            for k in range(h4):
+                if y4 + k < len(left):
+                    l |= int(left[y4 + k])
+            base = (1 if (t & COEFF_CONTEXT_MASK) else 0) + (
+                1 if (l & COEFF_CONTEXT_MASK) else 0
+            )
+            wpx, hpx = B.BLOCK_DIMS[b["bsize"]]
+            pw = max(4, wpx >> sx)
+            ph = max(4, hpx >> sy)
+            bigger = pw * ph > txw * txh
+            return base + (10 if bigger else 7)
+
+    def _dc_sign_ctx(self, plane, x, y, txw, txh):
+        x4, y4, w4, h4 = self._coef_units(plane, x, y, txw, txh)
+        above = self.ctx.above_coef[plane]
+        left = self.ctx.left_coef[plane]
+        s = 0
+        for k in range(w4):
+            if x4 + k < len(above):
+                v = int(above[x4 + k]) >> 6
+                if v == 1:
+                    s -= 1
+                elif v == 2:
+                    s += 1
+        for k in range(h4):
+            if y4 + k < len(left):
+                v = int(left[y4 + k]) >> 6
+                if v == 1:
+                    s -= 1
+                elif v == 2:
+                    s += 1
+        if s < 0:
+            return 1
+        if s > 0:
+            return 2
+        return 0
+
+    def _set_coef_ctx(self, plane, x, y, txw, txh, value):
+        x4, y4, w4, h4 = self._coef_units(plane, x, y, txw, txh)
+        above = self.ctx.above_coef[plane]
+        left = self.ctx.left_coef[plane]
+        above[x4 : x4 + w4] = value
+        left[y4 : y4 + h4] = value
