@@ -85,6 +85,13 @@ class FrameDecoder:
             )
         self.pw = [w] + [(w + self.ss_x) >> self.ss_x] * (self.n_planes - 1)
         self.ph = [h] + [(h + self.ss_y) >> self.ss_y] * (self.n_planes - 1)
+        # coded bounds: the mi grid rounds dims up to 8px; syntax covers the
+        # full grid even though pixels beyond pw/ph are cropped (§5.11.34
+        # maxX/maxY use MiCols/MiRows, not the visible frame)
+        cw = 2 * ((w + 7) >> 3) * 4
+        ch = 2 * ((h + 7) >> 3) * 4
+        self.cw = [cw] + [cw >> self.ss_x] * (self.n_planes - 1)
+        self.ch = [ch] + [ch >> self.ss_y] * (self.n_planes - 1)
         self.sb_px = 128 if seq.use_128x128_superblock else 64
         self.sb_mi = self.sb_px >> 2
         if hdr.allow_intrabc:
@@ -484,8 +491,8 @@ class FrameDecoder:
                 py = (r >> sy) * 4 + (cy >> sy)
             if self.hdr.coded_lossless:
                 txw, txh = 4, 4
-            max_x = self.pw[plane]
-            max_y = self.ph[plane]
+            max_x = self.cw[plane]
+            max_y = self.ch[plane]
             for y in range(0, ph, txh):
                 if py + y >= max_y:
                     break
@@ -506,6 +513,11 @@ class FrameDecoder:
         b = self.block
         pred = self._predict(plane, x, y, txw, txh)
         frame = self.planes[plane]
+        planner = getattr(self, "planner", None)
+        if planner is not None and not b["skip"]:
+            # encoding: let the planner script this txb's symbols from the
+            # prediction before the mirrored syntax reads consume them
+            planner.begin_txb(plane, x, y, txw, txh, pred)
         if b["skip"]:
             frame[y : y + txh, x : x + txw] = pred
         else:
@@ -546,8 +558,8 @@ class FrameDecoder:
         sb_x4 = (x - ((self.sb_c >> sx) * 4)) >> 2
         decoded_ur = self._bd_get(plane, sb_y4 - 1, sb_x4 + (txw >> 2))
         decoded_bl = self._bd_get(plane, sb_y4 + (txh >> 2), sb_x4 - 1)
-        max_x = self.pw[plane] - 1
-        max_y = self.ph[plane] - 1
+        max_x = self.cw[plane] - 1
+        max_y = self.ch[plane] - 1
 
         if plane > 0 and b["uv_mode"] == I.UV_CFL_PRED:
             return self._cfl_predict(plane, x, y, txw, txh, have_above, have_left)
@@ -671,13 +683,13 @@ class FrameDecoder:
         frame = self.planes[plane]
         base = 1 << (bd - 1)
         above = np.array(
-            [int(frame[y - 1, min(x + i, self.pw[plane] - 1)]) for i in range(txw)]
+            [int(frame[y - 1, min(x + i, self.cw[plane] - 1)]) for i in range(txw)]
             if have_above
             else [],
             dtype=np.int32,
         )
         leftc = np.array(
-            [int(frame[min(y + i, self.ph[plane] - 1), x - 1]) for i in range(txh)]
+            [int(frame[min(y + i, self.ch[plane] - 1), x - 1]) for i in range(txh)]
             if have_left
             else [],
             dtype=np.int32,
@@ -693,8 +705,8 @@ class FrameDecoder:
         # luma AC (q3)
         lx0 = x << sx
         ly0 = y << sy
-        lmax_x = self.pw[0] - 1
-        lmax_y = self.ph[0] - 1
+        lmax_x = self.cw[0] - 1
+        lmax_y = self.ch[0] - 1
         L = np.zeros((txh, txw), dtype=np.int64)
         for i in range(txh):
             for j in range(txw):

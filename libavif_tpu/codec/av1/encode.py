@@ -1,0 +1,360 @@
+"""Spec-conformant AV1 still encoder (lossless first).
+
+Role: the encode half of the reference's codec delegation
+(codec_aom.c:656-1351) — emits real AV1 OBU payloads that dav1d/libaom
+decode bit-exact.
+
+Design: symmetry by construction. The proven FrameDecoder drives the
+syntax traversal; a MirrorCoder stands in for the msac decoder, answering
+every syntax read from the encoder's decisions while emitting the same
+symbol through the msac *encoder* with identically-adapted CDFs. The
+reconstruction loop is shared, so encoder and decoder state can never
+diverge.
+
+v1 coding policy (lossless): largest legal blocks (partition NONE /
+edge HORZ/VERT), DC prediction everywhere, skip=0 with per-txb all_zero
+— aom's own lossless idiom — and exact WHT residual coding. Every
+mode-level symbol is therefore 0; only coefficient syntax carries data,
+scripted per transform block by the planner.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...constants import AvifError, Result
+from ...containers.obu import (
+    SequenceHeader,
+    write_obu,
+    write_sequence_header,
+)
+from ...models.av1.msac import MsacEncoder
+from ...utils.streams import RWStream
+from . import tables as T
+from .decode import COEFF_BASE_RANGE, NUM_BASE_LEVELS, FrameDecoder
+from .headers import FrameHeader, parse_frame_header
+from .still import OBU_FRAME, OBU_SEQUENCE_HEADER, OBU_TEMPORAL_DELIMITER
+
+
+def fwht4x4_levels(res: np.ndarray) -> np.ndarray:
+    """Forward WHT producing quantized lossless levels: the exact inverse
+    of transforms.inverse_wht4x4(levels * 4, shift=2) (vp9/av1 lossless
+    transform pair)."""
+    t = res.astype(np.int64)
+    out = np.zeros((4, 4), dtype=np.int64)
+    # pass 1: columns (inverse of the decoder's column pass)
+    for j in range(4):
+        a = int(t[0, j])
+        b = int(t[1, j])
+        c = int(t[2, j])
+        d = int(t[3, j])
+        a += b
+        d -= c
+        e = (a - d) >> 1
+        b = e - b
+        c = e - c
+        a -= c
+        d += b
+        out[0, j], out[1, j], out[2, j], out[3, j] = a, c, d, b
+    res2 = np.zeros((4, 4), dtype=np.int64)
+    # pass 2: rows
+    for i in range(4):
+        a = int(out[i, 0])
+        b = int(out[i, 1])
+        c = int(out[i, 2])
+        d = int(out[i, 3])
+        a += b
+        d -= c
+        e = (a - d) >> 1
+        b = e - b
+        c = e - c
+        a -= c
+        d += b
+        res2[i] = (a, c, d, b)
+    return res2.astype(np.int32)
+
+
+class MirrorCoder:
+    """Implements the MsacDecoder interface over an MsacEncoder: each
+    "read" is answered from the planner (or 0 for mode-level syntax) and
+    simultaneously encoded with the same adaptive CDF."""
+
+    def __init__(self, enc: MsacEncoder, planner):
+        self.enc = enc
+        self.planner = planner
+
+    def decode_symbol(self, icdf, n, adapt=True):
+        v = self.planner.next_symbol(n)
+        self.enc.encode_symbol(v, icdf, n, adapt=adapt)
+        return v
+
+    def decode_bit(self):
+        v = self.planner.next_bit()
+        self.enc.encode_bit(v)
+        return v
+
+    def decode_literal(self, bits):
+        v = 0
+        for _ in range(bits):
+            v = (v << 1) | self.decode_bit()
+        return v
+
+    def decode_golomb(self):
+        v = self.planner.next_golomb()
+        self.enc.encode_golomb(v)
+        return v
+
+
+class LosslessPlanner:
+    """Scripts coefficient symbols per transform block; everything else
+    answers 0 (DC/NONE/no-skip policy)."""
+
+    def __init__(self, sources):
+        self.sources = sources  # per-plane np arrays (frame dims)
+        self.script = []
+        self.pos = 0
+
+    # -- decisions ---------------------------------------------------
+
+    def begin_txb(self, plane, x, y, txw, txh, pred):
+        assert self.pos == len(self.script), "txb script not fully consumed"
+        src = self.sources[plane]
+        h, w = src.shape
+        assert txw == 4 and txh == 4, "lossless tx is 4x4"
+        # clamp-replicate source into any out-of-frame area (those pixels
+        # are coded — the mi grid rounds up to 8px — but never displayed)
+        rows = np.minimum(np.arange(y, y + 4), h - 1)
+        cols = np.minimum(np.arange(x, x + 4), w - 1)
+        blk = src[np.ix_(rows, cols)].astype(np.int32)
+        res = blk - pred[:4, :4]
+        levels = fwht4x4_levels(res)
+        self.script = self._script_txb(levels)
+        self.pos = 0
+
+    def _script_txb(self, levels) -> list:
+        """Replicates the decoder's coeffs() read order for a 4x4 txb."""
+        scan = T.default_scan(4, 4)
+        flat = levels.flatten()
+        nz = [si for si in range(16) if flat[scan[si]] != 0]
+        script = []
+        if not nz:
+            return [("sym", 1)]  # all_zero = 1
+        script.append(("sym", 0))  # all_zero = 0
+        eob = nz[-1] + 1
+        # eob_pt class
+        if eob == 1:
+            eob_pt = 1
+        elif eob == 2:
+            eob_pt = 2
+        else:
+            eob_pt = (eob - 1).bit_length() + 1
+        script.append(("sym", eob_pt - 1))
+        if eob_pt >= 3:
+            rem = eob - ((1 << (eob_pt - 2)) + 1)
+            eshift = eob_pt - 3
+            script.append(("sym", (rem >> eshift) & 1))  # adaptive extra bit
+            for i in range(1, eob_pt - 2):
+                script.append(("bit", (rem >> (eshift - i)) & 1))
+        # levels, reverse scan
+        for si in range(eob - 1, -1, -1):
+            lv = abs(int(flat[scan[si]]))
+            if si == eob - 1:
+                assert lv >= 1
+                script.append(("sym", min(lv, 3) - 1))
+            else:
+                script.append(("sym", min(lv, 3)))
+            if lv > NUM_BASE_LEVELS:
+                rem = lv - 3
+                for _ in range(4):
+                    k = min(rem, 3)
+                    script.append(("sym", k))
+                    rem -= k
+                    if k < 3:
+                        break
+        # signs (forward) + golomb tails
+        for si in range(eob):
+            v = int(flat[scan[si]])
+            if v != 0:
+                if si == 0:
+                    script.append(("sym", 1 if v < 0 else 0))  # dc sign cdf
+                else:
+                    script.append(("bit", 1 if v < 0 else 0))
+                if abs(v) > NUM_BASE_LEVELS + COEFF_BASE_RANGE:
+                    script.append(("golomb", abs(v) - 15))
+        return script
+
+    # -- MirrorCoder feed --------------------------------------------
+
+    def _pop(self, kind):
+        if self.pos < len(self.script):
+            k, v = self.script[self.pos]
+            if k != kind:
+                raise AssertionError(f"script expects {k}, decoder read {kind}")
+            self.pos += 1
+            return v
+        return None
+
+    def next_symbol(self, n):
+        v = self._pop("sym")
+        return 0 if v is None else v
+
+    def next_bit(self):
+        v = self._pop("bit")
+        return 0 if v is None else v
+
+    def next_golomb(self):
+        v = self._pop("golomb")
+        return 0 if v is None else v
+
+
+def _write_frame_header_lossless(seq: SequenceHeader) -> bytes:
+    """Reduced-still-picture uncompressed header for a lossless frame
+    (mirror of headers.parse_frame_header for this configuration)."""
+    s = RWStream()
+    w = s.write_bits
+    w(0, 1)  # disable_cdf_update
+    if seq.force_screen_content_tools == 2:
+        w(0, 1)  # allow_screen_content_tools = 0
+    if seq.enable_superres:
+        w(0, 1)
+    w(0, 1)  # render_and_frame_size_different
+    # tile info: uniform spacing, smallest tile counts
+    mi_cols = 2 * ((seq.max_frame_width + 7) >> 3)
+    mi_rows = 2 * ((seq.max_frame_height + 7) >> 3)
+    sb_shift = 5 if seq.use_128x128_superblock else 4
+    sb_cols = (mi_cols + (1 << sb_shift) - 1) >> sb_shift
+    sb_rows = (mi_rows + (1 << sb_shift) - 1) >> sb_shift
+    sb_px = 128 if seq.use_128x128_superblock else 64
+    from .headers import MAX_TILE_AREA, MAX_TILE_WIDTH, _tile_log2
+
+    max_tile_width_sb = MAX_TILE_WIDTH // sb_px
+    max_tile_area_sb = MAX_TILE_AREA // (sb_px * sb_px)
+    min_log2_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(min_log2_cols, _tile_log2(max_tile_area_sb, sb_cols * sb_rows))
+    w(1, 1)  # uniform_tile_spacing
+    log2_cols = min_log2_cols
+    if log2_cols < max_log2_cols:
+        w(0, 1)  # stop at the minimum
+    min_log2_rows = max(min_log2_tiles - log2_cols, 0)
+    log2_rows = min_log2_rows
+    if log2_rows < max_log2_rows:
+        w(0, 1)
+    n_tiles = (1 << log2_cols) * (1 << log2_rows)
+    if n_tiles > 1:
+        raise AvifError(Result.NOT_IMPLEMENTED, "multi-tile spec encode")
+    # quantization: lossless
+    w(0, 8)  # base_q_idx = 0
+    w(0, 1)  # delta_q_y_dc flag
+    if not seq.monochrome:
+        if seq.separate_uv_delta_q:
+            w(0, 1)
+        w(0, 1)  # u_dc
+        w(0, 1)  # u_ac
+    w(0, 1)  # using_qmatrix
+    w(0, 1)  # segmentation_enabled
+    # base_q==0: no delta_q_present; coded_lossless skips lf/cdef/lr/tx_mode
+    w(0, 1)  # reduced_tx_set
+    s.flush_bits()
+    return s.data()
+
+
+def encode_lossless_still(
+    planes,
+    *,
+    monochrome: bool = False,
+    subsampling_x: int = 1,
+    subsampling_y: int = 1,
+    bit_depth: int = 8,
+    color_primaries: int = 2,
+    transfer_characteristics: int = 2,
+    matrix_coefficients: int = 2,
+    color_range: int = 1,
+) -> bytes:
+    """Encode YUV planes as a spec-conformant lossless AV1 still payload
+    (temporal delimiter + sequence header + frame OBU)."""
+    if bit_depth != 8:
+        raise AvifError(Result.NOT_IMPLEMENTED, "spec encode: 8-bit first")
+    y = np.asarray(planes[0])
+    h, w = y.shape
+    seq = SequenceHeader(
+        seq_profile=(
+            0 if (monochrome or (subsampling_x and subsampling_y)) else (1 if not subsampling_x and not subsampling_y else 2)
+        ),
+        still_picture=True,
+        reduced_still_picture_header=True,
+        max_frame_width=w,
+        max_frame_height=h,
+        frame_width_bits=16,
+        frame_height_bits=16,
+        use_128x128_superblock=False,
+        enable_filter_intra=False,
+        enable_intra_edge_filter=False,
+        force_screen_content_tools=0,
+        force_integer_mv=0,
+        enable_superres=False,
+        enable_cdef=False,
+        enable_restoration=False,
+        monochrome=monochrome,
+        color_description_present=False,
+        color_primaries=color_primaries,
+        transfer_characteristics=transfer_characteristics,
+        matrix_coefficients=matrix_coefficients,
+        color_range=color_range,
+        subsampling_x=subsampling_x if not monochrome else 1,
+        subsampling_y=subsampling_y if not monochrome else 1,
+        chroma_sample_position=0,
+        separate_uv_delta_q=False,
+        film_grain_params_present=False,
+    )
+    seq_payload = write_sequence_header(seq)
+    # re-parse our own bytes so implied fields (e.g. reduced-still headers
+    # force screen-content-tools to SELECT) are exactly what decoders see
+    from ...containers.obu import parse_sequence_header
+
+    seq = parse_sequence_header(seq_payload)
+    hdr_payload = _write_frame_header_lossless(seq)
+    # parse back our own header (guarantees reader/writer agreement and
+    # yields the derived geometry the shared traversal needs)
+    hdr = parse_frame_header(hdr_payload, seq)
+    assert hdr.coded_lossless and hdr.width == w and hdr.height == h
+
+    dec = FrameDecoder(seq, hdr)
+    planner = LosslessPlanner([np.asarray(p, dtype=np.int32) for p in planes])
+    enc = MsacEncoder()
+    dec.planner = planner
+    dec.dec = None  # will be set per tile in decode_tiles; set below instead
+
+    # run the shared traversal with the mirror coder
+    ti = hdr.tile
+    dec.mi_col0, dec.mi_col1 = 0, hdr.mi_cols
+    dec.mi_row0, dec.mi_row1 = 0, hdr.mi_rows
+    from .decode import TileContexts
+
+    dec.ctx = TileContexts(hdr.mi_rows, hdr.mi_cols, dec.n_planes)
+    dec.cdf = T.defaults().copy()
+    dec.qctx = dec._q_ctx()
+    dec.adapt = True
+    dec.dec = MirrorCoder(enc, planner)
+    from . import blocks as B
+
+    for r in range(0, hdr.mi_rows, dec.sb_mi):
+        for c in range(0, hdr.mi_cols, dec.sb_mi):
+            dec._clear_block_decoded(r, c)
+            dec._decode_partition(r, c, B.block_size(dec.sb_px, dec.sb_px))
+    assert planner.pos == len(planner.script), "unconsumed txb script"
+    tile_data = enc.finish()
+
+    # verify the encoder's own reconstruction equals the source
+    for p, src in zip(dec.planes, planner.sources):
+        ph, pw = src.shape
+        if not np.array_equal(p[:ph, :pw], src):
+            raise AvifError(Result.UNKNOWN_ERROR, "lossless encode recon mismatch")
+
+    # assemble OBUs
+    s = RWStream()
+    write_obu(s, OBU_TEMPORAL_DELIMITER, b"")
+    write_obu(s, OBU_SEQUENCE_HEADER, seq_payload)
+    write_obu(s, OBU_FRAME, hdr_payload + tile_data)
+    return s.data()

@@ -379,6 +379,7 @@ def write_sequence_header(h: SequenceHeader) -> bytes:
             w(h.chroma_sample_position, 2)
         w(int(h.separate_uv_delta_q), 1)
     w(int(h.film_grain_params_present), 1)
+    w(1, 1)  # trailing_bits: trailing_one_bit + zero padding (§5.3.4)
     s.flush_bits()
     return s.data()
 
