@@ -136,11 +136,24 @@ def main(argv=None) -> int:
     req_fmt = fmt_map[args.yuv] if args.yuv else None
 
     quality = 100 if args.lossless else args.qcolor
+    lossless_identity = False
+    if args.lossless and not args.yuv:
+        # true RGB-lossless requires 4:4:4 + identity matrix + full range
+        # (reference avifenc -l behavior, apps/avifenc.c lossless checks)
+        req_fmt = PixelFormat.YUV444
+        lossless_identity = True
+        if not args.cicp:
+            args.cicp = "1/13/0"  # sRGB primaries/transfer, identity matrix
 
     def load(path):
+        from ..constants import MatrixCoefficients
+
         img = read_image(
             path, requested_format=req_fmt, requested_depth=args.depth,
             sharp_yuv=args.sharpyuv,
+            matrix_coefficients=(
+                MatrixCoefficients.IDENTITY if lossless_identity else None
+            ),
         )
         if args.range == "limited":
             img.yuv_range = Range.LIMITED

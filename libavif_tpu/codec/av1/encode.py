@@ -297,7 +297,7 @@ def encode_lossless_still(
         enable_cdef=False,
         enable_restoration=False,
         monochrome=monochrome,
-        color_description_present=False,
+        color_description_present=True,
         color_primaries=color_primaries,
         transfer_characteristics=transfer_characteristics,
         matrix_coefficients=matrix_coefficients,
@@ -344,7 +344,7 @@ def encode_lossless_still(
             dec._clear_block_decoded(r, c)
             dec._decode_partition(r, c, B.block_size(dec.sb_px, dec.sb_px))
     assert planner.pos == len(planner.script), "unconsumed txb script"
-    tile_data = enc.finish()
+    tile_data = enc.finish(strip=False)
 
     # verify the encoder's own reconstruction equals the source
     for p, src in zip(dec.planes, planner.sources):

@@ -72,11 +72,12 @@ def decode_still(payload: bytes):
             if seq is None:
                 raise AvifError(Result.BMFF_PARSE_FAILED, "frame header before seq")
             hdr = parse_frame_header(o.payload, seq)
+            tiles = []  # a new frame starts (progressive layer semantics)
         elif o.obu_type == OBU_FRAME:
             if seq is None:
                 raise AvifError(Result.BMFF_PARSE_FAILED, "frame before seq")
             hdr = parse_frame_header(o.payload, seq)
-            tiles += _parse_tile_group(o.payload[hdr.header_bytes :], hdr)
+            tiles = _parse_tile_group(o.payload[hdr.header_bytes :], hdr)
         elif o.obu_type == OBU_TILE_GROUP:
             if hdr is None:
                 raise AvifError(Result.BMFF_PARSE_FAILED, "tile group before header")

@@ -252,6 +252,8 @@ def encode_frames_pipelined(
     This is the production serving path; per-frame latency is unchanged
     but sustained MP/s is bounded by max(device, host) instead of sum.
     """
+    if params.lossless and images and images[0].depth == 8 and _spec_av1_enabled():
+        return [_encode_frame_spec_lossless(im) for im in images]
     staged = []
     for image in images:
         if image.depth not in (8, 10, 12):
@@ -335,10 +337,73 @@ def encode_frames_pipelined(
     return out
 
 
+def _spec_av1_enabled() -> bool:
+    import os
+
+    return os.environ.get("LIBAVIF_TPU_SPEC_AV1", "1") != "0"
+
+
+def _encode_frame_spec_lossless(image: Image) -> tuple[bytes, SequenceHeader]:
+    """Spec-conformant AV1 lossless payload (decodable by dav1d/libaom);
+    see codec/av1/encode.py."""
+    from .av1.encode import encode_lossless_still
+
+    info = pixel_format_info(image.yuv_format)
+    planes = [image.yuv_planes[c] for c in range(_coded_planes(image))]
+    payload = encode_lossless_still(
+        planes,
+        monochrome=info.monochrome,
+        subsampling_x=info.chroma_shift_x,
+        subsampling_y=info.chroma_shift_y,
+        bit_depth=image.depth,
+        color_primaries=int(image.color_primaries),
+        transfer_characteristics=int(image.transfer_characteristics),
+        matrix_coefficients=int(image.matrix_coefficients),
+        color_range=1 if image.yuv_range == Range.FULL else 0,
+    )
+    from ..containers.obu import find_sequence_header
+
+    return payload, find_sequence_header(payload)
+
+
+def _decode_frame_spec(data: bytes, width: int = 0, height: int = 0) -> Image:
+    """Decode a real AV1 still payload (foreign AVIF files; also our own
+    spec-conformant lossless output). codec_dav1d.c:58 role."""
+    from .av1.still import decode_still
+
+    planes, seq, hdr = decode_still(data)
+    if seq.monochrome:
+        fmt = PixelFormat.YUV400
+    elif seq.subsampling_x and seq.subsampling_y:
+        fmt = PixelFormat.YUV420
+    elif seq.subsampling_x:
+        fmt = PixelFormat.YUV422
+    else:
+        fmt = PixelFormat.YUV444
+    w = width or hdr.width
+    h = height or hdr.height
+    out = Image(w, h, seq.bit_depth, fmt)
+    out.yuv_range = Range.FULL if seq.color_range else Range.LIMITED
+    if seq.color_description_present:
+        out.color_primaries = seq.color_primaries
+        out.transfer_characteristics = seq.transfer_characteristics
+        out.matrix_coefficients = seq.matrix_coefficients
+    out.chroma_sample_position = ChromaSamplePosition(seq.chroma_sample_position)
+    out.allocate_planes("yuv")
+    for c, plane in enumerate(planes):
+        ph, pw = out.yuv_planes[c].shape
+        out.yuv_planes[c][:, :] = plane[:ph, :pw].astype(out.dtype)
+    return out
+
+
 def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHeader]:
     """Encode one still frame. Returns (obu_bytes, sequence_header)."""
     if image.depth not in (8, 10, 12):
         raise AvifError(Result.UNSUPPORTED_DEPTH, f"depth {image.depth}")
+    if params.lossless and image.depth == 8 and _spec_av1_enabled():
+        # lossless 8-bit rides the spec-conformant AV1 path so the files
+        # interoperate with every AVIF decoder
+        return _encode_frame_spec_lossless(image)
     hdr = _sequence_header_for(image)
     seq_payload = write_sequence_header(hdr)
 
@@ -376,6 +441,16 @@ def decode_frames_pipelined(streams: list[bytes]) -> list[Image]:
     overlap (the decode-side mirror of encode_frames_pipelined)."""
     import os
 
+    # spec-AV1 payloads (foreign or our lossless output) take the
+    # sequential path; only the own-format streams pipeline on device
+    if any(
+        not any(
+            o.obu_type == OBU_FRAME and o.payload and o.payload[0] == FRAME_MAGIC
+            for o in split_obus(d)
+        )
+        for d in streams
+    ):
+        return [decode_frame(d) for d in streams]
     metas = []
     for data in streams:
         seq = None
@@ -499,11 +574,17 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
     # must decode to layer k (read.c:690-730 sample semantics).
     seq: SequenceHeader | None = None
     frame: Obu | None = None
+    foreign = False
     for obu in split_obus(data):
         if obu.obu_type == OBU_SEQUENCE_HEADER:
             seq = parse_sequence_header(obu.payload)
         elif obu.obu_type == OBU_FRAME:
             frame = obu
+        elif obu.obu_type in (3, 4):  # FRAME_HEADER / TILE_GROUP split
+            foreign = True
+    if foreign or (frame is not None and (not frame.payload or frame.payload[0] != FRAME_MAGIC)):
+        # real AV1 payload (foreign file or our spec-conformant output)
+        return _decode_frame_spec(data, width, height)
     if seq is None or frame is None:
         raise AvifError(Result.BMFF_PARSE_FAILED, "missing sequence header or frame OBU")
 

@@ -36,15 +36,21 @@ def guess_format(path_or_bytes) -> str:
     return "unknown"
 
 
-def read_image(path, requested_format=None, requested_depth=None, sharp_yuv=False):
+def read_image(
+    path, requested_format=None, requested_depth=None, sharp_yuv=False,
+    matrix_coefficients=None,
+):
     """Read any supported file into an Image (reference: avifReadImage,
     apps/shared/avifutil.c:318). RGB sources are converted to YUV with the
-    requested format/depth (default 444 / source depth)."""
+    requested format/depth (default 444 / source depth) and matrix
+    (default BT601; pass identity for RGB-lossless)."""
     fmt = guess_format(path)
     if fmt == "y4m":
         return read_y4m(path)
     if fmt in ("png", "jpeg"):
-        return read_png_jpeg(path, requested_format, requested_depth, sharp_yuv)
+        return read_png_jpeg(
+            path, requested_format, requested_depth, sharp_yuv, matrix_coefficients
+        )
     if fmt == "avif":
         from ..api import decode
 

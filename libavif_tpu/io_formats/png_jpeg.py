@@ -40,6 +40,7 @@ def read_png_jpeg(
     requested_format: Optional[PixelFormat] = None,
     requested_depth: Optional[int] = None,
     sharp_yuv: bool = False,
+    matrix_coefficients=None,
 ) -> Image:
     """Read PNG/JPEG into a YUV Image (reference: avifReadImage,
     apps/shared/avifutil.c:318)."""
@@ -66,7 +67,9 @@ def read_png_jpeg(
     img = Image(w, h, depth, fmt)
     img.color_primaries = ColorPrimaries.UNSPECIFIED
     img.transfer_characteristics = TransferCharacteristics.UNSPECIFIED
-    img.matrix_coefficients = MatrixCoefficients.BT601
+    img.matrix_coefficients = (
+        MatrixCoefficients.BT601 if matrix_coefficients is None else matrix_coefficients
+    )
     img.yuv_range = Range.FULL
     img.icc = icc
     if exif:

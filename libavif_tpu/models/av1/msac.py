@@ -123,8 +123,13 @@ class MsacEncoder:
             self.low <<= d
             self.total_shift += d
 
-    def finish(self) -> bytes:
-        """Choose the shortest code in [low, low+rng) and emit MSB-first."""
+    def finish(self, strip: bool = True) -> bytes:
+        """Choose the shortest code in [low, low+rng) and emit MSB-first.
+
+        strip=True drops trailing zero bytes (own-format convention; our
+        decoder zero-pads). strip=False keeps the full code — required
+        for spec-conformant payloads: dav1d's refill treats running out
+        of bytes mid-tile as corruption, so the zeros must be present."""
         nbits = self.total_shift + 15
         low = self.low
         hi = low + self.rng - 1
@@ -139,6 +144,8 @@ class MsacEncoder:
         nbytes = (nbits + 7) // 8
         code <<= nbytes * 8 - nbits
         out = code.to_bytes(nbytes, "big") if nbytes else b""
+        if not strip:
+            return out or b"\x00"
         # Strip trailing zero bytes — the decoder zero-pads.
         return out.rstrip(b"\x00") or b"\x00"
 
