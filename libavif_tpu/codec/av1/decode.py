@@ -21,7 +21,47 @@ from . import blocks as B
 from . import intra as I
 from . import tables as T
 from .headers import FrameHeader
-from .transforms import inverse_wht4x4
+from .transforms import inverse_transform, inverse_wht4x4
+from . import transforms as TXF
+
+TX_CLASS_2D, TX_CLASS_HORIZ, TX_CLASS_VERT = 0, 1, 2
+
+# set1 (DTT4+IDTX+1DDCT, 7 symbols) / set2 (DTT4+IDTX, 5 symbols):
+# symbol index -> tx type (av1_ext_tx_inv ordering)
+EXT_TX_INV = {
+    1: [TXF.IDTX, TXF.DCT_DCT, TXF.V_DCT, TXF.H_DCT, TXF.ADST_ADST,
+        TXF.ADST_DCT, TXF.DCT_ADST],
+    2: [TXF.IDTX, TXF.DCT_DCT, TXF.ADST_ADST, TXF.ADST_DCT, TXF.DCT_ADST],
+}
+
+# intra prediction mode -> predicted chroma tx type (av1 intra_mode_to_tx_type)
+MODE_TO_TXFM = [
+    TXF.DCT_DCT,    # DC
+    TXF.ADST_DCT,   # V
+    TXF.DCT_ADST,   # H
+    TXF.DCT_DCT,    # D45
+    TXF.ADST_ADST,  # D135
+    TXF.ADST_DCT,   # D113
+    TXF.DCT_ADST,   # D157
+    TXF.DCT_ADST,   # D203
+    TXF.ADST_DCT,   # D67
+    TXF.ADST_ADST,  # SMOOTH
+    TXF.ADST_DCT,   # SMOOTH_V
+    TXF.DCT_ADST,   # SMOOTH_H
+    TXF.ADST_ADST,  # PAETH
+    TXF.DCT_DCT,    # UV_CFL
+]
+
+# filter-intra mode -> equivalent intra direction for the tx-type cdf
+FIMODE_TO_MODE = [0, 1, 2, 6, 0]  # DC, V, H, D157, DC
+
+
+def tx_class_of(tx_type: int) -> int:
+    if tx_type in (TXF.V_DCT, TXF.V_ADST, TXF.V_FLIPADST):
+        return TX_CLASS_VERT
+    if tx_type in (TXF.H_DCT, TXF.H_ADST, TXF.H_FLIPADST):
+        return TX_CLASS_HORIZ
+    return TX_CLASS_2D
 
 INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 SKIP_CONTEXTS_TABLE = [
@@ -189,7 +229,7 @@ class FrameDecoder:
             ctx_idx = (bsl - 1) * 4 + self._part_ctx(r, c, bsl)
             nsym = self.cdf.partition_nsym[ctx_idx]
             part = self.dec.decode_symbol(
-                self.cdf.partition[ctx_idx], nsym, adapt=self.adapt
+                self.cdf.partition[ctx_idx], nsym, adapt=self.adapt, what=("partition", bsize)
             )
         elif has_cols:
             part = (
@@ -291,7 +331,7 @@ class FrameDecoder:
             members = members[:3]
         p_one = sum(prob(m) for m in members if m < nsym)
         icdf2 = np.array([max(1, 32768 - p_one), 0, 0], dtype=np.uint16)
-        return self.dec.decode_symbol(icdf2, 2, adapt=False)
+        return self.dec.decode_symbol(icdf2, 2, adapt=False, what="gather")
 
     # ----------------------------------------------------------- blocks
 
@@ -321,7 +361,7 @@ class FrameDecoder:
             skip_ctx += int(ctx.above_skip[c])
         if avail_l:
             skip_ctx += int(ctx.left_skip[r])
-        skip = dec.decode_symbol(cdf.skip[skip_ctx], 2, adapt=self.adapt)
+        skip = dec.decode_symbol(cdf.skip[skip_ctx], 2, adapt=self.adapt, what="skip")
 
         # cdef / delta q / delta lf would be read here (lossy, non-lossless)
         if self.hdr.delta_q_present:
@@ -332,12 +372,12 @@ class FrameDecoder:
         left_mode = int(ctx.y_modes[r, c - 1]) if avail_l else I.DC_PRED
         actx = INTRA_MODE_CONTEXT[above_mode]
         lctx = INTRA_MODE_CONTEXT[left_mode]
-        y_mode = dec.decode_symbol(cdf.kf_y_mode[actx][lctx], 13, adapt=self.adapt)
+        y_mode = dec.decode_symbol(cdf.kf_y_mode[actx][lctx], 13, adapt=self.adapt, what="y_mode")
         angle_y = 0
         use_angle = wpx >= 8 and hpx >= 8
         if I.is_directional(y_mode) and use_angle:
             sym = dec.decode_symbol(
-                cdf.angle_delta[y_mode - I.V_PRED], 7, adapt=self.adapt
+                cdf.angle_delta[y_mode - I.V_PRED], 7, adapt=self.adapt, what="angle_y"
             )
             angle_y = sym - I.MAX_ANGLE_DELTA
 
@@ -355,26 +395,26 @@ class FrameDecoder:
                 cfl_allowed = wpx <= 32 and hpx <= 32
             if cfl_allowed:
                 uv_mode = dec.decode_symbol(
-                    cdf.uv_mode_cfl[y_mode], 14, adapt=self.adapt
+                    cdf.uv_mode_cfl[y_mode], 14, adapt=self.adapt, what="uv_mode"
                 )
             else:
                 uv_mode = dec.decode_symbol(
-                    cdf.uv_mode_nocfl[y_mode], 13, adapt=self.adapt
+                    cdf.uv_mode_nocfl[y_mode], 13, adapt=self.adapt, what="uv_mode"
                 )
             if uv_mode == I.UV_CFL_PRED:
-                js = dec.decode_symbol(cdf.cfl_sign[0], 8, adapt=self.adapt)
+                js = dec.decode_symbol(cdf.cfl_sign[0], 8, adapt=self.adapt, what="cfl_sign")
                 su, sv = _cfl_sign_u(js), _cfl_sign_v(js)
                 if su != CFL_SIGN_ZERO:
                     cu = js + 1 - 3
-                    idx = dec.decode_symbol(cdf.cfl_alpha[cu], 16, adapt=self.adapt)
+                    idx = dec.decode_symbol(cdf.cfl_alpha[cu], 16, adapt=self.adapt, what="cfl_alpha")
                     cfl_alpha_u = (idx + 1) * (-1 if su == CFL_SIGN_NEG else 1)
                 if sv != CFL_SIGN_ZERO:
                     cv = sv * 3 + su - 3
-                    idx = dec.decode_symbol(cdf.cfl_alpha[cv], 16, adapt=self.adapt)
+                    idx = dec.decode_symbol(cdf.cfl_alpha[cv], 16, adapt=self.adapt, what="cfl_alpha")
                     cfl_alpha_v = (idx + 1) * (-1 if sv == CFL_SIGN_NEG else 1)
             elif I.is_directional(uv_mode) and use_angle:
                 sym = dec.decode_symbol(
-                    cdf.angle_delta[uv_mode - I.V_PRED], 7, adapt=self.adapt
+                    cdf.angle_delta[uv_mode - I.V_PRED], 7, adapt=self.adapt, what="angle_uv"
                 )
                 angle_uv = sym - I.MAX_ANGLE_DELTA
 
@@ -397,11 +437,11 @@ class FrameDecoder:
             and hpx <= 32
         ):
             use_filter_intra = bool(
-                dec.decode_symbol(cdf.use_filter_intra[bsize], 2, adapt=self.adapt)
+                dec.decode_symbol(cdf.use_filter_intra[bsize], 2, adapt=self.adapt, what="fi")
             )
             if use_filter_intra:
                 fi_mode = dec.decode_symbol(
-                    cdf.filter_intra_mode[0], 5, adapt=self.adapt
+                    cdf.filter_intra_mode[0], 5, adapt=self.adapt, what="fi_mode"
                 )
 
         # ---- tx size (lossless: 4x4 implied)
@@ -446,14 +486,22 @@ class FrameDecoder:
             return (4, 4)
         # tx_depth via tx_size_cdf
         cat = min(max(wpx, hpx).bit_length() - 4, 3)  # 8->0,16->1,32->2,64->3
-        # ctx from above/left tx widths vs block size
-        a = int(self.ctx.tx_w[r - 1, c]) if r > self.mi_row0 else 64
-        l = int(self.ctx.tx_h[r, c - 1]) if c > self.mi_col0 else 64
-        above = 1 if a >= wpx else 0
-        left = 1 if l >= hpx else 0
-        tctx = above + left if (r > self.mi_row0 or c > self.mi_col0) else 0
+        # ctx: neighbor tx dims vs this block's max tx dims; with one
+        # neighbor use only it, with none use 0 (aom get_tx_size_context)
+        has_a = r > self.mi_row0
+        has_l = c > self.mi_col0
+        above = 1 if (has_a and int(self.ctx.tx_w[r - 1, c]) >= max_txw) else 0
+        left = 1 if (has_l and int(self.ctx.tx_h[r, c - 1]) >= max_txh) else 0
+        if has_a and has_l:
+            tctx = above + left
+        elif has_a:
+            tctx = above
+        elif has_l:
+            tctx = left
+        else:
+            tctx = 0
         nsym = self.cdf.tx_size_nsym[cat]
-        depth = self.dec.decode_symbol(self.cdf.tx_size[cat][tctx], nsym, adapt=self.adapt)
+        depth = self.dec.decode_symbol(self.cdf.tx_size[cat][tctx], nsym, adapt=self.adapt, what="tx_depth")
         txw, txh = max_txw, max_txh
         for _ in range(depth):
             txw, txh = B.SUB_TX[(txw, txh)]
@@ -521,14 +569,14 @@ class FrameDecoder:
         if b["skip"]:
             frame[y : y + txh, x : x + txw] = pred
         else:
-            coeffs, eob = self._coeffs(plane, x, y, txw, txh)
+            coeffs, eob, tx_type = self._coeffs(plane, x, y, txw, txh)
             if eob == 0:
                 frame[y : y + txh, x : x + txw] = pred
             else:
                 if self.hdr.coded_lossless:
                     res = inverse_wht4x4(coeffs)
                 else:
-                    raise AvifError(Result.NOT_IMPLEMENTED, "lossy inverse transform")
+                    res = inverse_transform(coeffs, txw, txh, tx_type, self.bd)
                 maxv = (1 << self.bd) - 1
                 frame[y : y + txh, x : x + txw] = np.clip(pred + res, 0, maxv)
         # mark decoded
@@ -743,25 +791,33 @@ class FrameDecoder:
         n_coeff = cw * ch
         skip_ctx = self._txb_skip_ctx(plane, x, y, txw, txh)
         all_zero = dec.decode_symbol(
-            cdf.txb_skip[q][tctx][skip_ctx], 2, adapt=self.adapt
+            cdf.txb_skip[q][tctx][skip_ctx], 2, adapt=self.adapt, what="coef"
         )
         if all_zero:
             self._set_coef_ctx(plane, x, y, txw, txh, 0)
-            return None, 0
-        # tx type: lossless => WHT (no symbol)
-        if not self.hdr.coded_lossless and plane == 0:
-            raise AvifError(Result.NOT_IMPLEMENTED, "lossy tx type")
-        scan = T.default_scan(cw, ch)
+            return None, 0, TXF.DCT_DCT
+        # ---- tx type (lossless => WHT, no symbol)
+        if self.hdr.coded_lossless:
+            tx_type = TXF.DCT_DCT
+        else:
+            tx_type = self._tx_type(plane, txw, txh)
+        tx_class = tx_class_of(tx_type)
+        if tx_class == TX_CLASS_2D:
+            scan = T.default_scan(cw, ch)
+        elif tx_class == TX_CLASS_VERT:
+            scan = T.mrow_scan(cw, ch)
+        else:
+            scan = T.mcol_scan(cw, ch)
         # ---- eob
         size_key = n_coeff
-        eob_cdf = cdf.eob_pt[size_key][q][ptype][0]  # [qctx][plane][2D class]
+        eob_cdf = cdf.eob_pt[size_key][q][ptype][0 if tx_class == TX_CLASS_2D else 1]
         nsym = {16: 5, 32: 6, 64: 7, 128: 8, 256: 9, 512: 10, 1024: 11}[size_key]
-        eob_pt = dec.decode_symbol(eob_cdf, nsym, adapt=self.adapt) + 1
+        eob_pt = dec.decode_symbol(eob_cdf, nsym, adapt=self.adapt, what="coef") + 1
         eob = eob_pt if eob_pt < 3 else (1 << (eob_pt - 2)) + 1
         if eob_pt >= 3:
             eshift = eob_pt - 3
             extra = dec.decode_symbol(
-                cdf.eob_extra[q][tctx][ptype][eob_pt - 3], 2, adapt=self.adapt
+                cdf.eob_extra[q][tctx][ptype][eob_pt - 3], 2, adapt=self.adapt, what="coef"
             )
             if extra:
                 eob += 1 << eshift
@@ -779,21 +835,21 @@ class FrameDecoder:
                 ctx_e = self._eob_base_ctx(si, n_coeff)
                 level = (
                     dec.decode_symbol(
-                        cdf.coeff_base_eob[q][tctx][ptype][ctx_e], 3, adapt=self.adapt
+                        cdf.coeff_base_eob[q][tctx][ptype][ctx_e], 3, adapt=self.adapt, what="coef"
                     )
                     + 1
                 )
             else:
-                ctx_b = self._base_ctx(lev, row, col, pos)
+                ctx_b = self._base_ctx(lev, row, col, pos, tx_class)
                 level = dec.decode_symbol(
-                    cdf.coeff_base[q][tctx][ptype][ctx_b], 4, adapt=self.adapt
+                    cdf.coeff_base[q][tctx][ptype][ctx_b], 4, adapt=self.adapt, what="coef"
                 )
             if level > NUM_BASE_LEVELS:
-                br_ctx = self._br_ctx(lev, row, col, pos)
+                br_ctx = self._br_ctx(lev, row, col, pos, tx_class)
                 bq = min(tctx, 3)
                 for _ in range(4):
                     k = dec.decode_symbol(
-                        cdf.coeff_br[q][bq][ptype][br_ctx], 4, adapt=self.adapt
+                        cdf.coeff_br[q][bq][ptype][br_ctx], 4, adapt=self.adapt, what="coef"
                     )
                     level += k
                     if k < 3:
@@ -809,7 +865,7 @@ class FrameDecoder:
                 if si == 0:
                     sctx = self._dc_sign_ctx(plane, x, y, txw, txh)
                     sign = dec.decode_symbol(
-                        cdf.dc_sign[q][ptype][sctx], 2, adapt=self.adapt
+                        cdf.dc_sign[q][ptype][sctx], 2, adapt=self.adapt, what="coef"
                     )
                     dc_sign_neg = sign
                 else:
@@ -824,12 +880,15 @@ class FrameDecoder:
         if quant[0] != 0:
             cul |= 64 if dc_sign_neg else 128  # dc sign category in bits 6-7
         self._set_coef_ctx(plane, x, y, txw, txh, cul)
-        # dequant (lossless: flat 4)
+        # ---- dequant (§7.12.3; lossless: flat 4)
         dq = np.zeros((ch, cw), dtype=np.int64)
         qd = self.hdr.quant
         depth = self.bd
         dcq = T.dc_q(qd.base_q_idx + (qd.delta_q_y_dc if plane == 0 else (qd.delta_q_u_dc if plane == 1 else qd.delta_q_v_dc)), depth)
         acq = T.ac_q(qd.base_q_idx + (0 if plane == 0 else (qd.delta_q_u_ac if plane == 1 else qd.delta_q_v_ac)), depth)
+        pels = txw * txh
+        dq_shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
+        cmax = (1 << (depth + 7)) - 1
         for si in range(eob):
             pos = int(scan[si])
             v = int(quant[pos])
@@ -838,8 +897,33 @@ class FrameDecoder:
             row, col = pos >> bwl, pos & (cw - 1)
             qv = dcq if pos == 0 else acq
             s = -1 if v < 0 else 1
-            dq[row, col] = s * ((abs(v) * qv) & 0xFFFFFF)
-        return dq, eob
+            mag = ((abs(v) * qv) & 0xFFFFFF) >> dq_shift
+            dq[row, col] = s * min(mag, cmax)
+        return dq, eob, tx_type
+
+    def _tx_type(self, plane, txw, txh):
+        """transform_type() (§5.11.47) + compute_tx_type for chroma."""
+        b = self.block
+        sqr_up = min(max(txw, txh), 64)
+        if sqr_up >= 32:
+            return TXF.DCT_DCT
+        sqr = min(txw, txh)
+        tx_set = 2 if (self.hdr.reduced_tx_set or sqr == 16) else 1
+        if plane == 0:
+            mode = b["y_mode"]
+            if b["use_filter_intra"]:
+                mode = FIMODE_TO_MODE[b["fi_mode"]]
+            cat = sqr.bit_length() - 3  # 4->0, 8->1, 16->2
+            nsym = 7 if tx_set == 1 else 5
+            sym = self.dec.decode_symbol(
+                self.cdf.intra_ext_tx[tx_set][cat][mode], nsym, adapt=self.adapt, what="coef"
+            )
+            return EXT_TX_INV[tx_set][sym]
+        # chroma: derived from the uv prediction mode, limited to the set
+        t = MODE_TO_TXFM[b["uv_mode"]]
+        if t not in EXT_TX_INV[tx_set]:
+            t = TXF.DCT_DCT
+        return t
 
     def _eob_base_ctx(self, si, n):
         if si == 0:
@@ -850,33 +934,62 @@ class FrameDecoder:
             return 2
         return 3
 
-    def _base_ctx(self, lev, row, col, pos):
-        mag = (
-            min(int(lev[row, col + 1]), 3)
-            + min(int(lev[row + 1, col]), 3)
-            + min(int(lev[row + 1, col + 1]), 3)
-            + min(int(lev[row, col + 2]), 3)
-            + min(int(lev[row + 2, col]), 3)
-        )
+    def _base_ctx(self, lev, row, col, pos, tx_class=TX_CLASS_2D):
+        mag = min(int(lev[row, col + 1]), 3) + min(int(lev[row + 1, col]), 3)
+        if tx_class == TX_CLASS_2D:
+            mag += (
+                min(int(lev[row + 1, col + 1]), 3)
+                + min(int(lev[row, col + 2]), 3)
+                + min(int(lev[row + 2, col]), 3)
+            )
+        elif tx_class == TX_CLASS_VERT:
+            mag += (
+                min(int(lev[row + 2, col]), 3)
+                + min(int(lev[row + 3, col]), 3)
+                + min(int(lev[row + 4, col]), 3)
+            )
+        else:
+            mag += (
+                min(int(lev[row, col + 2]), 3)
+                + min(int(lev[row, col + 3]), 3)
+                + min(int(lev[row, col + 4]), 3)
+            )
         ctx = min((mag + 1) >> 1, 4)
-        if pos == 0:
-            return 0
-        if row + col < 2:
-            return ctx + 1
-        if row + col < 4:
-            return 5 + ctx + 1
-        return 21 + ctx
+        if tx_class == TX_CLASS_2D:
+            if pos == 0:
+                return 0
+            if row + col < 2:
+                return ctx + 1
+            if row + col < 4:
+                return 5 + ctx + 1
+            return 21 + ctx
+        # 1D classes: context by distance along the transform direction
+        d = row if tx_class == TX_CLASS_VERT else col
+        if d == 0:
+            return 26 + ctx
+        if d == 1:
+            return 31 + ctx
+        return 36 + ctx
 
-    def _br_ctx(self, lev, row, col, pos):
-        mag = (
-            min(int(lev[row, col + 1]), 15)
-            + min(int(lev[row + 1, col]), 15)
-            + min(int(lev[row + 1, col + 1]), 15)
-        )
+    def _br_ctx(self, lev, row, col, pos, tx_class=TX_CLASS_2D):
+        mag = int(lev[row, col + 1]) + int(lev[row + 1, col])
+        if tx_class == TX_CLASS_2D:
+            mag += int(lev[row + 1, col + 1])
+            mag = min((mag + 1) >> 1, 6)
+            if pos == 0:
+                return mag
+            return mag + (7 if (row < 2 and col < 2) else 14)
+        if tx_class == TX_CLASS_VERT:
+            mag += int(lev[row + 2, col])
+            mag = min((mag + 1) >> 1, 6)
+            if pos == 0:
+                return mag
+            return mag + (7 if row == 0 else 14)
+        mag += int(lev[row, col + 2])
         mag = min((mag + 1) >> 1, 6)
         if pos == 0:
             return mag
-        return mag + (7 if (row < 2 and col < 2) else 14)
+        return mag + (7 if col == 0 else 14)
 
     # -------------------------------------------- coefficient neighbor ctx
 

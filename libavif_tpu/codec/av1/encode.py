@@ -76,15 +76,15 @@ def fwht4x4_levels(res: np.ndarray) -> np.ndarray:
 
 class MirrorCoder:
     """Implements the MsacDecoder interface over an MsacEncoder: each
-    "read" is answered from the planner (or 0 for mode-level syntax) and
-    simultaneously encoded with the same adaptive CDF."""
+    "read" is answered from the planner and simultaneously encoded with
+    the same adaptive CDF."""
 
     def __init__(self, enc: MsacEncoder, planner):
         self.enc = enc
         self.planner = planner
 
-    def decode_symbol(self, icdf, n, adapt=True):
-        v = self.planner.next_symbol(n)
+    def decode_symbol(self, icdf, n, adapt=True, what=None):
+        v = self.planner.next_symbol(n, what)
         self.enc.encode_symbol(v, icdf, n, adapt=adapt)
         return v
 
@@ -194,9 +194,11 @@ class LosslessPlanner:
             return v
         return None
 
-    def next_symbol(self, n):
-        v = self._pop("sym")
-        return 0 if v is None else v
+    def next_symbol(self, n, what=None):
+        if what == "coef":
+            v = self._pop("sym")
+            return 0 if v is None else v
+        return 0  # DC / NONE / no-skip policy for every mode-level element
 
     def next_bit(self):
         v = self._pop("bit")
@@ -207,9 +209,152 @@ class LosslessPlanner:
         return 0 if v is None else v
 
 
+_FWD_GAIN = {}
+
+
+def _dct_mat(n: int) -> np.ndarray:
+    k = np.arange(n).reshape(-1, 1)
+    i = np.arange(n).reshape(1, -1)
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2)
+    return m
+
+
+def _inverse_gain(txw: int, txh: int) -> float:
+    """Measure the spec inverse transform's overall gain once per size."""
+    key = (txw, txh)
+    if key not in _FWD_GAIN:
+        from .transforms import inverse_transform
+
+        imp = np.zeros((min(txh, 32), min(txw, 32)), dtype=np.int64)
+        imp[0, 0] = 1 << 10
+        out = inverse_transform(imp, txw, txh, 0, 8).astype(np.float64)
+        # inverse of DC-only input is flat: gain = out / (orthonormal idct)
+        flat = (1 << 10) / np.sqrt(txw * txh)
+        _FWD_GAIN[key] = float(out.mean()) / flat
+    return _FWD_GAIN[key]
+
+
+def forward_dct_levels(res: np.ndarray, txw: int, txh: int, dcq: int, acq: int,
+                       dq_shift: int) -> np.ndarray:
+    """Residual -> quantized levels for DCT_DCT via float transform +
+    round-to-nearest quantization against the spec dequant."""
+    g = _inverse_gain(txw, txh)
+    coeff = _dct_mat(txh) @ res.astype(np.float64) @ _dct_mat(txw).T
+    coeff /= g  # so that the spec inverse reproduces `res`
+    cw, chh = min(txw, 32), min(txh, 32)
+    coeff = coeff[:chh, :cw]
+    qs = np.full((chh, cw), float(acq) / (1 << dq_shift))
+    qs[0, 0] = float(dcq) / (1 << dq_shift)
+    lv = np.round(coeff / qs).astype(np.int64)
+    return np.clip(lv, -(1 << 20), 1 << 20)
+
+
+class LossyPlanner(LosslessPlanner):
+    """DC prediction, fixed partition to `block_px` blocks, DCT_DCT at a
+    fixed tx depth; real quantization against the frame's qindex."""
+
+    def __init__(self, sources, hdr, seq, block_px=16, tx_depth=0):
+        super().__init__(sources)
+        self.hdr = hdr
+        self.seq = seq
+        self.block_px = block_px
+        self.tx_depth = tx_depth
+        self.sb_px = 128 if seq.use_128x128_superblock else 64
+
+    def next_symbol(self, n, what=None):
+        if what == "coef":
+            v = self._pop("sym")
+            return 0 if v is None else v
+        if isinstance(what, tuple) and what[0] == "partition":
+            from . import blocks as B
+
+            # split down to block_px, then NONE
+            return 3 if B.BLOCK_DIMS[what[1]][0] > self.block_px else 0
+        if what == "gather":
+            return 1  # split at truncated edges
+        if what == "tx_depth":
+            return self.tx_depth
+        return 0
+
+    def begin_txb(self, plane, x, y, txw, txh, pred):
+        assert self.pos == len(self.script), "txb script not fully consumed"
+        src = self.sources[plane]
+        h, w = src.shape
+        rows = np.minimum(np.arange(y, y + txh), h - 1)
+        cols = np.minimum(np.arange(x, x + txw), w - 1)
+        blk = src[np.ix_(rows, cols)].astype(np.int64)
+        res = blk - pred
+        qd = self.hdr.quant
+        depth = 8
+        dcq = T.dc_q(qd.base_q_idx + (qd.delta_q_y_dc if plane == 0 else qd.delta_q_u_dc), depth)
+        acq = T.ac_q(qd.base_q_idx + (0 if plane == 0 else qd.delta_q_u_ac), depth)
+        pels = txw * txh
+        dq_shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
+        levels = forward_dct_levels(res, txw, txh, dcq, acq, dq_shift)
+        sqr_up = min(max(txw, txh), 64)
+        tx_set = 0 if sqr_up >= 32 else (2 if (self.hdr.reduced_tx_set or min(txw, txh) == 16) else 1)
+        self.script = self._script_txb_sized(levels, txw, txh, plane, tx_set)
+        self.pos = 0
+
+    def _script_txb_sized(self, levels, txw, txh, plane, tx_set) -> list:
+        cw, chh = min(txw, 32), min(txh, 32)
+        scan = T.default_scan(cw, chh)
+        flat = levels.flatten()
+        n = cw * chh
+        nz = [si for si in range(n) if flat[scan[si]] != 0]
+        if not nz:
+            return [("sym", 1)]
+        script = [("sym", 0)]
+        if plane == 0 and tx_set > 0:
+            script.append(("sym", 1))  # DCT_DCT's index in both intra sets
+        eob = nz[-1] + 1
+        if eob <= 2:
+            eob_pt = eob
+        else:
+            eob_pt = (eob - 1).bit_length() + 1
+        script.append(("sym", eob_pt - 1))
+        if eob_pt >= 3:
+            rem = eob - ((1 << (eob_pt - 2)) + 1)
+            eshift = eob_pt - 3
+            script.append(("sym", (rem >> eshift) & 1))
+            for i in range(1, eob_pt - 2):
+                script.append(("bit", (rem >> (eshift - i)) & 1))
+        for si in range(eob - 1, -1, -1):
+            lv = abs(int(flat[scan[si]]))
+            if si == eob - 1:
+                script.append(("sym", min(lv, 3) - 1))
+            else:
+                script.append(("sym", min(lv, 3)))
+            if lv > NUM_BASE_LEVELS:
+                rem = lv - 3
+                for _ in range(4):
+                    k = min(rem, 3)
+                    script.append(("sym", k))
+                    rem -= k
+                    if k < 3:
+                        break
+        for si in range(eob):
+            v = int(flat[scan[si]])
+            if v != 0:
+                if si == 0:
+                    script.append(("sym", 1 if v < 0 else 0))
+                else:
+                    script.append(("bit", 1 if v < 0 else 0))
+                if abs(v) > NUM_BASE_LEVELS + COEFF_BASE_RANGE:
+                    script.append(("golomb", abs(v) - 15))
+        return script
+
+
 def _write_frame_header_lossless(seq: SequenceHeader) -> bytes:
-    """Reduced-still-picture uncompressed header for a lossless frame
-    (mirror of headers.parse_frame_header for this configuration)."""
+    return _write_frame_header(seq, base_q_idx=0)
+
+
+def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
+                        tx_mode_select: bool = True) -> bytes:
+    """Reduced-still-picture uncompressed header (mirror of
+    headers.parse_frame_header for the configurations we emit: lossless
+    or lossy with loop filters off and TX_MODE_SELECT)."""
     s = RWStream()
     w = s.write_bits
     w(0, 1)  # disable_cdf_update
@@ -244,8 +389,8 @@ def _write_frame_header_lossless(seq: SequenceHeader) -> bytes:
     n_tiles = (1 << log2_cols) * (1 << log2_rows)
     if n_tiles > 1:
         raise AvifError(Result.NOT_IMPLEMENTED, "multi-tile spec encode")
-    # quantization: lossless
-    w(0, 8)  # base_q_idx = 0
+    # quantization
+    w(base_q_idx, 8)
     w(0, 1)  # delta_q_y_dc flag
     if not seq.monochrome:
         if seq.separate_uv_delta_q:
@@ -254,15 +399,39 @@ def _write_frame_header_lossless(seq: SequenceHeader) -> bytes:
         w(0, 1)  # u_ac
     w(0, 1)  # using_qmatrix
     w(0, 1)  # segmentation_enabled
-    # base_q==0: no delta_q_present; coded_lossless skips lf/cdef/lr/tx_mode
+    if base_q_idx > 0:
+        w(0, 1)  # delta_q_present
+        # loop filter: levels 0/0 (no deblocking), sharpness 0, no deltas
+        w(0, 6)
+        w(0, 6)
+        w(0, 3)
+        w(0, 1)  # loop_filter_delta_enabled
+        # cdef/lr skipped (disabled in the sequence header)
+        w(1 if tx_mode_select else 0, 1)  # tx_mode
     w(0, 1)  # reduced_tx_set
     s.flush_bits()
     return s.data()
 
 
-def encode_lossless_still(
+def encode_lossless_still(planes, **kw) -> bytes:
+    """Spec-conformant lossless AV1 still payload."""
+    return _encode_still(planes, base_q_idx=0, **kw)
+
+
+def encode_lossy_still(planes, qindex: int, *, block_px: int = 16,
+                       tx_depth: int = 0, **kw) -> bytes:
+    """Spec-conformant lossy AV1 still payload (DC prediction, DCT_DCT,
+    loop filters off). qindex follows the spec base_q_idx scale."""
+    return _encode_still(planes, base_q_idx=max(1, min(int(qindex), 255)),
+                         block_px=block_px, tx_depth=tx_depth, **kw)
+
+
+def _encode_still(
     planes,
     *,
+    base_q_idx: int = 0,
+    block_px: int = 16,
+    tx_depth: int = 0,
     monochrome: bool = False,
     subsampling_x: int = 1,
     subsampling_y: int = 1,
@@ -272,7 +441,7 @@ def encode_lossless_still(
     matrix_coefficients: int = 2,
     color_range: int = 1,
 ) -> bytes:
-    """Encode YUV planes as a spec-conformant lossless AV1 still payload
+    """Encode YUV planes as a spec-conformant AV1 still payload
     (temporal delimiter + sequence header + frame OBU)."""
     if bit_depth != 8:
         raise AvifError(Result.NOT_IMPLEMENTED, "spec encode: 8-bit first")
@@ -314,14 +483,19 @@ def encode_lossless_still(
     from ...containers.obu import parse_sequence_header
 
     seq = parse_sequence_header(seq_payload)
-    hdr_payload = _write_frame_header_lossless(seq)
+    hdr_payload = _write_frame_header(seq, base_q_idx)
     # parse back our own header (guarantees reader/writer agreement and
     # yields the derived geometry the shared traversal needs)
     hdr = parse_frame_header(hdr_payload, seq)
-    assert hdr.coded_lossless and hdr.width == w and hdr.height == h
+    assert hdr.coded_lossless == (base_q_idx == 0)
+    assert hdr.width == w and hdr.height == h
 
     dec = FrameDecoder(seq, hdr)
-    planner = LosslessPlanner([np.asarray(p, dtype=np.int32) for p in planes])
+    srcs = [np.asarray(p, dtype=np.int32) for p in planes]
+    if base_q_idx == 0:
+        planner = LosslessPlanner(srcs)
+    else:
+        planner = LossyPlanner(srcs, hdr, seq, block_px=block_px, tx_depth=tx_depth)
     enc = MsacEncoder()
     dec.planner = planner
     dec.dec = None  # will be set per tile in decode_tiles; set below instead
@@ -346,11 +520,13 @@ def encode_lossless_still(
     assert planner.pos == len(planner.script), "unconsumed txb script"
     tile_data = enc.finish(strip=False)
 
-    # verify the encoder's own reconstruction equals the source
-    for p, src in zip(dec.planes, planner.sources):
-        ph, pw = src.shape
-        if not np.array_equal(p[:ph, :pw], src):
-            raise AvifError(Result.UNKNOWN_ERROR, "lossless encode recon mismatch")
+    # lossless: verify the encoder's own reconstruction equals the source
+    if base_q_idx == 0:
+        for p, src in zip(dec.planes, planner.sources):
+            ph, pw = src.shape
+            if not np.array_equal(p[:ph, :pw], src):
+                raise AvifError(Result.UNKNOWN_ERROR, "lossless encode recon mismatch")
+    _encode_still.last_recon = [p.copy() for p in dec.planes]
 
     # assemble OBUs
     s = RWStream()

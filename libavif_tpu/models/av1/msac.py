@@ -174,7 +174,7 @@ class MsacDecoder:
         self.bitpos += 1
         return (byte >> (7 - (p & 7))) & 1
 
-    def decode_symbol(self, icdf: np.ndarray, n: int, adapt: bool = True) -> int:
+    def decode_symbol(self, icdf: np.ndarray, n: int, adapt: bool = True, what=None) -> int:
         r8 = self.rng >> 8
         dif = self.dif
         v_prev = self.rng

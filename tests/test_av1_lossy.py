@@ -1,0 +1,92 @@
+"""Lossy spec-AV1 conformance, both directions.
+
+Decode: real libaom streams (speed 0-6, TX_MODE_SELECT, 64px transforms)
+must reconstruct bit-exactly. Encode: our lossy payloads must decode
+bit-exactly in dav1d at every tx depth.
+"""
+
+import numpy as np
+import pytest
+
+from libavif_tpu.codec.av1 import encode as E
+from libavif_tpu.codec.av1.still import decode_still
+from libavif_tpu.constants import Range
+from libavif_tpu.containers.items import (
+    CodecConfiguration,
+    ColorInformation,
+    ImageSpatialExtents,
+    PixelInformation,
+    Property,
+)
+from libavif_tpu.containers.write import OutputItem, write_still
+from libavif_tpu.interop import libavif_oracle as oracle
+
+pytestmark = pytest.mark.skipif(
+    not oracle.available(), reason="libavif oracle unavailable"
+)
+
+
+def _payload(data):
+    return data[data.find(b"mdat") + 4 :]
+
+
+def _wrap(payload, w, h):
+    item = OutputItem(
+        id=1, item_type="av01", payload=payload,
+        properties=[
+            Property("ispe", ImageSpatialExtents(w, h)),
+            Property("pixi", PixelInformation(plane_depths=[8, 8, 8])),
+            Property("av1C", CodecConfiguration(chroma_subsampling_x=1, chroma_subsampling_y=1)),
+            Property("colr", ColorInformation(has_nclx=True, color_primaries=2,
+                                              transfer_characteristics=2,
+                                              matrix_coefficients=2, yuv_range=Range.FULL)),
+        ],
+    )
+    return write_still([item], 1)
+
+
+def _photo(n, m, seed=5):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:m, 0:n]
+    y = (128 + 80 * np.sin(yy / 9.0) * np.cos(xx / 11.0) + (rng.rand(m, n) * 20 - 10)
+         ).clip(0, 255).astype(np.uint8)
+    u = (128 + 50 * np.sin(xx[: (m + 1) // 2, : (n + 1) // 2] / 7.0)).clip(0, 255).astype(np.uint8)
+    v = (128 + 50 * np.cos(yy[: (m + 1) // 2, : (n + 1) // 2] / 5.0)).clip(0, 255).astype(np.uint8)
+    return [y, u, v]
+
+
+@pytest.mark.parametrize("speed", [6, 2, 0])
+def test_decode_aom_lossy_stream(speed):
+    rng = np.random.RandomState(3)
+    pl = [
+        (rng.rand(64, 64) * 255).astype(np.uint8),
+        (rng.rand(32, 32) * 255).astype(np.uint8),
+        (rng.rand(32, 32) * 255).astype(np.uint8),
+    ]
+    data = oracle.encode(pl, quality=70, speed=speed)
+    ref = oracle.decode(data)
+    out, _, _ = decode_still(_payload(data))
+    for a, b in zip(out, ref.planes):
+        assert np.array_equal(a.astype(np.uint8), b)
+
+
+@pytest.mark.parametrize("tx_depth", [0, 1, 2])
+def test_encode_lossy_dav1d_bit_exact(tx_depth):
+    pl = _photo(64, 64)
+    payload = E.encode_lossy_still(pl, qindex=60, block_px=16, tx_depth=tx_depth)
+    out, _, _ = decode_still(payload)
+    im = oracle.decode(_wrap(payload, 64, 64))
+    for p, a in zip(im.planes, out):
+        assert np.array_equal(p, a.astype(np.uint8))
+    # and the quality is real (not prediction-only)
+    mse = np.mean((im.planes[0].astype(float) - pl[0]) ** 2)
+    assert 10 * np.log10(255**2 / mse) > 35
+
+
+def test_encode_lossy_quality_scales_with_q():
+    pl = _photo(64, 48, seed=8)
+    sizes = []
+    for qi in (30, 100, 200):
+        payload = E.encode_lossy_still(pl, qindex=qi, block_px=16, tx_depth=1)
+        sizes.append(len(payload))
+    assert sizes[0] > sizes[1] > sizes[2]

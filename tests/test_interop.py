@@ -70,12 +70,11 @@ def test_foreign_lossless_decodes_here_bit_exact():
         assert np.array_equal(ours, src)
 
 
-def test_foreign_lossy_fails_cleanly():
-    from libavif_tpu.constants import AvifError, Result
-
+def test_foreign_lossy_decodes_bit_exact():
     img = _image(32, 32, seed=6)
     planes = [img.yuv_planes[0], img.yuv_planes[1], img.yuv_planes[2]]
     foreign = oracle.encode(planes, quality=60, speed=8)
-    with pytest.raises(AvifError) as e:
-        decode(foreign)
-    assert e.value.result in (Result.NOT_IMPLEMENTED, Result.BMFF_PARSE_FAILED)
+    ref = oracle.decode(foreign)
+    out = decode(foreign)
+    for ours, want in zip(out.yuv_planes, ref.planes):
+        assert np.array_equal(ours, want)
