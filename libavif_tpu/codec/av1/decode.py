@@ -104,6 +104,22 @@ class TileContexts:
         # tx dims per mi (for tx_size ctx, lossy)
         self.tx_w = np.zeros((mi_rows, mi_cols), dtype=np.uint8)
         self.tx_h = np.zeros((mi_rows, mi_cols), dtype=np.uint8)
+        # per-mi frame info consumed by the loop filters
+        self.skip_of = np.zeros((mi_rows, mi_cols), dtype=np.uint8)
+        self.blk_r0 = np.zeros((mi_rows, mi_cols), dtype=np.int16)
+        self.blk_c0 = np.zeros((mi_rows, mi_cols), dtype=np.int16)
+        self.uvtx_w = np.zeros((mi_rows, mi_cols), dtype=np.uint8)
+        self.uvtx_h = np.zeros((mi_rows, mi_cols), dtype=np.uint8)
+
+    def reset_tile_lines(self):
+        self.above_part[:] = 0
+        self.left_part[:] = 0
+        self.above_skip[:] = 0
+        self.left_skip[:] = 0
+        for a in self.above_coef:
+            a[:] = 0
+        for a in self.left_coef:
+            a[:] = 0
 
 
 class FrameDecoder:
@@ -148,6 +164,9 @@ class FrameDecoder:
         for idx, data in tile_payloads:
             tr, tc = divmod(idx, ti.cols)
             self._decode_tile(tr, tc, data)
+        from .loopfilter import loop_filter_frame
+
+        loop_filter_frame(self)
         return [
             p[: self.ph[i], : self.pw[i]].copy() for i, p in enumerate(self.planes)
         ]
@@ -158,7 +177,10 @@ class FrameDecoder:
         self.mi_col1 = min(ti.col_starts[tc + 1] * self.sb_mi, self.hdr.mi_cols)
         self.mi_row0 = ti.row_starts[tr] * self.sb_mi
         self.mi_row1 = min(ti.row_starts[tr + 1] * self.sb_mi, self.hdr.mi_rows)
-        self.ctx = TileContexts(self.hdr.mi_rows, self.hdr.mi_cols, self.n_planes)
+        if not hasattr(self, "ctx") or self.ctx is None:
+            self.ctx = TileContexts(self.hdr.mi_rows, self.hdr.mi_cols, self.n_planes)
+        else:
+            self.ctx.reset_tile_lines()
         self.cdf = T.defaults().copy()
         self.qctx = self._q_ctx()
         self.dec = MsacDecoder(data)
@@ -460,6 +482,23 @@ class FrameDecoder:
         ctx.left_skip[r:r1] = skip
         ctx.tx_w[r:r1, c:c1] = txw
         ctx.tx_h[r:r1, c:c1] = txh
+        # frame info for the loop filters
+        ctx.skip_of[r:r1, c:c1] = skip
+        ctx.blk_r0[r:r1, c:c1] = r
+        ctx.blk_c0[r:r1, c:c1] = c
+        if has_chroma and self.n_planes > 1:
+            pw = max(4, wpx >> self.ss_x)
+            phh = max(4, hpx >> self.ss_y)
+            if self.hdr.coded_lossless:
+                utw = uth = 4
+            else:
+                utw, uth = self._chroma_tx_size(pw, phh)
+            cr0 = r & ~self.ss_y if (B.h4(bsize) == 1 and self.ss_y) else r
+            cc0 = c & ~self.ss_x if (B.w4(bsize) == 1 and self.ss_x) else c
+            cr1 = min(cr0 + max(bh4, 1 + self.ss_y if B.h4(bsize) == 1 else bh4), self.hdr.mi_rows)
+            cc1 = min(cc0 + max(bw4, 1 + self.ss_x if B.w4(bsize) == 1 else bw4), self.hdr.mi_cols)
+            ctx.uvtx_w[cr0:cr1, cc0:cc1] = utw
+            ctx.uvtx_h[cr0:cr1, cc0:cc1] = uth
         # partition context bytes
         lw = bw4.bit_length() - 1
         lh = bh4.bit_length() - 1
@@ -840,7 +879,7 @@ class FrameDecoder:
                     + 1
                 )
             else:
-                ctx_b = self._base_ctx(lev, row, col, pos, tx_class)
+                ctx_b = self._base_ctx(lev, row, col, pos, tx_class, cw, ch)
                 level = dec.decode_symbol(
                     cdf.coeff_base[q][tctx][ptype][ctx_b], 4, adapt=self.adapt, what="coef"
                 )
@@ -934,7 +973,7 @@ class FrameDecoder:
             return 2
         return 3
 
-    def _base_ctx(self, lev, row, col, pos, tx_class=TX_CLASS_2D):
+    def _base_ctx(self, lev, row, col, pos, tx_class=TX_CLASS_2D, cw=0, ch=0):
         mag = min(int(lev[row, col + 1]), 3) + min(int(lev[row + 1, col]), 3)
         if tx_class == TX_CLASS_2D:
             mag += (
@@ -958,6 +997,12 @@ class FrameDecoder:
         if tx_class == TX_CLASS_2D:
             if pos == 0:
                 return 0
+            # rectangular txs use dedicated offsets along the short side
+            # (dav1d lo_ctx_offsets; aom get_nz_map_ctx_from_stats)
+            if cw > ch and col < 2:
+                return 16 + ctx
+            if ch > cw and row < 2:
+                return 11 + ctx
             if row + col < 2:
                 return ctx + 1
             if row + col < 4:
@@ -1074,5 +1119,12 @@ class FrameDecoder:
         x4, y4, w4, h4 = self._coef_units(plane, x, y, txw, txh)
         above = self.ctx.above_coef[plane]
         left = self.ctx.left_coef[plane]
-        above[x4 : x4 + w4] = value
-        left[y4 : y4 + h4] = value
+        # writes stop at the coded (mi-grid) plane edge: units beyond
+        # MiCols/MiRows*4 in this plane keep their neutral reset value,
+        # which later bottom/right-clipped txbs read back into their
+        # contexts (matters for subsampled planes when MiRows*4>>ss is
+        # not a multiple of the tx size).
+        max_w4 = (self.cw[plane] + 3) >> 2
+        max_h4 = (self.ch[plane] + 3) >> 2
+        above[x4 : min(x4 + w4, max_w4)] = value
+        left[y4 : min(y4 + h4, max_h4)] = value

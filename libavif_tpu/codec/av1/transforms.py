@@ -480,7 +480,9 @@ def inverse_transform(dq: np.ndarray, txw: int, txh: int, tx_type: int,
     # (round2 with arithmetic shift, matching the butterflies' rounding)
     if abs(int(math.log2(txw)) - int(math.log2(txh))) == 1:
         full = (full * 2896 + 2048) >> 12
-    rng = 1 << (max(bd + 6, 16))
+    # intermediate (between-pass) clamp: dav1d keeps 8bpc row outputs in
+    # int16, i.e. +-2^(bd+7); conformant streams depend on this saturation
+    rng = 1 << (bd + 7)
     out = np.zeros((txh, txw), dtype=np.int64)
     for i in range(txh):
         row = [int(v) for v in full[i]]
