@@ -665,20 +665,40 @@ class FrameDecoder:
         else:
             corner = base
         above[0] = left[0] = corner
+        sx_ = self.ss_x if plane else 0
+        sy_ = self.ss_y if plane else 0
         if have_above:
+            # real above-right run: at most w extra samples, stopping at
+            # the tile/coded right edge; when the above row is interior
+            # to the current superblock, also at the SB right edge
+            # (pixels past it are not decoded yet). Beyond: replicate
+            # (aom n_topright_px = min(w, xr)).
+            lim = min(max_x + 1, (self.mi_col1 * 4) >> sx_)
+            sb_top = (self.sb_r * 4) >> sy_
+            if y > sb_top:
+                lim = min(lim, ((self.sb_c * 4) + self.sb_px) >> sx_)
+            n_tr = min(w, max(0, lim - (x + w))) if decoded_ur else 0
+            n_real = w + n_tr
             for i in range(w + h):
-                if decoded_ur or i < w:
+                if i < n_real:
                     above[i + 1] = int(frame[y - 1, min(x + i, max_x)])
                 else:
-                    above[i + 1] = above[w]  # replicate last in-block sample
+                    above[i + 1] = above[n_real]
         else:
             above[1:] = int(frame[y, x - 1]) if have_left else base - 1
         if have_left:
+            # real below-left run: at most h extra samples, stopping at
+            # the SB bottom and tile/coded bottom (aom n_bottomleft_px =
+            # min(h, yd)). Beyond: replicate.
+            lim = min(max_y + 1, (self.mi_row1 * 4) >> sy_,
+                      ((self.sb_r * 4) + self.sb_px) >> sy_)
+            n_bl = min(h, max(0, lim - (y + h))) if decoded_bl else 0
+            n_real = h + n_bl
             for i in range(w + h):
-                if decoded_bl or i < h:
+                if i < n_real:
                     left[i + 1] = int(frame[min(y + i, max_y), x - 1])
                 else:
-                    left[i + 1] = left[h]
+                    left[i + 1] = left[n_real]
         else:
             left[1:] = int(frame[y - 1, x]) if have_above else base + 1
 
