@@ -21,6 +21,7 @@ from . import blocks as B
 from . import intra as I
 from . import tables as T
 from .headers import FrameHeader
+from . import headers as H
 from .transforms import inverse_transform, inverse_wht4x4
 from . import transforms as TXF
 
@@ -79,6 +80,60 @@ COEFF_BASE_RANGE = 12
 CFL_SIGN_ZERO, CFL_SIGN_NEG, CFL_SIGN_POS = 0, 1, 2
 
 
+def _neg_deinterleave(diff, ref, mx):
+    """§5.11.8 Neg_Deinterleave."""
+    if ref == 0:
+        return diff
+    if ref >= mx - 1:
+        return mx - 1 - diff
+    if 2 * ref < mx:
+        if diff <= 2 * ref:
+            if diff & 1:
+                return ref + ((diff + 1) >> 1)
+            return ref - (diff >> 1)
+        return diff
+    if diff <= 2 * (mx - ref - 1):
+        if diff & 1:
+            return ref + ((diff + 1) >> 1)
+        return ref - (diff >> 1)
+    return mx - (diff + 1)
+
+
+# §5.11.46: hash -> color-index context (Palette_Color_Context)
+PALETTE_COLOR_CONTEXT = [-1, -1, 0, -1, -1, 4, 3, 2, 1]
+PALETTE_HASH_MULT = (1, 2, 2)
+
+
+def _ceil_log2(x):
+    return 0 if x < 2 else (x - 1).bit_length()
+
+
+def _palette_color_context(m, row, col, n):
+    """Neighbor-weighted color ordering + context hash for one map sample."""
+    scores = [0] * 8
+    if col > 0:
+        scores[m[row, col - 1]] += 2
+    if row > 0 and col > 0:
+        scores[m[row - 1, col - 1]] += 1
+    if row > 0:
+        scores[m[row - 1, col]] += 2
+    order = list(range(8))
+    for i in range(3):
+        max_s, max_i = scores[i], i
+        for j in range(i + 1, n):
+            if scores[j] > max_s:
+                max_s, max_i = scores[j], j
+        if max_i != i:
+            mo = order[max_i]
+            for k in range(max_i, i, -1):
+                scores[k] = scores[k - 1]
+                order[k] = order[k - 1]
+            scores[i] = max_s
+            order[i] = mo
+    h = sum(scores[i] * PALETTE_HASH_MULT[i] for i in range(3))
+    return order, PALETTE_COLOR_CONTEXT[h]
+
+
 def _cfl_sign_u(js):
     return ((js + 1) * 11) >> 5
 
@@ -110,6 +165,16 @@ class TileContexts:
         self.blk_c0 = np.zeros((mi_rows, mi_cols), dtype=np.int16)
         self.uvtx_w = np.zeros((mi_rows, mi_cols), dtype=np.uint8)
         self.uvtx_h = np.zeros((mi_rows, mi_cols), dtype=np.uint8)
+        # palette bookkeeping (§5.11.44 cache + y-mode ctx): per-mi size and
+        # colors for the Y and U planes (V colors are never cached)
+        self.palette_size = [np.zeros((mi_rows, mi_cols), dtype=np.uint8) for _ in range(2)]
+        self.palette_colors = [
+            np.zeros((mi_rows, mi_cols, 8), dtype=np.uint16) for _ in range(2)
+        ]
+        # per-mi loop-filter deltas (delta_lf_present frames)
+        self.delta_lf_of = np.zeros((mi_rows, mi_cols, 4), dtype=np.int8)
+        # per-mi segment ids (segmentation_enabled frames)
+        self.seg_of = np.zeros((mi_rows, mi_cols), dtype=np.uint8)
 
     def reset_tile_lines(self):
         self.above_part[:] = 0
@@ -150,6 +215,9 @@ class FrameDecoder:
         self.ch = [ch] + [ch >> self.ss_y] * (self.n_planes - 1)
         self.sb_px = 128 if seq.use_128x128_superblock else 64
         self.sb_mi = self.sb_px >> 2
+        self.read_deltas = False
+        self.current_qindex = hdr.quant.base_q_idx
+        self.delta_lf = [0, 0, 0, 0]
         if hdr.allow_intrabc:
             raise AvifError(Result.NOT_IMPLEMENTED, "intrabc")
 
@@ -185,8 +253,12 @@ class FrameDecoder:
         self.qctx = self._q_ctx()
         self.dec = MsacDecoder(data)
         self.adapt = not self.hdr.disable_cdf_update
+        self.current_qindex = self.hdr.quant.base_q_idx
+        self.delta_lf = [0, 0, 0, 0]
+        self.read_deltas = False
         for r in range(self.mi_row0, self.mi_row1, self.sb_mi):
             for c in range(self.mi_col0, self.mi_col1, self.sb_mi):
+                self.read_deltas = self.hdr.delta_q_present
                 self._clear_block_decoded(r, c)
                 sz = B.block_size(self.sb_px, self.sb_px)
                 self._decode_partition(r, c, sz)
@@ -377,17 +449,68 @@ class FrameDecoder:
         dec = self.dec
         cdf = self.cdf
 
-        # ---- skip
-        skip_ctx = 0
-        if avail_u:
-            skip_ctx += int(ctx.above_skip[c])
-        if avail_l:
-            skip_ctx += int(ctx.left_skip[r])
-        skip = dec.decode_symbol(cdf.skip[skip_ctx], 2, adapt=self.adapt, what="skip")
+        # ---- segment id (pre-skip variant) + skip (§5.11.6)
+        hdr = self.hdr
+        seg_id = 0
+        if hdr.segmentation_enabled and hdr.seg_id_pre_skip:
+            seg_id = self._read_segment_id(r, c, avail_u, avail_l, skip=0)
+        if (
+            hdr.segmentation_enabled
+            and hdr.seg_id_pre_skip
+            and hdr.seg_feature_enabled[seg_id][H.SEG_LVL_SKIP]
+        ):
+            skip = 1
+        else:
+            skip_ctx = 0
+            if avail_u:
+                skip_ctx += int(ctx.above_skip[c])
+            if avail_l:
+                skip_ctx += int(ctx.left_skip[r])
+            skip = dec.decode_symbol(cdf.skip[skip_ctx], 2, adapt=self.adapt, what="skip")
+        if hdr.segmentation_enabled and not hdr.seg_id_pre_skip:
+            seg_id = self._read_segment_id(r, c, avail_u, avail_l, skip=skip)
 
-        # cdef / delta q / delta lf would be read here (lossy, non-lossless)
-        if self.hdr.delta_q_present:
-            raise AvifError(Result.NOT_IMPLEMENTED, "delta_q in intra decode")
+        # ---- per-superblock delta q / delta lf (§5.11.17/5.11.18), read by
+        # the first block of each SB unless it is an SB-sized skip block
+        if self.read_deltas:
+            sb_sized = wpx == self.sb_px and hpx == self.sb_px
+            if not (sb_sized and skip):
+                if self.hdr.delta_q_present:
+                    qa = dec.decode_symbol(
+                        cdf.delta_q[0], 4, adapt=self.adapt, what="delta_q"
+                    )
+                    if qa == 3:
+                        rem = dec.decode_literal(3) + 1
+                        qa = dec.decode_literal(rem) + (1 << rem) + 1
+                    if qa:
+                        if dec.decode_bit():
+                            qa = -qa
+                        self.current_qindex = min(
+                            255, max(1, self.current_qindex + (qa << self.hdr.delta_q_res))
+                        )
+                if self.hdr.delta_lf_present:
+                    n_lf = (
+                        (4 if self.n_planes > 1 else 2)
+                        if self.hdr.delta_lf_multi
+                        else 1
+                    )
+                    for i in range(n_lf):
+                        row = (
+                            cdf.delta_lf_multi[i]
+                            if self.hdr.delta_lf_multi
+                            else cdf.delta_lf[0]
+                        )
+                        la = dec.decode_symbol(row, 4, adapt=self.adapt, what="delta_lf")
+                        if la == 3:
+                            rem = dec.decode_literal(3) + 1
+                            la = dec.decode_literal(rem) + (1 << rem) + 1
+                        if la:
+                            if dec.decode_bit():
+                                la = -la
+                            self.delta_lf[i] = min(
+                                63, max(-63, self.delta_lf[i] + (la << self.hdr.delta_lf_res))
+                            )
+            self.read_deltas = False
 
         # ---- y mode
         above_mode = int(ctx.y_modes[r - 1, c]) if avail_u else I.DC_PRED
@@ -440,14 +563,44 @@ class FrameDecoder:
                 )
                 angle_uv = sym - I.MAX_ANGLE_DELTA
 
-        # ---- palette (only with screen content tools)
+        # ---- palette (§5.11.43, only with screen content tools)
+        pal_sz_y = pal_sz_uv = 0
+        pal_y = pal_u = pal_v = None
         if (
             self.hdr.allow_screen_content_tools
-            and wpx <= 64
-            and hpx <= 64
-            and bsize >= B.block_size(8, 8)
+            and 8 <= wpx <= 64
+            and 8 <= hpx <= 64
         ):
-            raise AvifError(Result.NOT_IMPLEMENTED, "palette mode")
+            bsize_ctx = (bw4.bit_length() - 1) + (bh4.bit_length() - 1) - 2
+            if y_mode == I.DC_PRED:
+                pctx = 0
+                if avail_u and int(ctx.palette_size[0][r - 1, c]) > 0:
+                    pctx += 1
+                if avail_l and int(ctx.palette_size[0][r, c - 1]) > 0:
+                    pctx += 1
+                if dec.decode_symbol(
+                    cdf.palette_y_mode[bsize_ctx][pctx], 2, adapt=self.adapt, what="pal_y"
+                ):
+                    pal_sz_y = (
+                        dec.decode_symbol(
+                            cdf.palette_y_size[bsize_ctx], 7, adapt=self.adapt, what="pal_y"
+                        )
+                        + 2
+                    )
+                    pal_y = self._read_palette_colors_y(r, c, pal_sz_y)
+            if has_chroma and uv_mode == I.DC_PRED:
+                pctx = 1 if pal_sz_y > 0 else 0
+                if dec.decode_symbol(
+                    cdf.palette_uv_mode[pctx], 2, adapt=self.adapt, what="pal_uv"
+                ):
+                    pal_sz_uv = (
+                        dec.decode_symbol(
+                            cdf.palette_uv_size[bsize_ctx], 7, adapt=self.adapt, what="pal_uv"
+                        )
+                        + 2
+                    )
+                    pal_u = self._read_palette_colors_u(r, c, pal_sz_uv)
+                    pal_v = self._read_palette_colors_v(pal_sz_uv)
 
         # ---- filter intra
         use_filter_intra = False
@@ -455,6 +608,7 @@ class FrameDecoder:
         if (
             self.seq.enable_filter_intra
             and y_mode == I.DC_PRED
+            and pal_sz_y == 0
             and wpx <= 32
             and hpx <= 32
         ):
@@ -465,6 +619,24 @@ class FrameDecoder:
                 fi_mode = dec.decode_symbol(
                     cdf.filter_intra_mode[0], 5, adapt=self.adapt, what="fi_mode"
                 )
+
+        # ---- palette tokens (color index maps; §5.11.46, read between
+        # mode info and the block tx size)
+        map_y = map_uv = None
+        if pal_sz_y:
+            map_y = self._read_palette_tokens(
+                r, c, wpx, hpx, pal_sz_y, cdf.palette_y_color_index[pal_sz_y]
+            )
+        if pal_sz_uv:
+            map_uv = self._read_palette_tokens(
+                r,
+                c,
+                max(4, wpx >> self.ss_x),
+                max(4, hpx >> self.ss_y),
+                pal_sz_uv,
+                cdf.palette_uv_color_index[pal_sz_uv],
+                chroma=True,
+            )
 
         # ---- tx size (lossless: 4x4 implied)
         if self.hdr.coded_lossless:
@@ -507,14 +679,219 @@ class FrameDecoder:
         ctx.above_part[c:c1] = (~((1 << (lw + 1)) - 1)) & 0x3F
         ctx.left_part[r:r1] = (~((1 << (lh + 1)) - 1)) & 0x3F
 
+        if self.hdr.delta_lf_present:
+            ctx.delta_lf_of[r:r1, c:c1] = self.delta_lf
+        if hdr.segmentation_enabled:
+            ctx.seg_of[r:r1, c:c1] = seg_id
+
+        # palette context store (cache + y-mode ctx for later blocks)
+        if pal_sz_y:
+            ctx.palette_size[0][r:r1, c:c1] = pal_sz_y
+            ctx.palette_colors[0][r:r1, c:c1, : pal_sz_y] = pal_y
+        if pal_sz_uv:
+            ctx.palette_size[1][r:r1, c:c1] = pal_sz_uv
+            ctx.palette_colors[1][r:r1, c:c1, : pal_sz_uv] = pal_u
+
         self.block = dict(
             r=r, c=c, bsize=bsize, skip=skip, y_mode=y_mode, uv_mode=uv_mode,
             angle_y=angle_y, angle_uv=angle_uv, use_filter_intra=use_filter_intra,
             fi_mode=fi_mode, cfl_u=cfl_alpha_u, cfl_v=cfl_alpha_v,
             avail_u=avail_u, avail_l=avail_l, has_chroma=has_chroma,
-            txw=txw, txh=txh,
+            txw=txw, txh=txh, qindex=self._seg_qindex(seg_id),
+            pal_sz_y=pal_sz_y, pal_sz_uv=pal_sz_uv,
+            pal_y=pal_y, pal_u=pal_u, pal_v=pal_v, map_y=map_y, map_uv=map_uv,
         )
         self._residual()
+
+    # ------------------------------------------------------- segmentation
+
+    def _read_segment_id(self, r, c, avail_u, avail_l, skip):
+        """§5.11.8 read_segment_id: spatial prediction + neg-deinterleaved
+        residual symbol."""
+        seg = self.ctx.seg_of
+        prev_ul = int(seg[r - 1, c - 1]) if (avail_u and avail_l) else -1
+        prev_u = int(seg[r - 1, c]) if avail_u else -1
+        prev_l = int(seg[r, c - 1]) if avail_l else -1
+        if prev_u == -1:
+            pred = 0 if prev_l == -1 else prev_l
+        elif prev_l == -1:
+            pred = prev_u
+        else:
+            pred = prev_u if prev_ul == prev_u else prev_l
+        if skip:
+            return pred
+        if prev_ul < 0:
+            sctx = 0
+        elif prev_ul == prev_u and prev_ul == prev_l:
+            sctx = 2
+        elif prev_ul == prev_u or prev_ul == prev_l or prev_u == prev_l:
+            sctx = 1
+        else:
+            sctx = 0
+        diff = self.dec.decode_symbol(
+            self.cdf.seg_id[sctx], 8, adapt=self.adapt, what="seg_id"
+        )
+        sid = _neg_deinterleave(diff, pred, self.hdr.seg_last_active_id + 1)
+        if sid < 0 or sid > self.hdr.seg_last_active_id:
+            raise AvifError(Result.BMFF_PARSE_FAILED, "segment id out of range")
+        return sid
+
+    def _seg_qindex(self, seg_id):
+        """get_qindex (§7.12.2) with ignoreDeltaQ=0."""
+        hdr = self.hdr
+        base = self.current_qindex if hdr.delta_q_present else hdr.quant.base_q_idx
+        if hdr.segmentation_enabled and hdr.seg_feature_enabled[seg_id][H.SEG_LVL_ALT_Q]:
+            return min(255, max(0, base + hdr.seg_feature_data[seg_id][H.SEG_LVL_ALT_Q]))
+        return base
+
+    # ------------------------------------------------------------ palette
+
+    def _palette_cache(self, r, c, plane):
+        """§5.11.44 get_palette_cache: merge the sorted above/left palettes
+        (above only when not at a 64px row boundary) without duplicates."""
+        ctx = self.ctx
+        above = []
+        left = []
+        if (r * 4) % 64 and r - 1 >= self.mi_row0:
+            n = int(ctx.palette_size[plane][r - 1, c])
+            above = [int(v) for v in ctx.palette_colors[plane][r - 1, c, :n]]
+        if c > self.mi_col0:
+            n = int(ctx.palette_size[plane][r, c - 1])
+            left = [int(v) for v in ctx.palette_colors[plane][r, c - 1, :n]]
+        cache = []
+        ai = li = 0
+        while ai < len(above) and li < len(left):
+            av, lv = above[ai], left[li]
+            if lv < av:
+                if not cache or lv != cache[-1]:
+                    cache.append(lv)
+                li += 1
+            else:
+                if not cache or av != cache[-1]:
+                    cache.append(av)
+                ai += 1
+                if lv == av:
+                    li += 1
+        for v in above[ai:]:
+            if not cache or v != cache[-1]:
+                cache.append(v)
+        for v in left[li:]:
+            if not cache or v != cache[-1]:
+                cache.append(v)
+        return cache
+
+    @staticmethod
+    def _merge_sorted(cached, fresh):
+        out = []
+        i = j = 0
+        while i < len(cached) and j < len(fresh):
+            if cached[i] <= fresh[j]:
+                out.append(cached[i]); i += 1
+            else:
+                out.append(fresh[j]); j += 1
+        return out + cached[i:] + fresh[j:]
+
+    def _read_palette_colors_y(self, r, c, n):
+        dec = self.dec
+        bd = self.bd
+        cache = self._palette_cache(r, c, 0)
+        cached = []
+        for col in cache:
+            if len(cached) >= n:
+                break
+            if dec.decode_bit():
+                cached.append(col)
+        fresh = []
+        if len(cached) < n:
+            val = dec.decode_literal(bd)
+            fresh.append(val)
+            if len(cached) + len(fresh) < n:
+                bits = bd - 3 + dec.decode_literal(2)
+                rng = (1 << bd) - val - 1
+                while len(cached) + len(fresh) < n:
+                    delta = dec.decode_literal(bits) + 1
+                    nv = min(max(val + delta, 0), (1 << bd) - 1)
+                    rng -= nv - val
+                    val = nv
+                    fresh.append(val)
+                    bits = min(bits, _ceil_log2(rng))
+        return self._merge_sorted(cached, fresh)
+
+    def _read_palette_colors_u(self, r, c, n):
+        dec = self.dec
+        bd = self.bd
+        cache = self._palette_cache(r, c, 1)
+        cached = []
+        for col in cache:
+            if len(cached) >= n:
+                break
+            if dec.decode_bit():
+                cached.append(col)
+        fresh = []
+        if len(cached) < n:
+            val = dec.decode_literal(bd)
+            fresh.append(val)
+            if len(cached) + len(fresh) < n:
+                bits = bd - 3 + dec.decode_literal(2)
+                rng = (1 << bd) - val
+                while len(cached) + len(fresh) < n:
+                    delta = dec.decode_literal(bits)
+                    nv = min(max(val + delta, 0), (1 << bd) - 1)
+                    rng -= nv - val
+                    val = nv
+                    fresh.append(val)
+                    bits = min(bits, _ceil_log2(rng))
+        return self._merge_sorted(cached, fresh)
+
+    def _read_palette_colors_v(self, n):
+        dec = self.dec
+        bd = self.bd
+        if dec.decode_bit():  # delta encoded
+            bits = bd - 4 + dec.decode_literal(2)
+            max_val = 1 << bd
+            out = [dec.decode_literal(bd)]
+            for _ in range(n - 1):
+                delta = dec.decode_literal(bits)
+                if delta and dec.decode_bit():
+                    delta = -delta
+                val = out[-1] + delta
+                if val < 0:
+                    val += max_val
+                if val >= max_val:
+                    val -= max_val
+                out.append(min(max(val, 0), max_val - 1))
+            return out
+        return [dec.decode_literal(bd) for _ in range(n)]
+
+    def _read_ns(self, n):
+        """ns(n) non-symmetric uniform literal (§4.10.7)."""
+        w = n.bit_length()
+        m = (1 << w) - n
+        v = self.dec.decode_literal(w - 1) if w > 1 else 0
+        if v < m:
+            return v
+        return (v << 1) - m + self.dec.decode_bit()
+
+    def _read_palette_tokens(self, r, c, bw, bh, n, cdftab, chroma=False):
+        """§5.11.46 color index map, decoded in anti-diagonal order."""
+        dec = self.dec
+        sx = self.ss_x if chroma else 0
+        sy = self.ss_y if chroma else 0
+        on_w = min(bw, ((self.hdr.mi_cols - c) * 4) >> sx)
+        on_h = min(bh, ((self.hdr.mi_rows - r) * 4) >> sy)
+        m = np.zeros((bh, bw), dtype=np.uint8)
+        m[0, 0] = self._read_ns(n)
+        for k in range(1, on_h + on_w - 1):
+            for j in range(min(k, on_w - 1), max(0, k - on_h + 1) - 1, -1):
+                i = k - j
+                order, pctx = _palette_color_context(m, i, j, n)
+                sym = dec.decode_symbol(cdftab[pctx], n, adapt=self.adapt, what="pal_idx")
+                m[i, j] = order[sym]
+        if on_w < bw:
+            m[:on_h, on_w:] = m[:on_h, on_w - 1 : on_w]
+        if on_h < bh:
+            m[on_h:, :] = m[on_h - 1 : on_h, :]
+        return m
 
     def _read_tx_size(self, r, c, bsize, skip):
         wpx, hpx = B.BLOCK_DIMS[bsize]
@@ -647,6 +1024,17 @@ class FrameDecoder:
         decoded_bl = self._bd_get(plane, sb_y4 + (txh >> 2), sb_x4 - 1)
         max_x = self.cw[plane] - 1
         max_y = self.ch[plane] - 1
+
+        # palette prediction (§7.11.4): map indices -> palette colors
+        if plane == 0 and b.get("pal_sz_y"):
+            sub = b["map_y"][y - block_py : y - block_py + txh,
+                             x - block_px : x - block_px + txw]
+            return np.asarray(b["pal_y"], dtype=np.int32)[sub]
+        if plane > 0 and b.get("pal_sz_uv"):
+            pal = b["pal_u"] if plane == 1 else b["pal_v"]
+            sub = b["map_uv"][y - block_py : y - block_py + txh,
+                              x - block_px : x - block_px + txw]
+            return np.asarray(pal, dtype=np.int32)[sub]
 
         if plane > 0 and b["uv_mode"] == I.UV_CFL_PRED:
             return self._cfl_predict(plane, x, y, txw, txh, have_above, have_left)
@@ -943,8 +1331,9 @@ class FrameDecoder:
         dq = np.zeros((ch, cw), dtype=np.int64)
         qd = self.hdr.quant
         depth = self.bd
-        dcq = T.dc_q(qd.base_q_idx + (qd.delta_q_y_dc if plane == 0 else (qd.delta_q_u_dc if plane == 1 else qd.delta_q_v_dc)), depth)
-        acq = T.ac_q(qd.base_q_idx + (0 if plane == 0 else (qd.delta_q_u_ac if plane == 1 else qd.delta_q_v_ac)), depth)
+        qbase = self.block.get("qindex", qd.base_q_idx)
+        dcq = T.dc_q(qbase + (qd.delta_q_y_dc if plane == 0 else (qd.delta_q_u_dc if plane == 1 else qd.delta_q_v_dc)), depth)
+        acq = T.ac_q(qbase + (0 if plane == 0 else (qd.delta_q_u_ac if plane == 1 else qd.delta_q_v_ac)), depth)
         pels = txw * txh
         dq_shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
         cmax = (1 << (depth + 7)) - 1

@@ -166,6 +166,8 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader) -> FrameHeader:
             h.allow_screen_content_tools = bool(f(1))
         else:
             h.allow_screen_content_tools = bool(seq.force_screen_content_tools)
+        if h.allow_screen_content_tools and seq.force_integer_mv == 2:
+            f(1)  # force_integer_mv bit (intra frames force it anyway)
         h.force_integer_mv = True
     else:
         if f(1):  # show_existing_frame
@@ -357,10 +359,41 @@ def _parse_quantization(f, h: FrameHeader, seq: SequenceHeader) -> None:
     h.quant = q
 
 
+# per-feature coding params (§5.9.14): bits, signed, clip max
+SEG_FEATURE_BITS = (8, 6, 6, 6, 6, 3, 0, 0)
+SEG_FEATURE_SIGNED = (1, 1, 1, 1, 1, 0, 0, 0)
+SEG_FEATURE_MAX = (255, 63, 63, 63, 63, 7, 0, 0)
+SEG_LVL_ALT_Q = 0
+SEG_LVL_SKIP = 6
+
+
 def _parse_segmentation(f, h: FrameHeader) -> None:
     h.segmentation_enabled = bool(f(1))
-    if h.segmentation_enabled:
-        raise AvifError(Result.NOT_IMPLEMENTED, "segmentation in still decode")
+    h.seg_feature_enabled = [[False] * 8 for _ in range(8)]
+    h.seg_feature_data = [[0] * 8 for _ in range(8)]
+    h.seg_id_pre_skip = False
+    h.seg_last_active_id = 0
+    if not h.segmentation_enabled:
+        return
+    # intra frame: primary_ref_frame is PRIMARY_REF_NONE, so update_map=1,
+    # temporal_update=0, update_data=1 with no bits read (§5.9.14)
+    for seg in range(8):
+        for j in range(8):
+            if f(1):
+                h.seg_feature_enabled[seg][j] = True
+                mx = SEG_FEATURE_MAX[j]
+                if SEG_FEATURE_SIGNED[j]:
+                    v = _su(f, SEG_FEATURE_BITS[j])
+                    v = max(-mx, min(mx, v))
+                else:
+                    v = min(mx, f(SEG_FEATURE_BITS[j]))
+                h.seg_feature_data[seg][j] = v
+    for seg in range(8):
+        for j in range(8):
+            if h.seg_feature_enabled[seg][j]:
+                h.seg_last_active_id = seg
+                if j >= SEG_LVL_SKIP:
+                    h.seg_id_pre_skip = True
 
 
 def _parse_delta_q_lf(f, h: FrameHeader) -> None:

@@ -165,8 +165,24 @@ def _filter_plane(dec, plane, direction, base_lvl, bd):
     tx_h = ctx.tx_h if plane == 0 else ctx.uvtx_h
     sharp = lf.sharpness
 
+    lf_idx = direction if plane == 0 else plane + 1
+    # SEG_LVL_ALT_LF_{Y_V,Y_H,U,V} = features 1..4
+    seg_feature = (1 + direction) if plane == 0 else (plane + 3)
+
     def level_at(mr, mc):
         lvl = base_lvl
+        if hdr.delta_lf_present:
+            d = int(
+                ctx.delta_lf_of[mr, mc, lf_idx if hdr.delta_lf_multi else 0]
+            )
+            lvl = max(0, min(MAX_LOOP_FILTER, lvl + d))
+        if hdr.segmentation_enabled:
+            sid = int(ctx.seg_of[mr, mc])
+            if hdr.seg_feature_enabled[sid][seg_feature]:
+                lvl = max(
+                    0,
+                    min(MAX_LOOP_FILTER, lvl + hdr.seg_feature_data[sid][seg_feature]),
+                )
         if lf.delta_enabled:
             lvl += lf.ref_deltas[0] << (lvl >> 5)
         return max(0, min(MAX_LOOP_FILTER, lvl))

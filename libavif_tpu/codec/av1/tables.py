@@ -89,7 +89,11 @@ class DefaultCdfs:
         ext1 = _cdf_rows(g("intra_ext_tx_set1"), 7).reshape(4, 13, 8)
         ext2 = _cdf_rows(g("intra_ext_tx_set2"), 5).reshape(4, 13, 6)
         self.intra_ext_tx = {1: ext1, 2: ext2}               # set -> [txs_cat][mode][n+1]
-        self.delta_q = _cdf_rows(g("delta_q"), 4)            # [1][5] (delta_lf shares values)
+        self.seg_id = _cdf_rows(g("seg_id"), 8)              # [3][9]
+        self.delta_q = _cdf_rows(g("delta_q"), 4)            # [1][5]
+        # delta_lf / delta_lf_multi share the delta_q default values
+        self.delta_lf = _cdf_rows(g("delta_q"), 4)
+        self.delta_lf_multi = np.tile(_cdf_rows(g("delta_q"), 4), (4, 1))
         self.intrabc = np.array([[int(g("intrabc")[0]), 0, 0]], dtype=np.uint16)
 
         # ---- palette
@@ -101,6 +105,15 @@ class DefaultCdfs:
         puv = g("palette_uv_mode")
         self.palette_uv_mode = np.zeros((2, 3), dtype=np.uint16)
         self.palette_uv_mode[:, 0] = puv
+        # color-index ladders, dict by palette size n -> [5 ctx][n+1]
+        yci = g("palette_y_color_index")
+        uci = g("palette_uv_color_index")
+        self.palette_y_color_index = {}
+        self.palette_uv_color_index = {}
+        for k in range(7):
+            n = k + 2
+            self.palette_y_color_index[n] = _cdf_rows(yci[k * 5 : (k + 1) * 5], n)
+            self.palette_uv_color_index[n] = _cdf_rows(uci[k * 5 : (k + 1) * 5], n)
 
     def copy(self) -> "DefaultCdfs":
         import copy as _c

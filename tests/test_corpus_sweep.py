@@ -35,10 +35,10 @@ def test_parse_every_corpus_container():
     assert parsed >= 0.8 * len(files), (parsed, clean_failures, len(files))
 
 
-def test_foreign_payloads_fail_cleanly():
-    """Real AV1 payloads aren't our bitstream: decoding must raise
-    AvifError, never crash."""
-    count = 0
+def test_foreign_payloads_decode_or_fail_cleanly():
+    """Real AV1 payloads decode through the spec-AV1 path; anything not
+    yet supported must raise AvifError, never crash."""
+    decoded = 0
     for f in sorted(DATA.glob("*.avif"))[:20]:
         d = Decoder()
         try:
@@ -46,12 +46,14 @@ def test_foreign_payloads_fail_cleanly():
         except AvifError:
             continue
         try:
-            d.next_image()
+            if d.next_image():
+                decoded += 1
         except AvifError:
-            count += 1
+            pass
         except Exception as e:  # pragma: no cover
             raise AssertionError(f"{f.name}: non-AvifError {type(e).__name__}: {e}")
-    assert count > 0
+    # most of the leading corpus files decode end-to-end now
+    assert decoded >= 10, decoded
 
 
 def test_mutation_sweep_no_crash():

@@ -88,7 +88,17 @@ MANIFEST = [
     ("kf_y_mode", "A", [(25, 13)], 14, [17180, 15741, 13430, 12550, 12086, 11658, 10943, 9524]),
     ("palette_y_size", "A", [(7, 7)], 8, [24816, 19768, 14619, 11290, 7241, 3527, 0, 0]),
     ("palette_uv_size", "A", [(7, 7)], 8, [24055, 12789, 5640, 3159, 1437, 496, 0, 0]),
+    # color-index ladders [7 sizes][5 ctx] in CDF_SIZE(8) storage: group k
+    # holds (k+2)-symbol rows (padding zeros beyond). aom keeps uv before y.
+    ("palette_y_color_index", "A",
+     [(5, 2), (5, 3), (5, 4), (5, 5), (5, 6), (5, 7), (5, 8)], 9,
+     [4058, 0, 0, 0, 0, 0, 0, 0]),
+    ("palette_uv_color_index", "A",
+     [(5, 2), (5, 3), (5, 4), (5, 5), (5, 6), (5, 7), (5, 8)], 9,
+     [3679, 0, 0, 0, 0, 0, 0, 0]),
     ("angle_delta", "A", [(8, 7)], 8, [30588, 27736, 25201, 9992, 5779, 2551, 0, 0]),
+    # spatial segment-id prediction [3 ctx][8 segments]
+    ("seg_id", "A", [(3, 8)], 8, [27146, 24875, 16675, 14535, 4959, 4395, 235, 0]),
     ("y_mode", "A", [(4, 13)], 14, [9967, 9279, 8475, 8012, 7167, 6645, 6162, 5350]),
     ("skip_mode", "A", [(3, 2)], 3, [147, 0, 0, 12060, 0, 0, 24641, 0]),
     ("skip", "A", [(3, 2)], 3, [1097, 0, 0, 16253, 0, 0, 28192, 0]),
@@ -116,7 +126,9 @@ RAW_REGIONS = [
 # single bools recorded directly (value verified in both copies/spec)
 SCALARS = {
     "intrabc": 2237,  # icdf(30531)
-    "palette_uv_mode": [10094, 9337],
+    # default_palette_uv_mode_cdf = { AOM_CDF2(32461), AOM_CDF2(21488) }
+    # (verified: follows pal_y in dav1d's stride-2 CdfModeContext copy)
+    "palette_uv_mode": [307, 11280],
     # use_filter_intra in aom BLOCK_SIZES_ALL order (multiset-validated
     # against dav1d's descending-block-size copy)
     "use_filter_intra": [
@@ -126,8 +138,9 @@ SCALARS = {
     ],
 }
 
-# palette_y_mode: 21 bools from the dav1d copy ([7 bsize ctx][3 ctx])
-PALETTE_Y_MODE_FP = [5940, 0, 8733, 0, 20737, 0, 22128, 0]
+# palette_y_mode: 21 bools ([7 bsize ctx][3 ctx]) from the dav1d stride-2
+# copy; pal_y[0] = AOM_CDF2(31676)/(3419)/(1261) -> icdf 1092/29349/31507
+PALETTE_Y_MODE_FP = [1092, 0, 29349, 0, 31507, 0, 856, 0]
 
 
 def u16pat(vals):
