@@ -229,12 +229,16 @@ class FrameDecoder:
         expected = ti.cols * ti.rows
         if len(tile_payloads) != expected:
             raise AvifError(Result.BMFF_PARSE_FAILED, "tile count mismatch")
+        from .restoration import apply_loop_restoration, setup_lr
+
+        setup_lr(self)
         for idx, data in tile_payloads:
             tr, tc = divmod(idx, ti.cols)
             self._decode_tile(tr, tc, data)
         from .loopfilter import loop_filter_frame
 
         loop_filter_frame(self)
+        apply_loop_restoration(self)
         return [
             p[: self.ph[i], : self.pw[i]].copy() for i, p in enumerate(self.planes)
         ]
@@ -256,10 +260,14 @@ class FrameDecoder:
         self.current_qindex = self.hdr.quant.base_q_idx
         self.delta_lf = [0, 0, 0, 0]
         self.read_deltas = False
+        from .restoration import read_lr, reset_lr_refs
+
+        reset_lr_refs(self)
         for r in range(self.mi_row0, self.mi_row1, self.sb_mi):
             for c in range(self.mi_col0, self.mi_col1, self.sb_mi):
                 self.read_deltas = self.hdr.delta_q_present
                 self._clear_block_decoded(r, c)
+                read_lr(self, r, c)
                 sz = B.block_size(self.sb_px, self.sb_px)
                 self._decode_partition(r, c, sz)
 

@@ -90,6 +90,15 @@ class DefaultCdfs:
         ext2 = _cdf_rows(g("intra_ext_tx_set2"), 5).reshape(4, 13, 6)
         self.intra_ext_tx = {1: ext1, 2: ext2}               # set -> [txs_cat][mode][n+1]
         self.seg_id = _cdf_rows(g("seg_id"), 8)              # [3][9]
+        # loop-restoration bools/switch (raw region: switchable probs,
+        # wiener bool, sgrproj bool — dav1d layout, see extractor)
+        rr = g("restore_raw").astype(np.uint16)
+        self.restore_switchable = np.zeros((1, 4), dtype=np.uint16)
+        self.restore_switchable[0, :2] = rr[:2]
+        self.restore_wiener = np.zeros((1, 3), dtype=np.uint16)
+        self.restore_wiener[0, 0] = rr[4]
+        self.restore_sgrproj = np.zeros((1, 3), dtype=np.uint16)
+        self.restore_sgrproj[0, 0] = rr[6]
         self.delta_q = _cdf_rows(g("delta_q"), 4)            # [1][5]
         # delta_lf / delta_lf_multi share the delta_q default values
         self.delta_lf = _cdf_rows(g("delta_q"), 4)

@@ -1,0 +1,45 @@
+"""Loop-restoration conformance (AV1 §5.11.57 / §7.17).
+
+aom speed-4 still encodes enable Wiener restoration; these streams must
+reconstruct bit-exactly through the per-unit syntax (subexp taps with
+inverse-recenter references) and the two-pass stripe filter.
+"""
+
+import numpy as np
+import pytest
+
+from libavif_tpu.codec.av1.still import decode_still
+from libavif_tpu.interop import libavif_oracle as oracle
+
+pytestmark = pytest.mark.skipif(
+    not oracle.available(), reason="libavif oracle unavailable"
+)
+
+
+def _photo(w, h, seed):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (128 + 80 * np.sin(yy / 9.0) * np.cos(xx / 11.0)
+         + (rng.rand(h, w) * 20 - 10)).clip(0, 255).astype(np.uint8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    u = (128 + 50 * np.sin(np.mgrid[0:ch, 0:cw][1] / 7.0)).clip(0, 255).astype(np.uint8)
+    v = (128 + 50 * np.cos(np.mgrid[0:ch, 0:cw][0] / 5.0)).clip(0, 255).astype(np.uint8)
+    return [y, u, v]
+
+
+@pytest.mark.parametrize(
+    "w,h,seed,quality",
+    [
+        (64, 64, 1, 70),     # wiener y+u+v, two stripes, one unit
+        (200, 120, 6, 30),   # luma-only wiener, multiple SBs
+        (144, 112, 9, 30),
+    ],
+)
+def test_decode_wiener_restoration_bit_exact(w, h, seed, quality):
+    pl = _photo(w, h, seed)
+    data = oracle.encode(pl, quality=quality, speed=4)
+    ref = oracle.decode(data)
+    out, _, hdr = decode_still(data[data.find(b"mdat") + 4 :])
+    assert any(t == 2 for t in hdr.lr.frame_restoration_type), "expected wiener LR"
+    for ours, want in zip(out, ref.planes):
+        assert np.array_equal(ours.astype(np.uint8), want)
