@@ -496,7 +496,14 @@ class Decoder:
         if gm_item is None:
             raise AvifError(Result.INVALID_TONE_MAPPED_IMAGE, "missing gain map item")
         gm = GainMap()
-        gm.metadata = parse_tmap(self._item_payload(tmap))
+        try:
+            gm.metadata = parse_tmap(self._item_payload(tmap))
+        except AvifError as e:
+            if e.result == Result.NOT_IMPLEMENTED:
+                # unsupported tmap version/minimum_version: ignore the gain
+                # map, keep the base image (reference read.c:5794-5799)
+                return
+            raise
         if gm_item.item_type == "grid":
             gm.image = self._decode_grid(gm_item)
         else:

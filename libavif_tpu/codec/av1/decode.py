@@ -218,6 +218,7 @@ class FrameDecoder:
         self.read_deltas = False
         self.current_qindex = hdr.quant.base_q_idx
         self.delta_lf = [0, 0, 0, 0]
+        self.cdef_idx = np.full((hdr.mi_rows, hdr.mi_cols), -1, dtype=np.int16)
         if hdr.allow_intrabc:
             raise AvifError(Result.NOT_IMPLEMENTED, "intrabc")
 
@@ -238,7 +239,11 @@ class FrameDecoder:
         from .loopfilter import loop_filter_frame
 
         loop_filter_frame(self)
-        apply_loop_restoration(self)
+        from .cdef import apply_cdef
+
+        pre_cdef = [p.copy() for p in self.planes]
+        apply_cdef(self)
+        apply_loop_restoration(self, pre_cdef)
         return [
             p[: self.ph[i], : self.pw[i]].copy() for i, p in enumerate(self.planes)
         ]
@@ -478,6 +483,21 @@ class FrameDecoder:
         if hdr.segmentation_enabled and not hdr.seg_id_pre_skip:
             seg_id = self._read_segment_id(r, c, avail_u, avail_l, skip=skip)
 
+        # ---- cdef index (§5.11.14): one L(cdef_bits) literal per 64x64
+        # cdef unit, read by its first non-skip block
+        if (
+            not skip
+            and not hdr.coded_lossless
+            and self.seq.enable_cdef
+            and not hdr.allow_intrabc
+        ):
+            ur, uc = r & ~15, c & ~15
+            if self.cdef_idx[ur, uc] < 0:
+                v = dec.decode_literal(hdr.cdef.bits) if hdr.cdef.bits else 0
+                r_end = min(ur + max(bh4, 16), hdr.mi_rows)
+                c_end = min(uc + max(bw4, 16), hdr.mi_cols)
+                self.cdef_idx[ur:r_end:16, uc:c_end:16] = v
+
         # ---- per-superblock delta q / delta lf (§5.11.17/5.11.18), read by
         # the first block of each SB unless it is an SB-sized skip block
         if self.read_deltas:
@@ -527,7 +547,9 @@ class FrameDecoder:
         lctx = INTRA_MODE_CONTEXT[left_mode]
         y_mode = dec.decode_symbol(cdf.kf_y_mode[actx][lctx], 13, adapt=self.adapt, what="y_mode")
         angle_y = 0
-        use_angle = wpx >= 8 and hpx >= 8
+        # av1_use_angle_delta: every size except 4x4/4x8/8x4 (the extended
+        # rects like 16x4 sit after 8x8 in the enum and do read deltas)
+        use_angle = wpx * hpx >= 64
         if I.is_directional(y_mode) and use_angle:
             sym = dec.decode_symbol(
                 cdf.angle_delta[y_mode - I.V_PRED], 7, adapt=self.adapt, what="angle_y"

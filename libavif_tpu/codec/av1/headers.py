@@ -233,6 +233,9 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader) -> FrameHeader:
     if h.allow_screen_content_tools and h.upscaled_width == h.width:
         h.allow_intrabc = bool(f(1))
 
+    if not seq.reduced_still_picture_header and not h.disable_cdf_update:
+        f(1)  # disable_frame_end_update_cdf (frame-end adaptation only)
+
     # derived block geometry
     h.mi_cols = 2 * ((h.width + 7) >> 3)
     h.mi_rows = 2 * ((h.height + 7) >> 3)

@@ -200,8 +200,19 @@ def _read_lr_unit(dec, plane: int, ur: int, uc: int) -> None:
 # --------------------------------------------------------------- filters
 
 
-def _wiener_band(src, ys, ye, x0, x1, taps_v, taps_h, clamp_lo, clamp_hi,
-                 plane_w, bd):
+def _gather_rows(src, pre, rows, ys, ye, cols):
+    """Source rows for one stripe band: rows inside [ys, ye) come from
+    the CDEF frame, the clamped boundary rows from the pre-CDEF
+    (deblocked) frame (§7.17.1 stripe boundary rule)."""
+    out = np.empty((len(rows), len(cols)), dtype=np.int64)
+    for k, rr in enumerate(rows):
+        plane = src if ys <= rr < ye else pre
+        out[k] = plane[rr, cols]
+    return out
+
+
+def _wiener_band(src, pre, ys, ye, x0, x1, taps_v, taps_h, clamp_lo,
+                 clamp_hi, plane_w, bd):
     """Wiener-filter rows [ys, ye) x cols [x0, x1) of `src` (full plane,
     int32). Vertical source rows clamp to [clamp_lo, clamp_hi], columns
     to the visible plane width."""
@@ -221,7 +232,7 @@ def _wiener_band(src, ys, ye, x0, x1, taps_v, taps_h, clamp_lo, clamp_hi,
     # horizontal pass over rows [ys-3, ye+3) with vertical clamping
     rows = np.clip(np.arange(ys - 3, ye + 3), clamp_lo, clamp_hi)
     cols = np.clip(np.arange(x0 - 3, x1 + 3), 0, pw - 1)
-    ext = src[np.ix_(rows, cols)].astype(np.int64)
+    ext = _gather_rows(src, pre, rows, ys, ye, cols)
     hor = np.full((h + 6, w), offset_h, dtype=np.int64)
     for k in range(7):
         hor += fh[k] * ext[:, k : k + w]
@@ -234,7 +245,7 @@ def _wiener_band(src, ys, ye, x0, x1, taps_v, taps_h, clamp_lo, clamp_hi,
     return np.clip(out, 0, (1 << bd) - 1)
 
 
-def _sgr_band(src, ys, ye, x0, x1, sgr_set, xqd, clamp_lo, clamp_hi,
+def _sgr_band(src, pre, ys, ye, x0, x1, sgr_set, xqd, clamp_lo, clamp_hi,
               plane_w, bd):
     """Self-guided restoration for one band (dav1d arithmetic)."""
     h = ye - ys
@@ -248,7 +259,7 @@ def _sgr_band(src, ys, ye, x0, x1, sgr_set, xqd, clamp_lo, clamp_hi,
         m = r + 1
         rows = np.clip(np.arange(ys - m, ye + m), clamp_lo, clamp_hi)
         cols = np.clip(np.arange(x0 - m, x1 + m), 0, pw - 1)
-        return src[np.ix_(rows, cols)].astype(np.int64)
+        return _gather_rows(src, pre, rows, ys, ye, cols)
 
     def box(r, s):
         """x (a2-complement) and AA arrays on the (h+2) x (w+2) grid."""
@@ -289,8 +300,10 @@ def _sgr_band(src, ys, ye, x0, x1, sgr_set, xqd, clamp_lo, clamp_hi,
                 gi = i + 1  # index into x/aa grid
                 # parity is relative to the band start (dav1d processes
                 # each stripe with computed A/B at odd relative rows)
-                if (i & 1) == 0:
-                    A = (x[gi - 1, 1 : 1 + w] + x[gi + 1, 1 : 1 + w]) * 6 + (
+                # sumA uses a2 = 256 - x (§7.17.3.2: A stores a2, B the
+                # x-weighted mean); weights total 32 (two-row) / 16
+                if ((ys + i) & 1) == 0:
+                    Xs = (x[gi - 1, 1 : 1 + w] + x[gi + 1, 1 : 1 + w]) * 6 + (
                         x[gi - 1, : w] + x[gi - 1, 2 : 2 + w]
                         + x[gi + 1, : w] + x[gi + 1, 2 : 2 + w]
                     ) * 5
@@ -298,15 +311,15 @@ def _sgr_band(src, ys, ye, x0, x1, sgr_set, xqd, clamp_lo, clamp_hi,
                         aa[gi - 1, : w] + aa[gi - 1, 2 : 2 + w]
                         + aa[gi + 1, : w] + aa[gi + 1, 2 : 2 + w]
                     ) * 5
-                    out[i] = (Bv - A * srcb[i] + (1 << 8)) >> 9
+                    out[i] = (Bv + (32 * 256 - Xs) * srcb[i] + (1 << 8)) >> 9
                 else:
-                    A = x[gi, 1 : 1 + w] * 6 + (x[gi, : w] + x[gi, 2 : 2 + w]) * 5
+                    Xs = x[gi, 1 : 1 + w] * 6 + (x[gi, : w] + x[gi, 2 : 2 + w]) * 5
                     Bv = aa[gi, 1 : 1 + w] * 6 + (aa[gi, : w] + aa[gi, 2 : 2 + w]) * 5
-                    out[i] = (Bv - A * srcb[i] + (1 << 7)) >> 8
+                    out[i] = (Bv + (16 * 256 - Xs) * srcb[i] + (1 << 7)) >> 8
         else:
             for i in range(h):
                 gi = i + 1
-                A = (
+                Xs = (
                     x[gi, 1 : 1 + w] + x[gi, : w] + x[gi, 2 : 2 + w]
                     + x[gi - 1, 1 : 1 + w] + x[gi + 1, 1 : 1 + w]
                 ) * 4 + (
@@ -320,20 +333,22 @@ def _sgr_band(src, ys, ye, x0, x1, sgr_set, xqd, clamp_lo, clamp_hi,
                     aa[gi - 1, : w] + aa[gi - 1, 2 : 2 + w]
                     + aa[gi + 1, : w] + aa[gi + 1, 2 : 2 + w]
                 ) * 3
-                out[i] = (Bv - A * srcb[i] + (1 << 8)) >> 9
+                out[i] = (Bv + (32 * 256 - Xs) * srcb[i] + (1 << 8)) >> 9
         return out
 
     band = src[ys:ye, x0:x1].astype(np.int64)
     u = band << 4
     v = u << 7
+    # §7.17.3.1: w0 = xqd[0] weights flt0, xqd[1] weights u, and flt1
+    # gets the remainder 128 - xqd[0] - xqd[1]
     w0 = int(xqd[0])
-    w1 = int(xqd[1])
+    w2 = (1 << 7) - w0 - int(xqd[1])
     if r0 and s0 > 0:
         flt0 = combine(2, s0)
         v = v + w0 * (flt0 - u)
     if r1 and s1 > 0:
         flt1 = combine(1, s1)
-        v = v + w1 * (flt1 - u)
+        v = v + w2 * (flt1 - u)
     out = (v + (1 << 10)) >> 11
     return np.clip(out, 0, (1 << bd) - 1)
 
@@ -352,8 +367,12 @@ def _make_x_by_x():
 _X_BY_X = _make_x_by_x()
 
 
-def apply_loop_restoration(dec) -> None:
-    """§7.17: apply per-unit restoration over 64px stripes."""
+def apply_loop_restoration(dec, pre_cdef=None) -> None:
+    """§7.17: apply per-unit restoration over 64px stripes.
+
+    `pre_cdef`: per-plane deblocked (pre-CDEF) frames for the stripe
+    boundary rows; defaults to the current (CDEF) frame when CDEF was a
+    no-op."""
     hdr = dec.hdr
     if all(t == RESTORE_NONE for t in hdr.lr.frame_restoration_type[: dec.n_planes]):
         return
@@ -369,6 +388,7 @@ def apply_loop_restoration(dec) -> None:
         unit_rows, unit_cols = dec.lr_type[plane].shape
         frame = dec.planes[plane]
         src = frame[:].copy()
+        pre = pre_cdef[plane] if pre_cdef is not None else src
         # stripes: luma rows [0,55], [56,119], ... scaled by subY
         stripe = 0
         while True:
@@ -392,12 +412,12 @@ def apply_loop_restoration(dec) -> None:
                 if rtype == 2:
                     taps = dec.lr_wiener[plane][ur, uc]
                     frame[ys:ye, x0:x1] = _wiener_band(
-                        src, ys, ye, x0, x1, taps[0], taps[1],
+                        src, pre, ys, ye, x0, x1, taps[0], taps[1],
                         clamp_lo, clamp_hi, plane_w, bd,
                     )
                 elif rtype == 3:
                     frame[ys:ye, x0:x1] = _sgr_band(
-                        src, ys, ye, x0, x1,
+                        src, pre, ys, ye, x0, x1,
                         int(dec.lr_sgr_set[plane][ur, uc]),
                         dec.lr_sgr_xqd[plane][ur, uc],
                         clamp_lo, clamp_hi, plane_w, bd,
