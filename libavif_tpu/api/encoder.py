@@ -520,6 +520,35 @@ class Encoder:
         from ..utils.exif import irot_imir_to_orientation
 
         obus, alpha_obus = self._encode_pair(image)
+        gm_kwargs = {}
+        gm = image.gain_map
+        if gm is not None and gm.image is not None:
+            from ..hdr.gainmap import write_tmap
+
+            qgm = self.quality if self.quality_gain_map < 0 else self.quality_gain_map
+            gm_obus, gm_hdr = encode_frame(gm.image, self._params(qgm))
+            tmap_cicp = None
+            if gm.alt_color_primaries or gm.alt_transfer_characteristics or gm.alt_matrix_coefficients:
+                tmap_cicp = (
+                    int(gm.alt_color_primaries),
+                    int(gm.alt_transfer_characteristics),
+                    int(gm.alt_matrix_coefficients),
+                    1 if gm.alt_yuv_range == Range.FULL else 0,
+                )
+            gm_kwargs = dict(
+                gainmap_cfg=config_from_sequence_header(gm_hdr),
+                gainmap_data=gm_obus,
+                gainmap_width=gm.image.width,
+                gainmap_height=gm.image.height,
+                gainmap_depth=gm.image.depth,
+                gainmap_format=gm.image.yuv_format,
+                gainmap_full_range=gm.image.yuv_range == Range.FULL,
+                gainmap_mc=int(gm.image.matrix_coefficients),
+                tmap_payload=write_tmap(gm.metadata),
+                tmap_cicp=tmap_cicp,
+                tmap_icc=gm.alt_icc,
+                tmap_clli=gm.alt_clli,
+            )
         return write_mini(
             width=image.width,
             height=image.height,
@@ -542,6 +571,8 @@ class Encoder:
             icc=image.icc,
             exif=image.exif,
             xmp=image.xmp,
+            clli=image.clli,
+            **gm_kwargs,
         )
 
     # ----------------------------------------------------------- progressive

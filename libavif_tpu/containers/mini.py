@@ -411,6 +411,19 @@ def parse_mini(payload: bytes, raw_offset: int) -> Meta:
     return meta
 
 
+def _write_mini_hdr_properties(w, clli: Optional[ContentLightLevelInformationBox]) -> None:
+    """One HDR-properties group: 6 flag bits + payloads. We emit clli only
+    (mdcv/cclv/amve/reve/ndwt flags zero); mirror of
+    _read_mini_hdr_properties (reference write.c:2666-2694)."""
+    has_clli = clli is not None and (clli.max_cll or clli.max_pall)
+    w(1 if has_clli else 0, 1)
+    for _ in range(5):  # mdcv, cclv, amve, reve, ndwt
+        w(0, 1)
+    if has_clli:
+        w(clli.max_cll, 16)
+        w(clli.max_pall, 16)
+
+
 def write_mini(
     *,
     width: int,
@@ -430,9 +443,25 @@ def write_mini(
     icc: bytes = b"",
     exif: bytes = b"",
     xmp: bytes = b"",
+    clli: Optional[ContentLightLevelInformationBox] = None,
+    gainmap_cfg: Optional[CodecConfiguration] = None,
+    gainmap_data: bytes = b"",
+    gainmap_width: int = 0,
+    gainmap_height: int = 0,
+    gainmap_depth: int = 8,
+    gainmap_format: PixelFormat = PixelFormat.YUV444,
+    gainmap_full_range: bool = True,
+    gainmap_mc: int = 0,
+    tmap_payload: bytes = b"",
+    tmap_cicp: Optional[tuple] = None,
+    tmap_icc: bytes = b"",
+    tmap_clli: Optional[ContentLightLevelInformationBox] = None,
 ) -> bytes:
-    """Serialize ftyp('mif3') + mini (still, optional alpha/icc/exif/xmp;
-    gain maps go through the regular container)."""
+    """Serialize ftyp('mif3') + mini: still image with optional
+    alpha/icc/exif/xmp and optional HDR section (clli + ISO 21496-1 gain
+    map). ``tmap_payload`` is the full 'tmap' item payload from
+    hdr.gainmap.write_tmap; mini stores it minus the 5-byte version
+    prefix (reference write.c:2509-, gain-map chunks write.c:2695-2744)."""
     s = RWStream()
     m = s.write_box("ftyp")
     s.write(b"mif3")
@@ -453,9 +482,22 @@ def write_mini(
         chroma_subsampling != 0 and int(mc) != default_mc
     )
     has_alpha = bool(alpha_data)
-    large_dims = width > 128 or height > 128
-    large_meta = max(len(icc), len(exif), len(xmp)) > (1 << 10)
-    large_item = max(len(main_data), len(alpha_data)) >= (1 << 15)
+    has_gainmap = bool(tmap_payload)
+    if has_gainmap and tmap_payload[:5] != b"\x00" * 5:
+        raise AvifError(Result.NOT_IMPLEMENTED, "mini tmap version prefix")
+    gm_meta = tmap_payload[5:] if has_gainmap else b""
+    has_clli_main = clli is not None and (clli.max_cll or clli.max_pall)
+    has_hdr = has_gainmap or has_clli_main
+    large_dims = (
+        width > 128
+        or height > 128
+        or (has_gainmap and (gainmap_width > 128 or gainmap_height > 128))
+    )
+    large_meta = (
+        max(len(icc), len(exif), len(xmp), len(tmap_icc)) > (1 << 10)
+        or len(gm_meta) > ((1 << 10) - 1)
+    )
+    large_item = max(len(main_data), len(alpha_data), len(gainmap_data)) >= (1 << 15)
 
     b = s.write_box("mini")
     w = s.write_bits
@@ -465,7 +507,7 @@ def write_mini(
     w(1 if full_range else 0, 1)
     w(1 if has_alpha else 0, 1)
     w(1 if explicit_cicp else 0, 1)
-    w(0, 1)  # hdr flag (mini gain maps: round-2)
+    w(1 if has_hdr else 0, 1)
     w(1 if has_icc else 0, 1)
     w(1 if exif else 0, 1)
     w(1 if xmp else 0, 1)
@@ -490,12 +532,50 @@ def write_mini(
         w(int(tc), 8)
         if chroma_subsampling != 0:
             w(int(mc), 8)
-    if has_icc or exif or xmp:
+    if has_hdr:
+        w(1 if has_gainmap else 0, 1)
+        if has_gainmap:
+            gm_ss = _FORMAT_TO_SUBSAMPLING[gainmap_format]
+            w(gainmap_width - 1, 15 if large_dims else 7)
+            w(gainmap_height - 1, 15 if large_dims else 7)
+            w(int(gainmap_mc), 8)
+            w(1 if gainmap_full_range else 0, 1)
+            w(gm_ss, 2)
+            if gm_ss in (1, 2):
+                w(0, 1)  # chroma_is_horizontally_centered
+            if gm_ss == 1:
+                w(0, 1)  # chroma_is_vertically_centered
+            w(0, 1)  # gainmap_float_flag
+            if gainmap_depth == 8:
+                w(0, 1)
+            else:
+                w(1, 1)
+                w(gainmap_depth - 9, 3)
+            w(1 if tmap_icc else 0, 1)
+            # tmap CICP: defaults BT709/sRGB/BT601 full range (read.c:4270)
+            tmap_explicit = tmap_cicp is not None and tuple(tmap_cicp) != (1, 13, 6, 1)
+            w(1 if tmap_explicit else 0, 1)
+            if tmap_explicit:
+                w(int(tmap_cicp[0]), 8)
+                w(int(tmap_cicp[1]), 8)
+                w(int(tmap_cicp[2]), 8)
+                w(int(tmap_cicp[3]), 1)
+        _write_mini_hdr_properties(w, clli)
+        if has_gainmap:
+            _write_mini_hdr_properties(w, tmap_clli)
+    if has_icc or exif or xmp or has_gainmap:
         w(1 if large_meta else 0, 1)
     w(0, 1)  # large_codec_config (av1C is 4 bytes)
     w(1 if large_item else 0, 1)
     if has_icc:
         w(len(icc) - 1, 20 if large_meta else 10)
+    if has_gainmap and tmap_icc:
+        w(len(tmap_icc) - 1, 20 if large_meta else 10)
+    if has_gainmap:
+        w(len(gm_meta), 20 if large_meta else 10)
+        w(len(gainmap_data), 28 if large_item else 15)
+        if gainmap_data:
+            w(0 if gainmap_cfg is None else 4, 3)
     w(4, 3)  # main codec config size (av1C fixed fields)
     w(len(main_data) - 1, 28 if large_item else 15)
     if has_alpha:
@@ -512,10 +592,18 @@ def write_mini(
     _write_av1c_fields(s, main_cfg)
     if has_alpha and alpha_cfg is not None:
         _write_av1c_fields(s, alpha_cfg)
+    if has_gainmap and gainmap_data and gainmap_cfg is not None:
+        _write_av1c_fields(s, gainmap_cfg)
     if icc:
         s.write(icc)
+    if has_gainmap and tmap_icc:
+        s.write(tmap_icc)
+    if has_gainmap:
+        s.write(gm_meta)
     if has_alpha:
         s.write(alpha_data)
+    if has_gainmap:
+        s.write(gainmap_data)
     s.write(main_data)
     if exif:
         s.write(exif)

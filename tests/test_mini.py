@@ -101,3 +101,61 @@ class TestMini:
         out = Decoder().read(enc.write_mini(img))
         assert (out.width, out.height) == (200, 144)
         np.testing.assert_array_equal(out.yuv_planes[0], img.yuv_planes[0])
+
+
+class TestMiniGainMap:
+    """Mini HDR section: gain map + clli (reference: avifminitest.cc
+    EncodeDecodeMiniGainMap; write.c:2695-2744, read.c:4257-4330)."""
+
+    def _pair(self, seed=7):
+        from test_gainmap import make_sdr_hdr_pair
+
+        import libavif_tpu.hdr.gainmap as gmlib
+
+        base, alt = make_sdr_hdr_pair(seed=seed)
+        base.gain_map = gmlib.compute_gain_map(
+            base, alt, gain_map_format=PixelFormat.YUV420
+        )
+        return base
+
+    def test_mini_gainmap_roundtrip(self):
+        import libavif_tpu.hdr.gainmap as gmlib
+
+        base = self._pair()
+        enc = Encoder()
+        enc.quality = 100
+        data = enc.write_mini(base)
+        d = Decoder()
+        out = d.read(data)
+        assert d.gain_map_present
+        assert out.gain_map is not None
+        assert gmlib.same_metadata(out.gain_map.metadata, base.gain_map.metadata)
+        np.testing.assert_array_equal(
+            out.gain_map.image.yuv_planes[0], base.gain_map.image.yuv_planes[0]
+        )
+        np.testing.assert_array_equal(out.yuv_planes[0], base.yuv_planes[0])
+
+    def test_mini_gainmap_alt_cicp_and_clli(self):
+        from libavif_tpu.image import ContentLightLevelInformationBox
+
+        base = self._pair(seed=8)
+        base.gain_map.alt_clli = ContentLightLevelInformationBox(1000, 400)
+        base.clli = ContentLightLevelInformationBox(203, 100)
+        enc = Encoder()
+        enc.quality = 90
+        out = Decoder().read(enc.write_mini(base))
+        assert out.gain_map is not None
+        assert int(out.gain_map.alt_transfer_characteristics) == 16  # PQ
+        assert (out.gain_map.alt_clli.max_cll, out.gain_map.alt_clli.max_pall) == (1000, 400)
+        assert (out.clli.max_cll, out.clli.max_pall) == (203, 100)
+
+    def test_mini_gainmap_smaller_than_full(self):
+        base = self._pair(seed=9)
+        enc1 = Encoder()
+        enc1.quality = 90
+        mini = enc1.write_mini(base)
+        enc2 = Encoder()
+        enc2.quality = 90
+        full = enc2.write(base)
+        assert len(mini) < len(full)
+        assert Decoder().read(mini).gain_map is not None
