@@ -255,6 +255,8 @@ def encode_frames_pipelined(
     if params.lossless and images and images[0].depth == 8 and _spec_av1_enabled():
         return [_encode_frame_spec_lossless(im) for im in images]
     staged = []
+    n = params.tx_size
+    lossless = params.lossless
     for image in images:
         if image.depth not in (8, 10, 12):
             raise AvifError(Result.UNSUPPORTED_DEPTH, f"depth {image.depth}")
@@ -265,36 +267,62 @@ def encode_frames_pipelined(
             if plane is None:
                 raise AvifError(Result.NO_CONTENT, f"missing plane {c}")
             planes.append(plane)
-        n = params.tx_size
-        lossless = params.lossless
-        dc, ac = (1, 1) if lossless else step_sizes(params.qindex, image.depth)
         in_dtype = np.uint8 if image.depth == 8 else np.uint16
         padded = [recon.pad_to_blocks(p, n).astype(in_dtype) for p in planes]
         geoms = tuple((p.shape[0] // n, p.shape[1] // n) for p in padded)
         packed = np.concatenate([p.reshape(-1) for p in padded])
-        result = recon.encode_frame_device(  # async dispatch, not fetched yet
-            packed, np.int32(dc), np.int32(ac),
-            geoms=geoms, n=n, depth=image.depth, lossless=lossless,
-            speed=params.speed,
+        staged.append((hdr, geoms, image.depth, packed))
+
+    # Multi-device: uniform-geometry batches (grid cells, animation frames,
+    # encode_batch) run as ONE program with the frame axis sharded over the
+    # codec mesh (parallel/shard.py; grid cells are independent bitstreams
+    # so this needs zero collectives).
+    mesh = None
+    if len(staged) > 1:
+        from ..parallel.shard import default_codec_mesh
+
+        mesh = default_codec_mesh()
+    if (
+        mesh is not None
+        and len({(g, d, p.shape) for _, g, d, p in staged}) == 1
+    ):
+        from ..parallel.shard import encode_packed_frames_sharded
+
+        _, geoms0, depth0, _ = staged[0]
+        dc, ac = (1, 1) if lossless else step_sizes(params.qindex, depth0)
+        batch = np.stack([p for _, _, _, p in staged])
+        out = encode_packed_frames_sharded(
+            batch, dc, ac, geoms=geoms0, n=n, depth=depth0,
+            lossless=lossless, speed=params.speed, mesh=mesh,
         )
-        staged.append((hdr, geoms, result))
-    for _, _, result in staged:
-        # Overlap D2H transfers with each other and with host entropy.
-        if hasattr(result, "copy_to_host_async"):
-            result.copy_to_host_async()
+        host = np.asarray(out)  # one packed fetch for the whole batch
+        results = [host[i] for i in range(len(staged))]
+    else:
+        results = []
+        for hdr, geoms, depth, packed in staged:
+            dc, ac = (1, 1) if lossless else step_sizes(params.qindex, depth)
+            results.append(
+                recon.encode_frame_device(  # async dispatch, not fetched yet
+                    packed, np.int32(dc), np.int32(ac),
+                    geoms=geoms, n=n, depth=depth, lossless=lossless,
+                    speed=params.speed,
+                )
+            )
+        for result in results:
+            # Overlap D2H transfers with each other and with host entropy.
+            if hasattr(result, "copy_to_host_async"):
+                result.copy_to_host_async()
 
     # Drain: fetch each frame's packed result in completion order and feed
     # every tile straight into a shared host pool — entropy for ALL tiles
     # of ALL frames runs concurrently (the native coder releases the GIL),
     # overlapping the remaining device work and fetches.
-    n = params.tx_size
     import os
 
     workers = max(2, min(16, (os.cpu_count() or 4)))
     with ThreadPoolExecutor(workers) as pool:
         futures = []  # per frame: list of tile futures
-        lossless = params.lossless
-        for hdr, geoms, result in staged:
+        for (hdr, geoms, _, _), result in zip(staged, results):
             result = np.asarray(result)
             off = 0
             frame_futs = []
@@ -316,7 +344,7 @@ def encode_frames_pipelined(
             futures.append(frame_futs)
 
         out = []
-        for (hdr, _, _), frame_futs in zip(staged, futures):
+        for (hdr, _, _, _), frame_futs in zip(staged, futures):
             body = RWStream()
             body.write_u8(FRAME_MAGIC)
             body.write_u8(params.qindex)
@@ -491,7 +519,7 @@ def decode_frames_pipelined(streams: list[bytes]) -> list[Image]:
             ]
             for meta in metas
         ]
-        staged = []
+        keyed = []  # (config key, packed parts) per frame
         for meta, futs in zip(metas, ent_futs):
             seq, qindex, n, lossless, deblock, planes, cdef = meta
             depth = seq.bit_depth
@@ -508,17 +536,47 @@ def decode_frames_pipelined(streams: list[bytes]) -> list[Image]:
             geoms = tuple((rb, cb) for _, rb, cb, _, _ in planes)
             thresh = deblock_threshold(ac, depth) if deblock else 0
             cthresh = cdef_threshold(ac, depth) if cdef else 0
-            result = recon.decode_frame_device(
-                np.concatenate(parts), np.int32(dc), np.int32(ac), np.int32(thresh),
-                np.int32(cthresh),
-                geoms=geoms, n=n, depth=depth, lossless=lossless,
-                deblock=deblock and thresh > 0, cdef=cdef and cthresh > 0,
-            )
-            staged.append(result)
+            key = (geoms, n, depth, lossless, dc, ac, thresh, cthresh,
+                   deblock and thresh > 0, cdef and cthresh > 0)
+            keyed.append((key, np.concatenate(parts)))
 
-    for r in staged:
-        if hasattr(r, "copy_to_host_async"):
-            r.copy_to_host_async()
+        # Uniform batches (grid cells, animation frames) decode as one
+        # program, frame axis sharded over the codec mesh (shard.py).
+        mesh = None
+        if len(keyed) > 1:
+            from ..parallel.shard import default_codec_mesh
+
+            mesh = default_codec_mesh()
+        if (
+            mesh is not None
+            and len({(k, p.shape) for k, p in keyed}) == 1
+        ):
+            from ..parallel.shard import decode_packed_frames_sharded
+
+            geoms, n, depth, lossless, dc, ac, thresh, cthresh, dbl, cdf = keyed[0][0]
+            batch = np.stack([p for _, p in keyed])
+            res = decode_packed_frames_sharded(
+                batch, dc, ac, thresh, cthresh,
+                geoms=geoms, n=n, depth=depth, lossless=lossless,
+                deblock=dbl, cdef=cdf, mesh=mesh,
+            )
+            host = np.asarray(res)  # one packed fetch
+            staged = [host[i] for i in range(len(keyed))]
+        else:
+            staged = []
+            for key, packed in keyed:
+                geoms, n, depth, lossless, dc, ac, thresh, cthresh, dbl, cdf = key
+                staged.append(
+                    recon.decode_frame_device(
+                        packed, np.int32(dc), np.int32(ac), np.int32(thresh),
+                        np.int32(cthresh),
+                        geoms=geoms, n=n, depth=depth, lossless=lossless,
+                        deblock=dbl, cdef=cdf,
+                    )
+                )
+            for r in staged:
+                if hasattr(r, "copy_to_host_async"):
+                    r.copy_to_host_async()
 
     out = []
     for meta, result in zip(metas, staged):

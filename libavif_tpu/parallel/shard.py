@@ -51,6 +51,91 @@ def _cells_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("frames", "cells"))
 
 
+# --------------------------------------------------------- product wiring
+# encode/decode_frames_pipelined (codec/frame.py) consult the default mesh
+# and route uniform-geometry frame batches (grid cells, animation frames,
+# encode_batch) through the packed-batch entries below: one compiled
+# program, frame axis sharded over every local device. The reference's
+# analogue is grid cells as the unit of parallel decode (read.c:1696).
+
+_DEFAULT_MESH = {"checked": False, "mesh": None}
+
+
+def default_codec_mesh() -> Optional[Mesh]:
+    """Process-wide codec mesh over all local devices; None single-device.
+    Computed once; override with set_default_codec_mesh (tests, or to pin
+    a device subset)."""
+    if not _DEFAULT_MESH["checked"]:
+        _DEFAULT_MESH["checked"] = True
+        n = jax.device_count()
+        _DEFAULT_MESH["mesh"] = make_codec_mesh(n) if n > 1 else None
+    return _DEFAULT_MESH["mesh"]
+
+
+def set_default_codec_mesh(mesh: Optional[Mesh]) -> None:
+    _DEFAULT_MESH["checked"] = True
+    _DEFAULT_MESH["mesh"] = mesh
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geoms", "n", "depth", "lossless", "speed", "mesh"),
+)
+def _encode_packed_batch(packed, dc, ac, *, geoms, n, depth, lossless, speed, mesh):
+    spec = NamedSharding(mesh, P(CODEC_MESH_AXES))  # frame axis over all chips
+    packed = jax.lax.with_sharding_constraint(packed, spec)
+    fn = lambda p: recon.encode_frame_device(  # noqa: E731
+        p, dc, ac, geoms=geoms, n=n, depth=depth, lossless=lossless, speed=speed
+    )
+    return jax.lax.with_sharding_constraint(jax.vmap(fn)(packed), spec)
+
+
+def encode_packed_frames_sharded(
+    packed_batch, dc, ac, *, geoms, n, depth, lossless, speed, mesh
+):
+    """(F, L) packed plane batch -> (F, out_L) packed results, frame axis
+    sharded over the whole mesh. Frames are independent bitstreams: zero
+    collectives; XLA partitions the vmapped wavefront program."""
+    import jax.numpy as _jnp
+
+    return _encode_packed_batch(
+        packed_batch, _jnp.int32(dc), _jnp.int32(ac),
+        geoms=geoms, n=n, depth=depth, lossless=lossless, speed=speed, mesh=mesh,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geoms", "n", "depth", "lossless", "deblock", "cdef", "mesh"),
+)
+def _decode_packed_batch(
+    packed, dc, ac, thresh, cthresh, *, geoms, n, depth, lossless, deblock, cdef, mesh
+):
+    spec = NamedSharding(mesh, P(CODEC_MESH_AXES))
+    packed = jax.lax.with_sharding_constraint(packed, spec)
+    fn = lambda p: recon.decode_frame_device(  # noqa: E731
+        p, dc, ac, thresh, cthresh,
+        geoms=geoms, n=n, depth=depth, lossless=lossless,
+        deblock=deblock, cdef=cdef,
+    )
+    return jax.lax.with_sharding_constraint(jax.vmap(fn)(packed), spec)
+
+
+def decode_packed_frames_sharded(
+    packed_batch, dc, ac, thresh, cthresh, *,
+    geoms, n, depth, lossless, deblock, cdef, mesh,
+):
+    """Decode-side mirror of encode_packed_frames_sharded."""
+    import jax.numpy as _jnp
+
+    return _decode_packed_batch(
+        packed_batch, _jnp.int32(dc), _jnp.int32(ac), _jnp.int32(thresh),
+        _jnp.int32(cthresh),
+        geoms=geoms, n=n, depth=depth, lossless=lossless,
+        deblock=deblock, cdef=cdef, mesh=mesh,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("n", "depth", "lossless", "mesh"))
 def _encode_batch(cells, dc_step, ac_step, *, n, depth, lossless, mesh):
     fn = functools.partial(recon.encode_plane, n=n, depth=depth, lossless=lossless)
