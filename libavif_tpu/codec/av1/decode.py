@@ -335,6 +335,7 @@ class FrameDecoder:
         if has_rows and has_cols:
             ctx_idx = (bsl - 1) * 4 + self._part_ctx(r, c, bsl)
             nsym = self.cdf.partition_nsym[ctx_idx]
+            self.part_pos = (r, c)  # encoder-planner hook (encode.py RDPlanner)
             part = self.dec.decode_symbol(
                 self.cdf.partition[ctx_idx], nsym, adapt=self.adapt, what=("partition", bsize)
             )
@@ -453,6 +454,7 @@ class FrameDecoder:
         return True
 
     def _decode_block(self, r, c, bsize):
+        self.block_pos = (r, c, bsize)  # encoder-planner hook
         ctx = self.ctx
         bw4, bh4 = B.w4(bsize), B.h4(bsize)
         wpx, hpx = B.BLOCK_DIMS[bsize]

@@ -346,6 +346,69 @@ class LossyPlanner(LosslessPlanner):
         return script
 
 
+class RDPlanner(LossyPlanner):
+    """Mode + partition decisions from the rdsearch pre-pass (SATD +
+    lambda*rate over source borders, speed-laddered candidate sets);
+    coefficient scripting inherited. Prediction stays spec-exact: the
+    shared FrameDecoder computes it from true recon borders — the plan
+    only picks WHICH partition/modes to code."""
+
+    def __init__(self, sources, hdr, seq, qindex, speed):
+        super().__init__(sources, hdr, seq)
+        from . import rdsearch as R
+
+        self.cfg = R.speed_config(speed)
+        self.sizes = self.cfg["sizes"]
+        self.max_px = max(self.sizes)
+        self.plan = R.plan_luma(sources[0], qindex, speed)
+        self.uv_plan = {}
+        if (
+            len(sources) == 3
+            and seq.subsampling_x
+            and seq.subsampling_y
+            and self.cfg["uv_modes"]
+        ):
+            self.uv_plan = R.plan_chroma(sources[1], sources[2], qindex, speed)
+        self.dec = None  # FrameDecoder, attached by _encode_still
+
+    def _mode_at(self, r, c):
+        # covering-block fallback for sub-minimum edge blocks
+        for px in sorted(self.sizes):
+            s4 = px // 4
+            v = self.plan.y_mode.get((r - r % s4, c - c % s4, px))
+            if v is not None:
+                return v
+        return 0
+
+    def next_symbol(self, n, what=None):
+        from . import blocks as B
+
+        if what == "coef":
+            v = self._pop("sym")
+            return 0 if v is None else v
+        if isinstance(what, tuple) and what[0] == "partition":
+            px = B.BLOCK_DIMS[what[1]][0]
+            if px > self.max_px:
+                return 3  # split down to the searched range
+            r, c = self.dec.part_pos
+            return self.plan.part.get((r, c, px), 0)
+        if what == "gather":
+            return 1  # split at truncated edges
+        if what == "y_mode":
+            r, c, bsize = self.dec.block_pos
+            px = B.BLOCK_DIMS[bsize][0]
+            v = self.plan.y_mode.get((r, c, px))
+            return v if v is not None else self._mode_at(r, c)
+        if what in ("angle_y", "angle_uv"):
+            return 3  # angle delta 0
+        if what == "uv_mode":
+            r, c, _ = self.dec.block_pos
+            return self.uv_plan.get((r - r % 4, c - c % 4), 0)
+        if what == "tx_depth":
+            return self.tx_depth
+        return 0
+
+
 def _write_frame_header_lossless(seq: SequenceHeader) -> bytes:
     return _write_frame_header(seq, base_q_idx=0)
 
@@ -419,11 +482,16 @@ def encode_lossless_still(planes, **kw) -> bytes:
 
 
 def encode_lossy_still(planes, qindex: int, *, block_px: int = 16,
-                       tx_depth: int = 0, **kw) -> bytes:
-    """Spec-conformant lossy AV1 still payload (DC prediction, DCT_DCT,
-    loop filters off). qindex follows the spec base_q_idx scale."""
+                       tx_depth: int = 0, speed: int | None = None,
+                       **kw) -> bytes:
+    """Spec-conformant lossy AV1 still payload (DCT_DCT, loop filters
+    off). qindex follows the spec base_q_idx scale. With `speed` set
+    (0-10), mode + partition come from the rdsearch RD pre-pass (variable
+    block sizes, 13 intra modes at low speeds); speed=None keeps the
+    fixed block_px DC-only policy."""
     return _encode_still(planes, base_q_idx=max(1, min(int(qindex), 255)),
-                         block_px=block_px, tx_depth=tx_depth, **kw)
+                         block_px=block_px, tx_depth=tx_depth, speed=speed,
+                         **kw)
 
 
 def _encode_still(
@@ -432,6 +500,7 @@ def _encode_still(
     base_q_idx: int = 0,
     block_px: int = 16,
     tx_depth: int = 0,
+    speed: int | None = None,
     monochrome: bool = False,
     subsampling_x: int = 1,
     subsampling_y: int = 1,
@@ -494,10 +563,13 @@ def _encode_still(
     srcs = [np.asarray(p, dtype=np.int32) for p in planes]
     if base_q_idx == 0:
         planner = LosslessPlanner(srcs)
+    elif speed is not None:
+        planner = RDPlanner(srcs, hdr, seq, base_q_idx, speed)
     else:
         planner = LossyPlanner(srcs, hdr, seq, block_px=block_px, tx_depth=tx_depth)
     enc = MsacEncoder()
     dec.planner = planner
+    planner.dec = dec  # position hooks (part_pos/block_pos) for RD plans
     dec.dec = None  # will be set per tile in decode_tiles; set below instead
 
     # run the shared traversal with the mirror coder

@@ -1,0 +1,369 @@
+"""Encoder-side RD search for the spec-AV1 lossy still encoder.
+
+Pre-pass over the SOURCE planes (no recon dependency, so every block of a
+given size is evaluated simultaneously in vectorized numpy): per-block
+intra-mode selection by SATD + lambda*rate, and a greedy bottom-up
+NONE-vs-SPLIT partition tree per 64x64 superblock. The traversal
+(encode.py RDPlanner) then answers the decoder-driven syntax queries from
+this plan; actual prediction/reconstruction stays spec-exact because the
+shared FrameDecoder computes it from real recon borders.
+
+Reference role: the mode/partition decision layer of codec_aom.c's
+delegated encoder (libaom's intra RD, speed features codec_aom.c:695-726).
+The vectorized source-border SATD search is this framework's own design —
+all candidates for all blocks of one size evaluate as single array ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import intra as I
+from . import tables as T
+
+# Hadamard-8 (unnormalized); SATD tiles everything into 8x8 (4x4 blocks
+# use H4) so costs are comparable across block sizes.
+_H2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+
+
+def _hadamard(n: int) -> np.ndarray:
+    h = np.array([[1]], dtype=np.int64)
+    while h.shape[0] < n:
+        h = np.kron(_H2, h)
+    return h
+
+
+_H8 = _hadamard(8)
+_H4 = _hadamard(4)
+
+# Approximate symbol cost (in bits<<4 fixed point) of coding each y mode:
+# from the default kf_y_mode CDF mass, flattened. DC is cheap; rare
+# directional modes cost ~5-6 bits. Angle-delta-0 adds ~1.6 bits on
+# directional modes at sizes that read deltas.
+_MODE_BITS_X16 = {
+    I.DC_PRED: 26, I.V_PRED: 72, I.H_PRED: 72, I.D45_PRED: 104,
+    I.D135_PRED: 112, I.D113_PRED: 112, I.D157_PRED: 112, I.D203_PRED: 104,
+    I.D67_PRED: 104, I.SMOOTH_PRED: 80, I.SMOOTH_V_PRED: 96,
+    I.SMOOTH_H_PRED: 96, I.PAETH_PRED: 76,
+}
+_ANGLE_BITS_X16 = 26
+_SPLIT_BITS_X16 = 40  # partition-SPLIT symbol + 3 extra child overheads
+_NONE_BITS_X16 = 12
+# per-size SATD scale (x16) for the NONE branch of the split decision;
+# see the operating-point comment in plan_luma
+_BIG_TX_RATE_X16 = {32: 24, 64: 36}
+
+
+def satd(res: np.ndarray) -> np.ndarray:
+    """(..., h, w) residual -> (...,) SATD via 8x8 (or 4x4) Hadamard."""
+    h, w = res.shape[-2], res.shape[-1]
+    t = min(8, h, w)
+    H = _H8 if t == 8 else _H4
+    r = res.astype(np.int64)
+    # tile into (..., h//t, t, w//t, t)
+    r = r.reshape(*res.shape[:-2], h // t, t, w // t, t)
+    tr = np.einsum("ij,...ajbk,lk->...aibl", H, r, H)
+    return np.abs(tr).sum(axis=(-4, -3, -2, -1)) // (t * 2)
+
+
+# --------------------------------------------------- vectorized predictors
+# All operate on (nB, h, w) blocks with (nB, w) above rows, (nB, h) left
+# cols and (nB,) corners, returning (nB, h, w). They mirror §7.11.2 with
+# the edge filter/upsample off (our sequence headers disable it).
+
+
+def _dc(above, left, n, h, w):
+    s = above[:, :w].sum(1) + left[:, :h].sum(1)
+    return (((s + ((w + h) >> 1)) // (w + h)).reshape(n, 1, 1)
+            * np.ones((1, h, w), np.int64))
+
+
+def _v(above, left, n, h, w):
+    return np.repeat(above[:, :w].reshape(n, 1, w), h, axis=1)
+
+
+def _h(above, left, n, h, w):
+    return np.repeat(left[:, :h].reshape(n, h, 1), w, axis=2)
+
+
+def _paeth(above, left, corner, n, h, w):
+    a = above[:, :w].reshape(n, 1, w)
+    l = left[:, :h].reshape(n, h, 1)
+    c = corner.reshape(n, 1, 1)
+    base = a + l - c
+    pa = np.abs(base - a)
+    pl = np.abs(base - l)
+    pc = np.abs(base - c)
+    return np.where((pa <= pl) & (pa <= pc), np.broadcast_to(a, (n, h, w)),
+                    np.where(pl <= pc, np.broadcast_to(l, (n, h, w)),
+                             np.broadcast_to(c, (n, h, w))))
+
+
+def _smooth(above, left, n, h, w, variant):
+    sw = I._sm_weights()
+    above = above[:, :w]
+    left = left[:, :h]
+    a = above.reshape(n, 1, w)
+    l = left.reshape(n, h, 1)
+    below = left[:, h - 1].reshape(n, 1, 1)
+    right = above[:, w - 1].reshape(n, 1, 1)
+    if variant == I.SMOOTH_PRED:
+        wy = sw[h].astype(np.int64).reshape(1, h, 1)
+        wx = sw[w].astype(np.int64).reshape(1, 1, w)
+        s = wy * a + (256 - wy) * below + wx * l + (256 - wx) * right
+        return (s + 256) >> 9
+    if variant == I.SMOOTH_V_PRED:
+        wy = sw[h].astype(np.int64).reshape(1, h, 1)
+        return (wy * a + (256 - wy) * below + 128) >> 8
+    wx = sw[w].astype(np.int64).reshape(1, 1, w)
+    return (wx * l + (256 - wx) * right + 128) >> 8
+
+
+def _directional(above, left, corner, n, h, w, mode, bd):
+    """Plain dr_intra_derivative interpolation (no upsample/filter).
+    Edges: ext_above[b] = [corner, above(+right run), replicate]; callers
+    may pass above/left wider than w/h (true above-right / below-left
+    neighbors) — the D45/D203 families read up to w+h entries."""
+    angle = I.MODE_TO_ANGLE[mode]
+    dr = I._dr_derivative()
+    maxv = (1 << bd) - 1
+    # extended edge arrays with corner at index 0 => ref index i maps to i+1
+    pad_a = max(0, (w + h + 16) - above.shape[1])
+    pad_l = max(0, (h + w + 16) - left.shape[1])
+    ext_a = np.concatenate(
+        [corner.reshape(n, 1), above,
+         np.repeat(above[:, -1:], pad_a, axis=1)], axis=1)
+    ext_l = np.concatenate(
+        [corner.reshape(n, 1), left,
+         np.repeat(left[:, -1:], pad_l, axis=1)], axis=1)
+    ii = np.arange(h).reshape(h, 1)
+    jj = np.arange(w).reshape(1, w)
+    if angle < 90:
+        dx = int(dr[angle])
+        idx = (ii + 1) * dx
+        base = (idx >> 6) + jj
+        shift = (idx >> 1) & 0x1F
+        m = w + h - 1
+        base = np.minimum(base, m)
+        b0 = np.clip(base + 1, 0, ext_a.shape[1] - 1)
+        b1 = np.clip(base + 2, 0, ext_a.shape[1] - 1)
+        v = (ext_a[:, b0] * (32 - shift) + ext_a[:, b1] * shift + 16) >> 5
+    elif angle > 180:
+        dy = int(dr[270 - angle])
+        idx = (jj + 1) * dy
+        base = (idx >> 6) + ii
+        shift = (idx >> 1) & 0x1F
+        m = w + h - 1
+        base = np.minimum(base, m)
+        b0 = np.clip(base + 1, 0, ext_l.shape[1] - 1)
+        b1 = np.clip(base + 2, 0, ext_l.shape[1] - 1)
+        v = (ext_l[:, b0] * (32 - shift) + ext_l[:, b1] * shift + 16) >> 5
+    else:  # 90 < angle < 180 (V/H handled separately)
+        dx = int(dr[180 - angle])
+        dy = int(dr[angle - 90])
+        idx = (jj << 6) - (ii + 1) * dx
+        base = idx >> 6
+        shift = (idx >> 1) & 0x1F
+        b0 = np.clip(base + 1, 0, ext_a.shape[1] - 1)
+        b1 = np.clip(base + 2, 0, ext_a.shape[1] - 1)
+        va = (ext_a[:, b0] * (32 - shift) + ext_a[:, b1] * shift + 16) >> 5
+        idx2 = (ii << 6) - (jj + 1) * dy
+        base2 = idx2 >> 6
+        shift2 = (idx2 >> 1) & 0x1F
+        c0 = np.clip(base2 + 1, 0, ext_l.shape[1] - 1)
+        c1 = np.clip(base2 + 2, 0, ext_l.shape[1] - 1)
+        vl = (ext_l[:, c0] * (32 - shift2) + ext_l[:, c1] * shift2 + 16) >> 5
+        v = np.where((base >= -1).reshape(1, h, w), va, vl)
+    return np.clip(v, 0, maxv)
+
+
+def predict_batch(mode, above, left, corner, n, h, w, bd):
+    if mode == I.DC_PRED:
+        return _dc(above, left, n, h, w)
+    if mode == I.V_PRED:
+        return _v(above, left, n, h, w)
+    if mode == I.H_PRED:
+        return _h(above, left, n, h, w)
+    if mode == I.PAETH_PRED:
+        return _paeth(above, left, corner, n, h, w)
+    if mode in I.SMOOTH_MODES:
+        return _smooth(above, left, n, h, w, mode)
+    return _directional(above, left, corner, n, h, w, mode, bd)
+
+
+# ------------------------------------------------------------- speed ladder
+
+# speed -> (luma candidate modes, partition sizes searched, uv candidates)
+# The ladder gives every speed band distinct search breadth (reference:
+# codec_aom.c:695-726 maps 11 speeds onto libaom effort).
+_FAST = (I.DC_PRED, I.V_PRED, I.H_PRED)
+_MID = _FAST + (I.SMOOTH_PRED, I.PAETH_PRED)
+_FULL = tuple(range(13))
+
+
+def speed_config(speed: int):
+    s = max(0, min(10, int(speed)))
+    if s >= 9:
+        return dict(modes=(I.DC_PRED,), sizes=(16,), uv_modes=())
+    if s >= 8:
+        return dict(modes=_FAST, sizes=(16,), uv_modes=())
+    if s >= 6:
+        return dict(modes=_MID, sizes=(32, 16), uv_modes=())
+    if s >= 4:
+        return dict(modes=_FULL, sizes=(64, 32, 16), uv_modes=())
+    if s >= 2:
+        return dict(modes=_FULL, sizes=(64, 32, 16, 8), uv_modes=_MID)
+    return dict(modes=_FULL, sizes=(64, 32, 16, 8), uv_modes=_FULL[:10])
+
+
+# ------------------------------------------------------------------ search
+
+
+@dataclass
+class RDPlan:
+    """Decisions keyed by mi (4px) position."""
+
+    part: dict = field(default_factory=dict)      # (r4, c4, block_px) -> 0|3
+    y_mode: dict = field(default_factory=dict)    # (r4, c4) -> mode
+    uv_mode: dict = field(default_factory=dict)   # (r4, c4) -> mode
+    block_px: int = 16                            # fallback uniform size
+
+
+def _pad_to(plane: np.ndarray, px: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = -(-h // px) * px
+    pw = -(-w // px) * px
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _mode_costs_for_size(src: np.ndarray, px: int, modes, lam_x16: int, bd: int):
+    """All px-sized blocks at once: returns (rows, cols) arrays of best
+    mode and its cost (SATD + lam*rate, x16 fixed point folded)."""
+    p = _pad_to(src, px).astype(np.int64)
+    H, W = p.shape
+    rows, cols = H // px, W // px
+    blocks = p.reshape(rows, px, cols, px).transpose(0, 2, 1, 3).reshape(-1, px, px)
+    n = blocks.shape[0]
+    # Source borders, 2*px wide to include true above-right / below-left
+    # runs (the D45/D203 mode families read them); frame edges replicate
+    # the base value (decoder uses 2^(bd-1)+/-1 there, close enough for
+    # decisions).
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pr = np.pad(p, ((0, 0), (0, px)), mode="edge")
+    above = np.empty((rows, cols, 2 * px), np.int64)
+    ar = pr[np.arange(px, H, px) - 1]  # (rows-1, W+px)
+    above[1:] = sliding_window_view(ar, 2 * px, axis=1)[:, ::px][:, :cols]
+    above[0] = 1 << (bd - 1)
+    pb = np.pad(p, ((0, px), (0, 0)), mode="edge")
+    left = np.empty((rows, cols, 2 * px), np.int64)
+    lc = pb[:, np.arange(px, W, px) - 1]  # (H+px, cols-1)
+    # sliding_window_view appends the window axis last: (rows, cols-1, 2px)
+    left[:, 1:] = sliding_window_view(lc, 2 * px, axis=0)[::px][:rows]
+    left[:, 0] = 1 << (bd - 1)
+    corner = np.empty((rows, cols), np.int64)
+    corner[1:, 1:] = p[np.arange(px, H, px) - 1][:, np.arange(px, W, px) - 1]
+    corner[0, :] = 1 << (bd - 1)
+    corner[:, 0] = 1 << (bd - 1)
+    above = above.reshape(n, 2 * px)
+    left = left.reshape(n, 2 * px)
+    corner = corner.reshape(n)
+
+    best_cost = np.full(n, np.iinfo(np.int64).max, np.int64)
+    best_mode = np.zeros(n, np.int32)
+    use_angle = px * px >= 64
+    for m in modes:
+        pred = predict_batch(m, above, left, corner, n, px, px, bd)
+        c = satd(blocks - pred)
+        bits = _MODE_BITS_X16[m]
+        if I.is_directional(m) and use_angle:
+            bits += _ANGLE_BITS_X16
+        c = c + ((lam_x16 * bits) >> 4)
+        upd = c < best_cost
+        best_cost[upd] = c[upd]
+        best_mode[upd] = m
+    return best_mode.reshape(rows, cols), best_cost.reshape(rows, cols)
+
+
+def plan_luma(src: np.ndarray, qindex: int, speed: int, bd: int = 8) -> RDPlan:
+    """Mode + partition plan for the luma plane."""
+    cfg = speed_config(speed)
+    sizes = cfg["sizes"]
+    plan = RDPlan(block_px=min(sizes))
+    lam_x16 = max(1, T.ac_q(qindex, bd) >> 1)  # bits->SATD scale ~ qstep/2 (calibrated on kodim)
+
+    per_size = {
+        px: _mode_costs_for_size(src, px, cfg["modes"], lam_x16, bd)
+        for px in sizes
+    }
+
+    if len(sizes) == 1:
+        px = sizes[0]
+        modes, _ = per_size[px]
+        r4 = px // 4
+        for i in range(modes.shape[0]):
+            for j in range(modes.shape[1]):
+                plan.y_mode[(i * r4, j * r4, px)] = int(modes[i, j])
+        return plan
+
+    # bottom-up: cost of covering each region with the best choice
+    sizes_desc = sorted(sizes, reverse=True)
+    smallest = sizes_desc[-1]
+    # agg_cost[px][i, j]: cost of the chosen coverage of that px region
+    modes_s, cost_s = per_size[smallest]
+    agg = cost_s.astype(np.int64)
+    for px in sizes_desc[:-1][::-1]:  # growing region sizes
+        modes_p, cost_p = per_size[px]
+        rows, cols = cost_p.shape
+        # children aggregate (2x2 of the next-smaller aggregated cost)
+        child = agg
+        ch = child[: rows * 2, : cols * 2]
+        ch = np.pad(ch, ((0, rows * 2 - ch.shape[0]), (0, cols * 2 - ch.shape[1])),
+                    mode="edge")
+        quad = (
+            ch.reshape(rows, 2, cols, 2).sum(axis=(1, 3))
+            + (lam_x16 * _SPLIT_BITS_X16 >> 4)
+        )
+        # 32/64 transforms dequant with dq_shift 1/2 (effective step
+        # acq/2, acq/4): a NONE at those sizes codes finer (more rate,
+        # more quality) than its split children, so its SATD is scaled by
+        # the net rate factor before comparison (calibrated on kodim).
+        op_x16 = _BIG_TX_RATE_X16.get(px, 16)
+        none_c = ((cost_p * op_x16) >> 4) + (lam_x16 * _NONE_BITS_X16 >> 4)
+        split = quad < none_c
+        r4 = px // 4
+        for i in range(rows):
+            for j in range(cols):
+                plan.part[(i * r4, j * r4, px)] = 3 if split[i, j] else 0
+        agg = np.where(split, quad, none_c)
+
+    # record modes for every size (leaves looked up by position+size at
+    # traversal; the partition map selects which are reached)
+    for px in sizes:
+        modes_p, _ = per_size[px]
+        r4 = px // 4
+        for i in range(modes_p.shape[0]):
+            for j in range(modes_p.shape[1]):
+                plan.y_mode[(i * r4, j * r4, px)] = int(modes_p[i, j])
+    return plan
+
+
+def plan_chroma(src_u: np.ndarray, src_v: np.ndarray, qindex: int,
+                speed: int, bd: int = 8) -> dict:
+    """Per-8x8-chroma-block uv mode (joint best over U and V), or empty
+    when the speed config codes DC chroma."""
+    cfg = speed_config(speed)
+    if not cfg["uv_modes"]:
+        return {}
+    lam_x16 = max(1, T.ac_q(qindex, bd) >> 1)
+    px = 8
+    mu, cu = _mode_costs_for_size(src_u, px, cfg["uv_modes"], lam_x16, bd)
+    mv, cv = _mode_costs_for_size(src_v, px, cfg["uv_modes"], lam_x16, bd)
+    out = {}
+    for i in range(mu.shape[0]):
+        for j in range(mu.shape[1]):
+            # joint mode: U's best unless V strongly disagrees
+            out[(i * 2, j * 2)] = int(mu[i, j] if cu[i, j] <= cv[i, j] else mv[i, j])
+    return out
