@@ -62,6 +62,11 @@ class Encoder:
         self.quality_alpha = -1  # -1: follow quality
         self.quality_gain_map = -1  # -1: follow quality
         self.speed = 6
+        # "auto" | "spec" | "native" (reference: avifEncoder codecChoice,
+        # avif.h:1545). "spec" emits spec-conformant AV1 for lossy too —
+        # files decode in dav1d/libaom everywhere (host RD, slower);
+        # "auto" uses spec for 8-bit lossless and the TPU codec for lossy.
+        self.codec_choice = "auto"
         self.timescale = 1
         self.repetition_count = 0  # 0 = infinite (reference: avif.h repetition)
         self.keyframe_interval = 0
@@ -101,7 +106,10 @@ class Encoder:
     # ------------------------------------------------------------- internals
 
     def _params(self, quality: int) -> FrameParams:
-        return FrameParams(quality=quality, speed=self.speed, tx_size=self.tx_size)
+        return FrameParams(
+            quality=quality, speed=self.speed, tx_size=self.tx_size,
+            codec=self.codec_choice,
+        )
 
     def _alpha_image(self, image: Image) -> Image:
         """Monochrome wrapper for the alpha plane (the reference's

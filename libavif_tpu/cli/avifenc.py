@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clli", help="content light level: MaxCLL,MaxPALL")
     p.add_argument("--tx-size", type=int, default=16, choices=(4, 8, 16, 32))
     p.add_argument(
+        "-c", "--codec", choices=("auto", "spec", "native"), default="auto",
+        help="auto: spec AV1 for lossless, TPU codec for lossy; "
+        "spec: spec-conformant AV1 everywhere (decodes in any AVIF viewer)",
+    )
+    p.add_argument(
         "--sharpyuv", action="store_true",
         help="sharp RGB->YUV420 chroma downsampling",
     )
@@ -79,6 +84,7 @@ def _target_size_search(image, args, proto_encoder):
         enc.quality_alpha = proto_encoder.quality_alpha
         enc.speed = proto_encoder.speed
         enc.tx_size = proto_encoder.tx_size
+        enc.codec_choice = proto_encoder.codec_choice
         data = enc.write(image)
         if len(data) <= args.target_size:
             best = data
@@ -90,6 +96,7 @@ def _target_size_search(image, args, proto_encoder):
         enc = Encoder()
         enc.quality = 0
         enc.speed = proto_encoder.speed
+        enc.codec_choice = proto_encoder.codec_choice
         best = enc.write(image)
     return best
 
@@ -195,6 +202,7 @@ def main(argv=None) -> int:
     enc.speed = args.speed
     enc.keyframe_interval = args.keyframe
     enc.tx_size = args.tx_size
+    enc.codec_choice = args.codec
 
     if args.grid:
         try:

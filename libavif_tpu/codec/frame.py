@@ -70,6 +70,10 @@ class FrameParams:
     tx_size: int = DEFAULT_TX_SIZE
     deblock: bool | None = None  # None: auto (on at quality <= 50)
     cdef: bool | None = None  # None: auto (on for lossy; free ~+0.3 dB)
+    # "auto": spec-AV1 for 8-bit lossless, native TPU codec otherwise.
+    # "spec": always emit spec-conformant AV1 (decodes in dav1d/libaom;
+    # host-side RD search, slower). "native": always the TPU codec.
+    codec: str = "auto"
 
     @property
     def qindex(self) -> int:
@@ -252,7 +256,14 @@ def encode_frames_pipelined(
     This is the production serving path; per-frame latency is unchanged
     but sustained MP/s is bounded by max(device, host) instead of sum.
     """
-    if params.lossless and images and images[0].depth == 8 and _spec_av1_enabled():
+    if params.codec == "spec" and not params.lossless:
+        return [_encode_frame_spec_lossy(im, params) for im in images]
+    if (
+        params.lossless
+        and images
+        and images[0].depth == 8
+        and (params.codec == "spec" or (params.codec == "auto" and _spec_av1_enabled()))
+    ):
         return [_encode_frame_spec_lossless(im) for im in images]
     staged = []
     n = params.tx_size
@@ -424,11 +435,47 @@ def _decode_frame_spec(data: bytes, width: int = 0, height: int = 0) -> Image:
     return out
 
 
+def _encode_frame_spec_lossy(image: Image, params: FrameParams) -> tuple[bytes, SequenceHeader]:
+    """Spec-conformant lossy AV1 payload (codec/av1/encode.py RD search);
+    quality maps to base_q_idx with the reference's quality->quantizer
+    rule (avif.h AVIF_QUANTIZER scale, write.c quality mapping)."""
+    from .av1.encode import encode_lossy_still
+
+    if image.depth != 8:
+        raise AvifError(
+            Result.NOT_IMPLEMENTED, "spec lossy encode: 8-bit only for now"
+        )
+    info = pixel_format_info(image.yuv_format)
+    planes = [image.yuv_planes[c] for c in range(_coded_planes(image))]
+    quantizer = ((100 - params.quality) * 63 + 50) // 100
+    qindex = max(1, min(255, quantizer * 4))
+    payload = encode_lossy_still(
+        planes, qindex, speed=params.speed,
+        monochrome=info.monochrome,
+        subsampling_x=info.chroma_shift_x,
+        subsampling_y=info.chroma_shift_y,
+        bit_depth=image.depth,
+        color_primaries=int(image.color_primaries),
+        transfer_characteristics=int(image.transfer_characteristics),
+        matrix_coefficients=int(image.matrix_coefficients),
+        color_range=1 if image.yuv_range == Range.FULL else 0,
+    )
+    from ..containers.obu import find_sequence_header
+
+    return payload, find_sequence_header(payload)
+
+
 def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHeader]:
     """Encode one still frame. Returns (obu_bytes, sequence_header)."""
     if image.depth not in (8, 10, 12):
         raise AvifError(Result.UNSUPPORTED_DEPTH, f"depth {image.depth}")
-    if params.lossless and image.depth == 8 and _spec_av1_enabled():
+    if params.codec == "spec" and not params.lossless:
+        return _encode_frame_spec_lossy(image, params)
+    if (
+        params.lossless
+        and image.depth == 8
+        and (params.codec == "spec" or (params.codec == "auto" and _spec_av1_enabled()))
+    ):
         # lossless 8-bit rides the spec-conformant AV1 path so the files
         # interoperate with every AVIF decoder
         return _encode_frame_spec_lossless(image)

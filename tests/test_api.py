@@ -233,3 +233,48 @@ class TestReadAll:
         assert len(got) == 4
         for f, g in zip(frames, got):
             np.testing.assert_array_equal(g.yuv_planes[0], f.yuv_planes[0])
+
+
+class TestCodecChoice:
+    def test_spec_lossy_decodes_in_pillow(self):
+        """codec_choice='spec' lossy files are real AV1 (avifEncoder
+        codecChoice analogue, avif.h:1545)."""
+        import io
+
+        from PIL import Image as PILImage
+
+        img = make_image(96, 64, seed=31)
+        enc = Encoder()
+        enc.quality = 80
+        enc.codec_choice = "spec"
+        data = enc.write(img)
+        pim = PILImage.open(io.BytesIO(data))
+        pim.load()
+        assert pim.size == (96, 64)
+        # our decode agrees with the source within lossy tolerance
+        out = decode(data)
+        err = np.abs(out.yuv_planes[0].astype(int) - img.yuv_planes[0].astype(int))
+        assert err.mean() < 12
+
+    def test_spec_lossy_alpha(self):
+        import io
+
+        from PIL import Image as PILImage
+
+        img = make_image(64, 64, seed=32, alpha=True)
+        enc = Encoder()
+        enc.quality = 85
+        enc.codec_choice = "spec"
+        data = enc.write(img)
+        pim = PILImage.open(io.BytesIO(data))
+        pim.load()
+        assert pim.mode == "RGBA"
+
+    def test_native_choice_keeps_tpu_codec(self):
+        img = make_image(48, 32, seed=33)
+        enc = Encoder()
+        enc.quality = 80
+        enc.codec_choice = "native"
+        data = enc.write(img)
+        out = decode(data)  # own decoder handles it
+        assert (out.width, out.height) == (48, 32)
