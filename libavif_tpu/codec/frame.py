@@ -203,48 +203,6 @@ def _assemble_plane_decode(futs, with_tx: bool):
     return levels, modes, np.zeros(modes.shape, np.int32)
 
 
-def _encode_planes(planes: list[np.ndarray], params: FrameParams, depth: int) -> list[bytes]:
-    """Encode planes with host/device boundary hygiene: every plane padded
-    and packed into ONE device upload, one compiled program over all
-    planes, ONE packed fetch, then concurrent host entropy coding (the
-    native coder releases the GIL). The link is latency-bound, so round
-    trips — not bytes — are the budget."""
-    n = params.tx_size
-    qindex = params.qindex
-    lossless = params.lossless
-    dc, ac = (1, 1) if lossless else step_sizes(qindex, depth)
-    in_dtype = np.uint8 if depth == 8 else np.uint16
-
-    padded = [recon.pad_to_blocks(p, n).astype(in_dtype) for p in planes]
-    geoms = tuple((p.shape[0] // n, p.shape[1] // n) for p in padded)
-    packed = np.concatenate([p.reshape(-1) for p in padded])
-
-    result = recon.encode_frame_device(
-        packed, np.int32(dc), np.int32(ac),
-        geoms=geoms, n=n, depth=depth, lossless=lossless, speed=params.speed,
-    )
-    result = np.asarray(result)  # the one device->host fetch
-
-    jobs = []
-    off = 0
-    for rb, cb in geoms:
-        nb = rb * cb
-        modes = result[off : off + nb].astype(np.int32).reshape(rb, cb)
-        off += nb
-        txs = result[off : off + nb].astype(np.int32).reshape(rb, cb)
-        off += nb
-        levels = result[off : off + nb * n * n].astype(np.int32).reshape(rb, cb, n, n)
-        off += nb * n * n
-        jobs.append((modes, levels, None if lossless else txs))
-    import os
-
-    with ThreadPoolExecutor(max(2, min(16, os.cpu_count() or 4))) as pool:
-        plane_futs = [
-            _submit_plane_encode(pool, lv, md, tx, n) for md, lv, tx in jobs
-        ]
-        return [_assemble_plane_payload(f) for f in plane_futs]
-
-
 def encode_frames_pipelined(
     images: list[Image], params: FrameParams
 ) -> list[tuple[bytes, SequenceHeader]]:
@@ -479,34 +437,8 @@ def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHead
         # lossless 8-bit rides the spec-conformant AV1 path so the files
         # interoperate with every AVIF decoder
         return _encode_frame_spec_lossless(image)
-    hdr = _sequence_header_for(image)
-    seq_payload = write_sequence_header(hdr)
-
-    planes = []
-    for c in range(_coded_planes(image)):
-        plane = image.yuv_planes[c]
-        if plane is None:
-            raise AvifError(Result.NO_CONTENT, f"missing plane {c}")
-        planes.append(plane)
-    payloads = _encode_planes(planes, params, image.depth)
-
-    body = RWStream()
-    body.write_u8(FRAME_MAGIC)
-    body.write_u8(params.qindex)
-    body.write_u8(params.tx_size.bit_length() - 1)
-    body.write_u8(
-        (1 if params.lossless else 0)
-        | (2 if params.deblock_enabled else 0)
-        | (4 if params.cdef_enabled else 0)
-    )
-    for payload in payloads:
-        write_leb128(body, len(payload))
-        body.write(payload)
-
-    s = RWStream()
-    write_obu(s, OBU_SEQUENCE_HEADER, seq_payload)
-    write_obu(s, OBU_FRAME, body.data())
-    return s.data(), hdr
+    # single frame = one-element pipelined batch (byte-identity is tested)
+    return encode_frames_pipelined([image], params)[0]
 
 
 def decode_frames_pipelined(streams: list[bytes]) -> list[Image]:
