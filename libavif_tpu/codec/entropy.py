@@ -9,10 +9,14 @@ Bitstream (per tile, this codec's own AV1-style design):
                     always WHT and codes no symbol)
       eob_class   : adaptive CDF over log2 buckets of (eob-1)
       eob_offset  : raw literal bits (class-1 bits, classes >= 2)
-      for each scan position k < eob (zigzag order):
-        base      : 4-symbol adaptive CDF {0,1,2,3+}, context by scan region
-        tail      : Exp-Golomb remainder when base == 3+
-        sign      : raw bit when nonzero
+      for k = eob-1 down to 0 (backward over the zigzag scan):
+        base      : at k==eob-1 a 3-symbol CDF {1,2,3+} by position class;
+                    else a 4-symbol CDF {0,1,2,3+} with context =
+                    position class (DC / <n / rest) x neighbor-magnitude
+                    class from the two already-coded scan positions
+        range     : up to 4 ladder symbols of {0..3} (position-class CDF)
+                    when base==3+, then Exp-Golomb for magnitudes >= 15
+        sign      : adaptive CDF for DC, raw bit for AC
 
 This is the reference implementation (pure Python over the msac reference
 coder). The C++ fast path must be bit-identical; tests enforce. The role
@@ -92,11 +96,37 @@ N_TX = 5  # must match recon.TX_SET_ALL
 _INIT_MODE = (27197, 22610, 19661, 18678, 17039, 16056, 14746, 13763, 12452, 7209, 4588, 2294, 0, 0)
 _INIT_ALLZERO = (22938, 0, 0)
 _INIT_TX = (9830, 7209, 4588, 1966, 0, 0)
+# v2 coefficient model (FRAME_MAGIC 0x59): 3 scan-position classes x 3
+# neighbor-magnitude classes for the base symbol, a separate {1,2,3+}
+# alphabet at the eob position, a 4-step base-range ladder before the
+# golomb tail, and an adaptive DC sign. Same role as AV1's coefficient
+# contexts (§5.11.39) re-shaped for this codec's single zigzag scan.
 _INIT_BASE = (
+    # pos class 0 (DC) x mag 0..2
     (26214, 19661, 16384, 0, 0),
+    (22938, 16384, 11469, 0, 0),
+    (19661, 13107, 8192, 0, 0),
+    # pos class 1 (low AC)
     (16384, 9175, 5898, 0, 0),
+    (13107, 7373, 4588, 0, 0),
+    (9830, 5243, 3277, 0, 0),
+    # pos class 2 (high AC)
     (6554, 1638, 655, 0, 0),
+    (5243, 1966, 983, 0, 0),
+    (4588, 2294, 1311, 0, 0),
 )
+_INIT_BASE_EOB = (
+    (16384, 8192, 0, 0),
+    (11469, 4915, 0, 0),
+    (8192, 3277, 0, 0),
+)
+_INIT_BR = (
+    (16384, 8192, 4096, 0, 0),
+    (13107, 6554, 3277, 0, 0),
+    (11469, 5734, 2867, 0, 0),
+)
+_INIT_DC_SIGN = (16384, 0, 0)
+BR_STEPS = 4  # ladder length; magnitudes >= 15 spill to the golomb tail
 
 
 def _icdf(values) -> np.ndarray:
@@ -114,12 +144,25 @@ class TileCdfs:
         self.tx = _icdf(_INIT_TX)
         self.eob_class = uniform_icdf(_eob_classes(n))
         self.base = [_icdf(t) for t in _INIT_BASE]
+        self.base_eob = [_icdf(t) for t in _INIT_BASE_EOB]
+        self.br = [_icdf(t) for t in _INIT_BR]
+        self.dc_sign = _icdf(_INIT_DC_SIGN)
 
 
 def _base_ctx(k: int, n: int) -> int:
     if k == 0:
         return 0
     return 1 if k < n else 2
+
+
+def _mag_ctx(cache, k: int, nn: int) -> int:
+    """Neighbor-magnitude class from the two already-coded (higher) scan
+    positions; coefficients code backward from eob."""
+    s = cache[k + 1] if k + 1 < nn else 0
+    if k + 2 < nn:
+        s += cache[k + 2]
+    s = (s + 1) >> 1
+    return 2 if s > 2 else s
 
 
 def encode_tile(levels: np.ndarray, modes: np.ndarray, n: int, tx_types=None) -> bytes:
@@ -144,6 +187,7 @@ def _encode_tile_py(levels, modes, rb: int, cb: int, n: int, tx_types=None) -> b
     enc = MsacEncoder()
     ec = _eob_classes(n)
     tx = None if tx_types is None else np.asarray(tx_types).reshape(-1)
+    nn = n * n
     for b in range(rb * cb):
         enc.encode_symbol(int(md[b]), cdfs.mode, N_MODES)
         row = lv[b]
@@ -159,15 +203,32 @@ def _encode_tile_py(levels, modes, rb: int, cb: int, n: int, tx_types=None) -> b
         enc.encode_symbol(cls, cdfs.eob_class, ec)
         if cls >= 2:
             enc.encode_literal(eob - 1 - (1 << (cls - 1)), cls - 1)
-        for k in range(eob):
+        cache = [0] * nn
+        for k in range(eob - 1, -1, -1):
             v = int(row[k])
             a = abs(v)
-            base = min(a, 3)
-            enc.encode_symbol(base, cdfs.base[_base_ctx(k, n)], 4)
-            if base == 3:
-                enc.encode_golomb(a - 3)
+            pctx = _base_ctx(k, n)
+            if k == eob - 1:
+                enc.encode_symbol(min(a, 3) - 1, cdfs.base_eob[pctx], 3)
+            else:
+                mctx = _mag_ctx(cache, k, nn)
+                enc.encode_symbol(min(a, 3), cdfs.base[pctx * 3 + mctx], 4)
+            if a >= 3:
+                rem = a - 3
+                for _ in range(BR_STEPS):
+                    s = min(rem, 3)
+                    enc.encode_symbol(s, cdfs.br[pctx], 4)
+                    rem -= s
+                    if s < 3:
+                        break
+                if a >= 3 + 3 * BR_STEPS:
+                    enc.encode_golomb(a - 3 - 3 * BR_STEPS)
             if a:
-                enc.encode_bit(1 if v < 0 else 0)
+                if k == 0:
+                    enc.encode_symbol(1 if v < 0 else 0, cdfs.dc_sign, 2)
+                else:
+                    enc.encode_bit(1 if v < 0 else 0)
+            cache[k] = min(a, 3)
     return enc.finish()
 
 
@@ -187,6 +248,7 @@ def _decode_tile_py(data: bytes, rb: int, cb: int, n: int, with_tx: bool = False
     lv = np.zeros((rb * cb, n * n), dtype=np.int32)
     md = np.zeros(rb * cb, dtype=np.int32)
     tx = np.zeros(rb * cb, dtype=np.int32)
+    nn = n * n
     for b in range(rb * cb):
         md[b] = dec.decode_symbol(cdfs.mode, N_MODES)
         if dec.decode_symbol(cdfs.allzero, 2) == 0:
@@ -198,20 +260,36 @@ def _decode_tile_py(data: bytes, rb: int, cb: int, n: int, with_tx: bool = False
             eob = (1 << (cls - 1)) + dec.decode_literal(cls - 1) + 1
         else:
             eob = cls + 1
-        if eob > n * n:
-            eob = n * n
+        if eob > nn:
+            eob = nn
         row = lv[b]
-        for k in range(eob):
-            a = dec.decode_symbol(cdfs.base[_base_ctx(k, n)], 4)
-            if a == 3:
-                a += dec.decode_golomb()
-                # Same clamp as msac.cc's native golomb tail: a hostile
-                # stream can otherwise yield values > int32 and crash the
-                # levels-array store with an uncaught numpy OverflowError.
-                a = min(a, 1 << 24)
+        cache = [0] * nn
+        for k in range(eob - 1, -1, -1):
+            pctx = _base_ctx(k, n)
+            if k == eob - 1:
+                a = dec.decode_symbol(cdfs.base_eob[pctx], 3) + 1
+            else:
+                mctx = _mag_ctx(cache, k, nn)
+                a = dec.decode_symbol(cdfs.base[pctx * 3 + mctx], 4)
+            if a >= 3:
+                for _ in range(BR_STEPS):
+                    s = dec.decode_symbol(cdfs.br[pctx], 4)
+                    a += s
+                    if s < 3:
+                        break
+                if a == 3 + 3 * BR_STEPS:
+                    g = dec.decode_golomb()
+                    # Same clamp as msac.cc's native golomb tail: a
+                    # hostile stream can otherwise yield values > int32
+                    # and crash the levels store with an OverflowError.
+                    a += min(g, 1 << 24)
             if a:
-                sign = dec.decode_bit()
+                if k == 0:
+                    sign = dec.decode_symbol(cdfs.dc_sign, 2)
+                else:
+                    sign = dec.decode_bit()
                 row[scan[k]] = -a if sign else a
+            cache[k] = min(a, 3)
     if with_tx:
         return lv.reshape(rb, cb, n, n), md.reshape(rb, cb), tx.reshape(rb, cb)
     return lv.reshape(rb, cb, n, n), md.reshape(rb, cb)

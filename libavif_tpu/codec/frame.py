@@ -56,7 +56,7 @@ from ..ops.quant import quality_to_qindex, step_sizes
 from ..utils.streams import ROStream, RWStream
 from . import entropy, recon
 
-FRAME_MAGIC = 0x58  # bumped: CDEF-stage flag (bit2)
+FRAME_MAGIC = 0x59  # bumped: v2 coefficient entropy model (entropy.py)
 DEFAULT_TX_SIZE = 16
 
 
@@ -621,6 +621,24 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
             foreign = True
     if foreign or (frame is not None and (not frame.payload or frame.payload[0] != FRAME_MAGIC)):
         # real AV1 payload (foreign file or our spec-conformant output)
+        obus = split_obus(data)
+        if any(
+            o.obu_type == OBU_FRAME and o.payload and o.payload[0] == FRAME_MAGIC
+            for o in obus
+        ):
+            # layered stream (write_progressive): native layers followed by
+            # one spec temporal unit — decode the final (best) layer only;
+            # the spec parser must not see the native frame payloads
+            from ..containers.obu import OBU_TEMPORAL_DELIMITER
+
+            td = max(
+                i for i, o in enumerate(obus)
+                if o.obu_type == OBU_TEMPORAL_DELIMITER
+            )
+            s = RWStream()
+            for o in obus[td:]:
+                write_obu(s, o.obu_type, o.payload)
+            data = s.data()
         return _decode_frame_spec(data, width, height)
     if seq is None or frame is None:
         raise AvifError(Result.BMFF_PARSE_FAILED, "missing sequence header or frame OBU")

@@ -301,29 +301,59 @@ constexpr uint16_t kInitMode[N_MODES + 1] = {27197, 22610, 19661, 18678,
                                              0,     0};
 constexpr uint16_t kInitAllZero[3] = {22938, 0, 0};
 constexpr uint16_t kInitTx[N_TX + 1] = {9830, 7209, 4588, 1966, 0, 0};
-constexpr uint16_t kInitBase[N_BASE_CTX][5] = {
-    {26214, 19661, 16384, 0, 0},
-    {16384, 9175, 5898, 0, 0},
-    {6554, 1638, 655, 0, 0},
+// v2 coefficient model (FRAME_MAGIC 0x59) — must mirror entropy.py:
+// 3 position classes x 3 neighbor-magnitude classes for base, {1,2,3+}
+// at the eob position, 4-step base-range ladder, adaptive DC sign.
+constexpr int BR_STEPS = 4;
+constexpr uint16_t kInitBase[9][5] = {
+    {26214, 19661, 16384, 0, 0}, {22938, 16384, 11469, 0, 0},
+    {19661, 13107, 8192, 0, 0},
+    {16384, 9175, 5898, 0, 0},   {13107, 7373, 4588, 0, 0},
+    {9830, 5243, 3277, 0, 0},
+    {6554, 1638, 655, 0, 0},     {5243, 1966, 983, 0, 0},
+    {4588, 2294, 1311, 0, 0},
 };
+constexpr uint16_t kInitBaseEob[N_BASE_CTX][4] = {
+    {16384, 8192, 0, 0},
+    {11469, 4915, 0, 0},
+    {8192, 3277, 0, 0},
+};
+constexpr uint16_t kInitBr[N_BASE_CTX][5] = {
+    {16384, 8192, 4096, 0, 0},
+    {13107, 6554, 3277, 0, 0},
+    {11469, 5734, 2867, 0, 0},
+};
+constexpr uint16_t kInitDcSign[3] = {16384, 0, 0};
 
 struct TileCdfs {
-  std::vector<uint16_t> mode, allzero, tx, eobcls;
-  std::vector<uint16_t> base[N_BASE_CTX];
+  std::vector<uint16_t> mode, allzero, tx, eobcls, dcsign;
+  std::vector<uint16_t> base[9];
+  std::vector<uint16_t> base_eob[N_BASE_CTX];
+  std::vector<uint16_t> br[N_BASE_CTX];
   explicit TileCdfs(int n) {
     mode.assign(kInitMode, kInitMode + N_MODES + 1);
     allzero.assign(kInitAllZero, kInitAllZero + 3);
     tx.assign(kInitTx, kInitTx + N_TX + 1);
+    dcsign.assign(kInitDcSign, kInitDcSign + 3);
     int ec = eob_classes(n);
     eobcls.resize(ec + 1);
     uniform_icdf(eobcls.data(), ec);
+    for (int i = 0; i < 9; ++i) base[i].assign(kInitBase[i], kInitBase[i] + 5);
     for (int i = 0; i < N_BASE_CTX; ++i) {
-      base[i].assign(kInitBase[i], kInitBase[i] + 5);
+      base_eob[i].assign(kInitBaseEob[i], kInitBaseEob[i] + 4);
+      br[i].assign(kInitBr[i], kInitBr[i] + 5);
     }
   }
 };
 
 inline int base_ctx(int k, int n) { return k == 0 ? 0 : (k < n ? 1 : 2); }
+
+inline int mag_ctx(const int* cache, int k, int nn) {
+  int s = k + 1 < nn ? cache[k + 1] : 0;
+  if (k + 2 < nn) s += cache[k + 2];
+  s = (s + 1) >> 1;
+  return s > 2 ? 2 : s;
+}
 
 }  // namespace
 
@@ -358,13 +388,34 @@ long avt_encode_tile(const int32_t* levels, const int32_t* modes,
     int cls = bit_length(eob - 1);
     enc.symbol(cls, cdfs.eobcls.data(), ec);
     if (cls >= 2) enc.literal(eob - 1 - (1 << (cls - 1)), cls - 1);
-    for (int k = 0; k < eob; ++k) {
+    std::vector<int> cache(nn, 0);
+    for (int k = eob - 1; k >= 0; --k) {
       int32_t v = row[k];
       uint32_t a = v < 0 ? -v : v;
-      int base = a < 3 ? int(a) : 3;
-      enc.symbol(base, cdfs.base[base_ctx(k, n)].data(), 4);
-      if (base == 3) enc.golomb(a - 3);
-      if (a) enc.bit(v < 0 ? 1 : 0);
+      int pctx = base_ctx(k, n);
+      if (k == eob - 1) {
+        enc.symbol((a < 3 ? int(a) : 3) - 1, cdfs.base_eob[pctx].data(), 3);
+      } else {
+        int mctx = mag_ctx(cache.data(), k, nn);
+        enc.symbol(a < 3 ? int(a) : 3, cdfs.base[pctx * 3 + mctx].data(), 4);
+      }
+      if (a >= 3) {
+        uint32_t rem = a - 3;
+        for (int i = 0; i < BR_STEPS; ++i) {
+          int s = rem < 3 ? int(rem) : 3;
+          enc.symbol(s, cdfs.br[pctx].data(), 4);
+          rem -= s;
+          if (s < 3) break;
+        }
+        if (a >= uint32_t(3 + 3 * BR_STEPS)) enc.golomb(a - 3 - 3 * BR_STEPS);
+      }
+      if (a) {
+        if (k == 0)
+          enc.symbol(v < 0 ? 1 : 0, cdfs.dcsign.data(), 2);
+        else
+          enc.bit(v < 0 ? 1 : 0);
+      }
+      cache[k] = a < 3 ? int(a) : 3;
     }
   }
   std::vector<uint8_t> payload = enc.finish();
@@ -398,18 +449,34 @@ int avt_decode_tile(const uint8_t* data, long size, int rb, int cb, int n,
       eob = cls + 1;
     if (eob > nn) eob = nn;
     int32_t* blk = levels_out + b * nn;
-    for (int k = 0; k < eob; ++k) {
-      int a = dec.symbol(cdfs.base[base_ctx(k, n)].data(), 4);
-      if (a == 3) {
-        int64_t g = dec.golomb();
-        if (g < 0) return -2;
-        if (g > (1 << 24)) g = 1 << 24;  // hostile-stream clamp
-        a += int(g);
+    std::vector<int> cache(nn, 0);
+    for (int k = eob - 1; k >= 0; --k) {
+      int pctx = base_ctx(k, n);
+      int a;
+      if (k == eob - 1) {
+        a = dec.symbol(cdfs.base_eob[pctx].data(), 3) + 1;
+      } else {
+        int mctx = mag_ctx(cache.data(), k, nn);
+        a = dec.symbol(cdfs.base[pctx * 3 + mctx].data(), 4);
+      }
+      if (a >= 3) {
+        for (int i = 0; i < BR_STEPS; ++i) {
+          int s = dec.symbol(cdfs.br[pctx].data(), 4);
+          a += s;
+          if (s < 3) break;
+        }
+        if (a == 3 + 3 * BR_STEPS) {
+          int64_t g = dec.golomb();
+          if (g < 0) return -2;
+          if (g > (1 << 24)) g = 1 << 24;  // hostile-stream clamp
+          a += int(g);
+        }
       }
       if (a) {
-        int sign = dec.bit();
+        int sign = k == 0 ? dec.symbol(cdfs.dcsign.data(), 2) : dec.bit();
         blk[scan[k]] = sign ? -a : a;
       }
+      cache[k] = a < 3 ? a : 3;
     }
   }
   return 0;
