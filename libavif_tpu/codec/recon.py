@@ -231,6 +231,9 @@ def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool, s
     # Integer lambda for SSE (8-bit-scaled) + lam·bits cost. acs8 is the AC
     # step in 8-bit pixel units; transform gain is 2^3 over orthonormal, so
     # qstep_pix = acs8/8. Swept on kodim23: ~0.06·qstep_pix² is the RD
+    # (re-swept after the v2 entropy model: 12/15/18/21 x/16000 all move
+    # along the same kodim RD curve, so 15 stays; the 3+2·bitlen proxy
+    # also re-checked against ladder-shaped variants — rank-equivalent)
     # sweet spot (+0.1 dB at matched rate vs the textbook 0.12).
     dshift = depth - 8
     acs8 = ac_step >> dshift if dshift else ac_step
