@@ -92,10 +92,18 @@ def _adjust_strength(strength: int, var: int) -> int:
     return (strength * (4 + i) + 8) >> 4
 
 
+def _constrain_vec(diff, threshold: int, shift: int):
+    if not threshold:
+        return np.zeros_like(diff)
+    adiff = np.abs(diff)
+    v = np.minimum(adiff, np.maximum(0, threshold - (adiff >> shift)))
+    return np.where(diff >= 0, v, -v)
+
+
 def _filter_block(dst, src, x0, y0, w, h, pri, sec, damping, dir_, bd,
                   bounds):
-    """Filter one block in-place; src is the pre-CDEF plane read via
-    bounds-checked access (CDEF_VERY_LARGE outside the decoded area)."""
+    """Filter one block in-place (vectorized over the block; taps gather
+    from the pre-CDEF plane, CDEF_VERY_LARGE outside the decoded area)."""
     ph, pw = bounds
     pri_tap = [4 - ((pri >> (bd - 8)) & 1), 2 + ((pri >> (bd - 8)) & 1)]
     sec_tap = [2, 1]
@@ -105,40 +113,39 @@ def _filter_block(dst, src, x0, y0, w, h, pri, sec, damping, dir_, bd,
     sdirs0 = CDEF_DIRECTIONS[(dir_ + 2) & 7]
     sdirs1 = CDEF_DIRECTIONS[(dir_ + 6) & 7]
 
-    def get(yy, xx):
-        if 0 <= yy < ph and 0 <= xx < pw:
-            return int(src[yy, xx])
-        return CDEF_VERY_LARGE
+    yy = y0 + np.arange(h).reshape(h, 1)
+    xx = x0 + np.arange(w).reshape(1, w)
+    px = src[y0 : y0 + h, x0 : x0 + w].astype(np.int64)
+    s = np.zeros((h, w), np.int64)
+    mn = px.copy()
+    mx = px.copy()
 
-    for i in range(h):
-        for j in range(w):
-            y = y0 + i
-            x = x0 + j
-            px = int(src[y, x])
-            s = 0
-            mn = px
-            mx = px
-            if pri:
-                for k in range(2):
-                    dy, dx = pdirs[k]
-                    for sgn in (1, -1):
-                        p = get(y + sgn * dy, x + sgn * dx)
-                        s += pri_tap[k] * _constrain(p - px, pri, pri_shift)
-                        if p != CDEF_VERY_LARGE:
-                            mn = min(mn, p)
-                            mx = max(mx, p)
-            if sec:
-                for k in range(2):
-                    for dirs in (sdirs0, sdirs1):
-                        dy, dx = dirs[k]
-                        for sgn in (1, -1):
-                            p = get(y + sgn * dy, x + sgn * dx)
-                            s += sec_tap[k] * _constrain(p - px, sec, sec_shift)
-                            if p != CDEF_VERY_LARGE:
-                                mn = min(mn, p)
-                                mx = max(mx, p)
-            v = px + ((8 + s - (1 if s < 0 else 0)) >> 4)
-            dst[y, x] = min(max(v, mn), mx)
+    def gather(dy, dx):
+        gy = yy + dy
+        gx = xx + dx
+        ok = (gy >= 0) & (gy < ph) & (gx >= 0) & (gx < pw)
+        p = src[np.clip(gy, 0, ph - 1), np.clip(gx, 0, pw - 1)].astype(np.int64)
+        return np.where(ok, p, CDEF_VERY_LARGE), ok
+
+    taps = []
+    if pri:
+        for k in range(2):
+            dy, dx = pdirs[k]
+            for sgn in (1, -1):
+                taps.append((sgn * dy, sgn * dx, pri_tap[k], pri, pri_shift))
+    if sec:
+        for k in range(2):
+            for dirs in (sdirs0, sdirs1):
+                dy, dx = dirs[k]
+                for sgn in (1, -1):
+                    taps.append((sgn * dy, sgn * dx, sec_tap[k], sec, sec_shift))
+    for dy, dx, tap, strength, shift in taps:
+        p, ok = gather(dy, dx)
+        s += tap * _constrain_vec(np.where(ok, p - px, 0), strength, shift)
+        mn = np.where(ok, np.minimum(mn, p), mn)
+        mx = np.where(ok, np.maximum(mx, p), mx)
+    v = px + ((8 + s - (s < 0).astype(np.int64)) >> 4)
+    dst[y0 : y0 + h, x0 : x0 + w] = np.clip(v, mn, mx).astype(dst.dtype)
 
 
 def apply_cdef(dec) -> None:
