@@ -1319,7 +1319,12 @@ class FrameDecoder:
                     + 1
                 )
             else:
-                ctx_b = self._base_ctx(lev, row, col, pos, tx_class, cw, ch)
+                # rect-ness uses the TRUE tx dims: 32x64/64x32 clamp to a
+                # square 32x32 coded area but still take the rectangular
+                # lo_ctx offsets (verified against dav1d with single-
+                # coefficient probe streams; clamped dims desynced the
+                # whole 32x64-after-gather stream class)
+                ctx_b = self._base_ctx(lev, row, col, pos, tx_class, txw, txh)
                 level = dec.decode_symbol(
                     cdf.coeff_base[q][tctx][ptype][ctx_b], 4, adapt=self.adapt, what="coef"
                 )
