@@ -598,10 +598,15 @@ class FrameDecoder:
         # ---- palette (§5.11.43, only with screen content tools)
         pal_sz_y = pal_sz_uv = 0
         pal_y = pal_u = pal_v = None
+        # spec gate is the ENUM rule MiSize >= BLOCK_8X8 (§5.11.42): the
+        # extended rects 4x16/16x4 sit after 8x8 in the enum and DO code
+        # palette syntax — wpx*hpx >= 64 expresses that (same rule as
+        # av1_use_angle_delta)
         if (
             self.hdr.allow_screen_content_tools
-            and 8 <= wpx <= 64
-            and 8 <= hpx <= 64
+            and wpx * hpx >= 64
+            and wpx <= 64
+            and hpx <= 64
         ):
             bsize_ctx = (bw4.bit_length() - 1) + (bh4.bit_length() - 1) - 2
             if y_mode == I.DC_PRED:
