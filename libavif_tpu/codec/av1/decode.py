@@ -1379,6 +1379,13 @@ class FrameDecoder:
         pels = txw * txh
         dq_shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
         cmax = (1 << (depth + 7)) - 1
+        # quantizer matrices (§7.12.3): per-position weight (qv*w+16)>>5,
+        # applied only to the 2D transform family (types before IDTX —
+        # dav1d's `*txtp < IDTX` gate) and never to 64-dim transforms
+        qmat = None
+        if qd.using_qmatrix and not self.hdr.coded_lossless and tx_type < TXF.IDTX:
+            level = qd.qm_y if plane == 0 else (qd.qm_u if plane == 1 else qd.qm_v)
+            qmat = T.qm_matrix(level, 1 if plane else 0, txw, txh)
         for si in range(eob):
             pos = int(scan[si])
             v = int(quant[pos])
@@ -1386,6 +1393,8 @@ class FrameDecoder:
                 continue
             row, col = pos >> bwl, pos & (cw - 1)
             qv = dcq if pos == 0 else acq
+            if qmat is not None:
+                qv = (qv * int(qmat[row, col]) + 16) >> 5
             s = -1 if v < 0 else 1
             mag = ((abs(v) * qv) & 0xFFFFFF) >> dq_shift
             dq[row, col] = s * min(mag, cmax)

@@ -192,3 +192,29 @@ def mcol_scan(w: int, h: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def mrow_scan(w: int, h: int) -> np.ndarray:
     return np.arange(w * h, dtype=np.int32)
+
+
+# --------------------------------------------------- quantizer matrices
+
+# Offsets of each (w, h) <= 32x32 matrix inside one 3344-entry qm plane
+# row (tx-size enum order, 64-dim sizes absent — qm never applies to them,
+# spec 7.12.3 / aom av1_qm_init).
+_QM_OFFSETS = {
+    (4, 4): 0, (8, 8): 16, (16, 16): 80, (32, 32): 336,
+    (4, 8): 1360, (8, 4): 1392, (8, 16): 1424, (16, 8): 1552,
+    (16, 32): 1680, (32, 16): 2192,
+    (4, 16): 2704, (16, 4): 2768, (8, 32): 2832, (32, 8): 3088,
+}
+
+
+@functools.lru_cache(maxsize=None)
+def qm_matrix(level: int, plane_type: int, w: int, h: int):
+    """Dequant weight matrix (h, w) for qm `level` (0-14; 15 = flat ->
+    None) and plane type (0 luma / 1 chroma); None for 64-dim transforms.
+    Source: spec Quantizer_Matrix via aom iwt_matrix_ref (extracted,
+    cross-checked against dav1d's qm_tbl copies)."""
+    if level >= 15 or (w, h) not in _QM_OFFSETS:
+        return None
+    row = _data()["qm_iq"].reshape(15, 2, 3344)[level][plane_type]
+    off = _QM_OFFSETS[(w, h)]
+    return row[off : off + w * h].astype(np.int64).reshape(h, w)

@@ -278,6 +278,34 @@ def main():
     i -= 6  # table starts 3 entries (angle 0..2) before the first nonzero
     tables["dr_intra_derivative"] = np.frombuffer(A8[i : i + 180], dtype="<u2").copy()
 
+    # quantizer matrices (spec 7.12.3 Quantizer_Matrix; aom iwt_matrix_ref,
+    # [15 levels][2 planes][3344] uint8 — all sizes <= 32 concatenated in
+    # tx-enum order). Located by the canonical 4x4 level-0 luma head
+    # 32,43,73,97 followed by the symmetric row 43,67,94,110, then
+    # validated: every level-14 matrix ~flat (values 28..34), rect pairs
+    # transpose-equal, squares symmetric, and the 32x32 section matches
+    # dav1d's lower-triangular qm_tbl_32x32_t copy in the bundled lib.
+    Au = A.astype("<u2").tobytes()
+    Aub = np.frombuffer(Au, dtype=np.uint8)
+    qm_head = bytes([32, 43, 73, 97, 43, 67, 94, 110])
+    qi = Au.find(qm_head)
+    if qi < 0:
+        raise RuntimeError("qm tables not found")
+    qm = Aub[qi : qi + 15 * 2 * 3344].reshape(15, 2, 3344).copy()
+    lvl14 = qm[14].reshape(-1)
+    if lvl14.min() < 28 or lvl14.max() > 34:
+        raise RuntimeError("qm level-14 not flat — wrong base")
+    off32 = 336
+    m32 = qm[0, 0, off32 : off32 + 1024].reshape(32, 32)
+    if not np.array_equal(m32, m32.T):
+        raise RuntimeError("qm 32x32 not symmetric — wrong layout")
+    tri = m32[np.tril_indices(32)]
+    Bu8 = np.frombuffer(B.astype("<u2").tobytes(), dtype=np.uint8)
+    if Bu8.tobytes().find(tri.astype(np.uint8).tobytes()) < 0:
+        raise RuntimeError("qm 32x32 missing from dav1d copy")
+    tables["qm_iq"] = qm.astype(np.uint16)
+    print(f"{'qm_iq':20s} [15][2][3344] extracted + dav1d cross-check OK")
+
     # cross-copy validation: every aom-side mode-table row's prob bytes must
     # appear in the dav1d region too (independent copy of the same constants)
     Bb = B.astype("<u2").tobytes()
