@@ -65,14 +65,29 @@ def decode_still(payload: bytes):
     seq = None
     hdr = None
     tiles = []
+    complete = None
     for o in obus:
         if o.obu_type == OBU_SEQUENCE_HEADER:
             seq = parse_sequence_header(o.payload)
         elif o.obu_type == OBU_FRAME_HEADER:
             if seq is None:
                 raise AvifError(Result.BMFF_PARSE_FAILED, "frame header before seq")
-            hdr = parse_frame_header(o.payload, seq)
-            tiles = []  # a new frame starts (progressive layer semantics)
+            new_hdr = parse_frame_header(o.payload, seq)
+            if (
+                hdr is not None
+                and tiles
+                and len(tiles) < hdr.tile.cols * hdr.tile.rows
+            ):
+                # redundant frame header mid-frame (§5.9.1: a frame header
+                # repeated before the frame's tile groups complete must
+                # describe the same frame) — keep the collected tiles
+                pass
+            else:
+                if hdr is not None and len(tiles) == hdr.tile.cols * hdr.tile.rows:
+                    complete = (hdr, tiles)  # completed frame; a trailing
+                    # partial repeat (fuzz corpus poc_b) must not lose it
+                tiles = []  # a new frame starts (progressive layer semantics)
+            hdr = new_hdr
         elif o.obu_type == OBU_FRAME:
             if seq is None:
                 raise AvifError(Result.BMFF_PARSE_FAILED, "frame before seq")
@@ -82,6 +97,11 @@ def decode_still(payload: bytes):
             if hdr is None:
                 raise AvifError(Result.BMFF_PARSE_FAILED, "tile group before header")
             tiles += _parse_tile_group(o.payload, hdr)
+    if (
+        complete is not None
+        and (hdr is None or len(tiles) < hdr.tile.cols * hdr.tile.rows)
+    ):
+        hdr, tiles = complete  # fall back to the last complete frame
     if seq is None or hdr is None or not tiles:
         raise AvifError(Result.BMFF_PARSE_FAILED, "incomplete AV1 payload")
     dec = FrameDecoder(seq, hdr)
