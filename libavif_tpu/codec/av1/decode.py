@@ -933,7 +933,10 @@ class FrameDecoder:
     def _read_tx_size(self, r, c, bsize, skip):
         wpx, hpx = B.BLOCK_DIMS[bsize]
         max_txw, max_txh = B.MAX_TX_SIZE_RECT[(wpx, hpx)]
-        if not self.hdr.tx_mode_select or skip:
+        # read_tx_size(allowSelect = !skip || !is_inter) (§5.11.15): INTRA
+        # skip blocks still code the tx_depth symbol — gating on skip here
+        # desynced every stream with intra skip blocks (alpha_noispe)
+        if not self.hdr.tx_mode_select:
             return (max_txw, max_txh)
         if wpx == 4 and hpx == 4:
             return (4, 4)

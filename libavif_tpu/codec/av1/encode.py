@@ -414,7 +414,10 @@ def _write_frame_header_lossless(seq: SequenceHeader) -> bytes:
 
 
 def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
-                        tx_mode_select: bool = True) -> bytes:
+                        tx_mode_select: bool = True,
+                        segmentation=None, allow_scc: bool = False,
+                        enable_lr: bool = False,
+                        enable_cdef: bool = False) -> bytes:
     """Reduced-still-picture uncompressed header (mirror of
     headers.parse_frame_header for the configurations we emit: lossless
     or lossy with loop filters off and TX_MODE_SELECT)."""
@@ -422,10 +425,14 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
     w = s.write_bits
     w(0, 1)  # disable_cdf_update
     if seq.force_screen_content_tools == 2:
-        w(0, 1)  # allow_screen_content_tools = 0
+        w(1 if allow_scc else 0, 1)  # allow_screen_content_tools
+        if allow_scc and seq.force_integer_mv == 2:
+            w(1, 1)  # force_integer_mv (intra frames force it anyway)
     if seq.enable_superres:
         w(0, 1)
     w(0, 1)  # render_and_frame_size_different
+    if allow_scc:
+        w(0, 1)  # allow_intrabc = 0 (allow_screen path reads this bit)
     # tile info: uniform spacing, smallest tile counts
     mi_cols = 2 * ((seq.max_frame_width + 7) >> 3)
     mi_rows = 2 * ((seq.max_frame_height + 7) >> 3)
@@ -461,7 +468,29 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
         w(0, 1)  # u_dc
         w(0, 1)  # u_ac
     w(0, 1)  # using_qmatrix
-    w(0, 1)  # segmentation_enabled
+    # segmentation (§5.9.14; KEY frame => primary_ref NONE => update_map/
+    # update_data implied 1, no bits). `segmentation` is a list of up to 8
+    # per-segment {feature_idx: value} dicts (SEG_LVL_* indices).
+    if segmentation:
+        w(1, 1)
+        from .headers import SEG_FEATURE_BITS, SEG_FEATURE_MAX, SEG_FEATURE_SIGNED
+
+        for sid in range(8):
+            feats = segmentation[sid] if sid < len(segmentation) else {}
+            for j in range(8):
+                if j in feats:
+                    w(1, 1)
+                    v = int(feats[j])
+                    if SEG_FEATURE_SIGNED[j]:
+                        n = SEG_FEATURE_BITS[j]
+                        # su(n+1): MSB is the sign in two's complement
+                        w(v & ((1 << (n + 1)) - 1), n + 1)
+                    else:
+                        w(v, SEG_FEATURE_BITS[j])
+                else:
+                    w(0, 1)
+    else:
+        w(0, 1)  # segmentation_enabled
     if base_q_idx > 0:
         w(0, 1)  # delta_q_present
         # loop filter: levels 0/0 (no deblocking), sharpness 0, no deltas
@@ -469,7 +498,21 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
         w(0, 6)
         w(0, 3)
         w(0, 1)  # loop_filter_delta_enabled
-        # cdef/lr skipped (disabled in the sequence header)
+        if enable_cdef:
+            # cdef_params (§5.9.19): damping 4, bits 0, one strength set
+            # y_pri 1 / y_sec 0 / uv_pri 1 / uv_sec 0 (alpha_noispe config)
+            w(1, 2)  # cdef_damping_minus_3
+            w(0, 2)  # cdef_bits
+            w(1, 4); w(0, 2)  # y strength
+            w(1, 4); w(0, 2)  # uv strength
+        if enable_lr:
+            # lr_params (§5.9.20): SWITCHABLE on all coded planes, 64px
+            # units (no shifts) — the alpha_noispe configuration
+            for _ in range(1 if seq.monochrome else 3):
+                w(1, 2)  # raw 1 = RESTORE_SWITCHABLE
+            w(0, 1)  # lr_unit_shift (64px)
+            if not seq.monochrome and seq.subsampling_x and seq.subsampling_y:
+                w(0, 1)  # lr_uv_shift (chroma units 64 too)
         w(1 if tx_mode_select else 0, 1)  # tx_mode
     w(0, 1)  # reduced_tx_set
     s.flush_bits()
@@ -509,6 +552,10 @@ def _encode_still(
     transfer_characteristics: int = 2,
     matrix_coefficients: int = 2,
     color_range: int = 1,
+    segmentation=None,
+    allow_scc: bool = False,
+    enable_lr: bool = False,
+    enable_cdef: bool = False,
 ) -> bytes:
     """Encode YUV planes as a spec-conformant AV1 still payload
     (temporal delimiter + sequence header + frame OBU)."""
@@ -532,8 +579,8 @@ def _encode_still(
         force_screen_content_tools=0,
         force_integer_mv=0,
         enable_superres=False,
-        enable_cdef=False,
-        enable_restoration=False,
+        enable_cdef=enable_cdef,
+        enable_restoration=enable_lr,
         monochrome=monochrome,
         color_description_present=True,
         color_primaries=color_primaries,
@@ -552,7 +599,9 @@ def _encode_still(
     from ...containers.obu import parse_sequence_header
 
     seq = parse_sequence_header(seq_payload)
-    hdr_payload = _write_frame_header(seq, base_q_idx)
+    hdr_payload = _write_frame_header(seq, base_q_idx, segmentation=segmentation,
+                                      allow_scc=allow_scc, enable_lr=enable_lr,
+                                      enable_cdef=enable_cdef)
     # parse back our own header (guarantees reader/writer agreement and
     # yields the derived geometry the shared traversal needs)
     hdr = parse_frame_header(hdr_payload, seq)
@@ -585,9 +634,14 @@ def _encode_still(
     dec.dec = MirrorCoder(enc, planner)
     from . import blocks as B
 
+    from .restoration import read_lr, reset_lr_refs, setup_lr
+
+    setup_lr(dec)
+    reset_lr_refs(dec)
     for r in range(0, hdr.mi_rows, dec.sb_mi):
         for c in range(0, hdr.mi_cols, dec.sb_mi):
             dec._clear_block_decoded(r, c)
+            read_lr(dec, r, c)
             dec._decode_partition(r, c, B.block_size(dec.sb_px, dec.sb_px))
     assert planner.pos == len(planner.script), "unconsumed txb script"
     tile_data = enc.finish(strip=False)
