@@ -71,6 +71,26 @@ def tx_search_set(speed: int, n: int) -> tuple:
     return TX_SET_ALL
 
 
+def mode_search_set(speed: int) -> tuple:
+    """Speed ladder -> intra-mode search breadth (indices into
+    ops.intra.MODE_SET). Shrinking the candidate tensor shrinks every
+    downstream transform/SSE tensor on device — real wall-clock, not just
+    a mask. The bitstream alphabet stays all 13 modes."""
+    from ..ops.intra import (
+        DC_PRED, H_PRED, PAETH_PRED, SMOOTH_PRED, V_PRED,
+        D45_PRED, D135_PRED, N_MODES,
+    )
+
+    if speed >= 9:
+        return (DC_PRED, V_PRED, H_PRED)
+    if speed >= 8:
+        return (DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED)
+    if speed >= 7:
+        return (DC_PRED, V_PRED, H_PRED, D45_PRED, D135_PRED,
+                SMOOTH_PRED, PAETH_PRED)
+    return tuple(range(N_MODES))
+
+
 def pad_to_blocks(plane: np.ndarray, n: int) -> np.ndarray:
     """Pad (H, W) to whole n×n blocks with edge replication (host-side)."""
     h, w = plane.shape
@@ -227,6 +247,7 @@ def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool, s
     txs = (WHT_WHT,) if lossless else tx_search_set(speed, n)
     tx_syms = tuple(TX_SET_ALL.index(t) if t in TX_SET_ALL else 0 for t in txs)
     T = len(txs)
+    mode_set = tuple(range(N_MODES)) if lossless else mode_search_set(speed)
     steps = _steps_mat(n, dc_step, ac_step)
     # Integer lambda for SSE (8-bit-scaled) + lam·bits cost. acs8 is the AC
     # step in 8-bit pixel units; transform gain is 2^3 over orthonormal, so
@@ -246,7 +267,9 @@ def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool, s
     def step(carry, xs):
         sb, c_arr = xs
         top, left, topleft = _wavefront_neighbors(carry, c_arr, mid)
-        preds = predict_all_modes(top, left, topleft, n)  # (L, M, n, n)
+        preds = predict_all_modes(top, left, topleft, n)  # (L, 13, n, n)
+        if len(mode_set) < preds.shape[1]:
+            preds = preds[:, jnp.asarray(mode_set, dtype=jnp.int32)]
         resid = sb[:, None] - preds  # (L, M, n, n)
         rflat = resid.reshape(-1, n, n)
 
@@ -290,6 +313,8 @@ def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool, s
         # map search index -> bitstream symbol
         sym_table = jnp.asarray(tx_syms, dtype=jnp.int32)
         best_tx_sym = sym_table[best_tx]
+        mode_table = jnp.asarray(mode_set, dtype=jnp.int32)
+        best_mode = mode_table[best_mode]
 
         carry = (best_rec[:, -1, :], best_rec[:, :, -1], top[:, -1])
         return carry, (best_mode, best_lv, best_rec, best_tx_sym)
