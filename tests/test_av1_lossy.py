@@ -137,3 +137,78 @@ def test_speed_ladder_distinct_configs():
     # monotone effort: candidate count never increases with speed
     counts = [len(c["modes"]) * len(c["sizes"]) for c in cfgs]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+class TestProbeConformance:
+    """Feature-combination probe streams (our encoder emits them, dav1d
+    must agree bit-exactly) — locks the intra-skip tx_depth rule, seg/
+    scc/switchable-LR header writing, and the 64-dim rect coeff ctx."""
+
+    def _check(self, payload, w, h):
+        out, _, _ = decode_still(payload)
+        im = oracle.decode(_wrap(payload, w, h))
+        for p, a in zip(im.planes, out):
+            assert np.array_equal(p, a.astype(np.uint8))
+
+    def test_intra_skip_blocks_code_tx_depth(self):
+        class OneSkip(E.LossyPlanner):
+            def next_symbol(self, n, what=None):
+                if what == "skip":
+                    r, c, _ = self.dec.block_pos
+                    return 1 if (r, c) == (4, 4) else 0
+                return super().next_symbol(n, what)
+
+        pl = _photo(64, 64, seed=5)
+        old = E.LossyPlanner
+        try:
+            E.LossyPlanner = OneSkip
+            payload = E.encode_lossy_still(pl, qindex=109)
+        finally:
+            E.LossyPlanner = old
+        self._check(payload, 64, 64)
+
+    def test_seg_scc_switchable_lr_combo(self):
+        class Combo(E.LossyPlanner):
+            def __init__(self, *a, **k):
+                super().__init__(*a, **k)
+                self._lr_i = 0
+            def next_symbol(self, n, what=None):
+                if what == "lr":
+                    v = [1, 2, 0][self._lr_i % 3]
+                    self._lr_i += 1
+                    return min(v, n - 1)
+                if what == "skip":
+                    r, c, _ = self.dec.block_pos
+                    return 1 if ((r >> 1) + (c >> 1)) % 3 == 1 else 0
+                return super().next_symbol(n, what)
+
+        pl = _photo(80, 80, seed=7)
+        old = E.LossyPlanner
+        try:
+            E.LossyPlanner = Combo
+            payload = E.encode_lossy_still(
+                pl, qindex=109, enable_lr=True, allow_scc=True,
+                enable_cdef=True,
+                segmentation=[{0: -13}, {0: -1}, {0: 12}],
+            )
+        finally:
+            E.LossyPlanner = old
+        self._check(payload, 80, 80)
+
+    def test_forced_32x64_blocks(self):
+        class Vert(E.LossyPlanner):
+            def next_symbol(self, n, what=None):
+                if isinstance(what, tuple) and what[0] == "partition":
+                    from libavif_tpu.codec.av1 import blocks as B
+
+                    return 2 if B.BLOCK_DIMS[what[1]][0] == 64 else 0
+                return super().next_symbol(n, what)
+
+        pl = _photo(64, 64, seed=9)
+        old = E.LossyPlanner
+        try:
+            E.LossyPlanner = Vert
+            payload = E.encode_lossy_still(pl, qindex=60)
+        finally:
+            E.LossyPlanner = old
+        self._check(payload, 64, 64)
