@@ -1295,6 +1295,19 @@ class FrameDecoder:
             scan = T.mrow_scan(cw, ch)
         else:
             scan = T.mcol_scan(cw, ch)
+        # ---- native fast path: eob + levels + signs in C++ (bit-identical
+        # to the reference loop below; state + CDFs hand off in place)
+        if hasattr(dec, "data"):
+            res = self._coeffs_native(
+                dec, plane, x, y, txw, txh, cw, ch, tx_class, scan,
+                n_coeff, tctx, q, ptype,
+            )
+            if res is not None:
+                quant, eob, cul = res
+                self._set_coef_ctx(plane, x, y, txw, txh, cul)
+                return self._dequant_block(
+                    quant, scan, eob, plane, txw, txh, cw, ch, tx_type
+                )
         # ---- eob
         size_key = n_coeff
         eob_cdf = cdf.eob_pt[size_key][q][ptype][0 if tx_class == TX_CLASS_2D else 1]
@@ -1372,7 +1385,63 @@ class FrameDecoder:
         if quant[0] != 0:
             cul |= 64 if dc_sign_neg else 128  # dc sign category in bits 6-7
         self._set_coef_ctx(plane, x, y, txw, txh, cul)
+        return self._dequant_block(quant, scan, eob, plane, txw, txh, cw, ch, tx_type)
+
+    def _coeffs_native(self, dec, plane, x, y, txw, txh, cw, ch, tx_class,
+                       scan, n_coeff, tctx, q, ptype):
+        """C++ fast path for the eob/levels/signs reads (native/msac.cc
+        avt_spec_coeffs). Returns (quant, eob, cul) or None to fall back."""
+        from ... import native as _native
+
+        lib = _native.load()
+        if lib is None or not hasattr(lib, "avt_spec_coeffs"):
+            return None
+        import ctypes as C
+
+        cdf = self.cdf
+        size_key = n_coeff
+        eob_cdf = cdf.eob_pt[size_key][q][ptype][0 if tx_class == TX_CLASS_2D else 1]
+        nsym = {16: 5, 32: 6, 64: 7, 128: 8, 256: 9, 512: 10, 1024: 11}[size_key]
+        eob_extra = cdf.eob_extra[q][tctx][ptype]
+        base_eob = cdf.coeff_base_eob[q][tctx][ptype]
+        base = cdf.coeff_base[q][tctx][ptype]
+        br = cdf.coeff_br[q][min(tctx, 3)][ptype]
+        sctx = self._dc_sign_ctx(plane, x, y, txw, txh)
+        dc_sign = cdf.dc_sign[q][ptype][sctx]
+        for arr in (eob_cdf, eob_extra, base_eob, base, br, dc_sign):
+            if not arr.flags["C_CONTIGUOUS"] or arr.dtype != np.uint16:
+                return None
+        scan = np.ascontiguousarray(scan, dtype=np.int32)
+        data = np.frombuffer(dec.data, dtype=np.uint8) if dec.data else np.zeros(1, np.uint8)
+        state = np.array([dec.rng, dec.dif, dec.bitpos], dtype=np.int64)
+        quant = np.zeros(n_coeff, dtype=np.int64)
+        out = np.zeros(2, dtype=np.int32)
+        u16p = lambda a: a.ctypes.data_as(C.POINTER(C.c_uint16))  # noqa: E731
+        c_class = 0 if tx_class == TX_CLASS_2D else (1 if tx_class == TX_CLASS_VERT else 2)
+        eob = lib.avt_spec_coeffs(
+            data.ctypes.data_as(C.POINTER(C.c_uint8)), dec.nbits,
+            state.ctypes.data_as(C.POINTER(C.c_int64)), 1 if self.adapt else 0,
+            u16p(eob_cdf), nsym,
+            u16p(eob_extra), eob_extra.shape[1],
+            u16p(base_eob), base_eob.shape[1],
+            u16p(base), base.shape[1],
+            u16p(br), br.shape[1],
+            u16p(dc_sign),
+            scan.ctypes.data_as(C.POINTER(C.c_int32)), n_coeff, cw, ch,
+            cw.bit_length() - 1, txw, txh, c_class,
+            quant.ctypes.data_as(C.POINTER(C.c_int64)),
+            out.ctypes.data_as(C.POINTER(C.c_int32)),
+        )
+        if eob < 0:
+            raise AvifError(Result.BMFF_PARSE_FAILED, "golomb overflow")
+        dec.rng = int(state[0])
+        dec.dif = int(state[1])
+        dec.bitpos = int(state[2])
+        return quant, int(eob), int(out[0])
+
+    def _dequant_block(self, quant, scan, eob, plane, txw, txh, cw, ch, tx_type):
         # ---- dequant (§7.12.3; lossless: flat 4)
+        bwl = cw.bit_length() - 1
         dq = np.zeros((ch, cw), dtype=np.int64)
         qd = self.hdr.quant
         depth = self.bd

@@ -502,3 +502,232 @@ long avt_selftest_roundtrip(const int32_t* symbols, long count, int nsymbs,
 }
 
 }  // extern "C"
+
+// ===================================================================
+// Spec-AV1 coefficient reader fast path (codec/av1/decode.py _coeffs,
+// from the eob_pt symbol through signs/golomb tails). Bit-identical to
+// the Python reference: the msac state [rng, dif, bitpos] hands off
+// both ways and CDF rows adapt in place.
+
+namespace {
+
+struct SpecDec {
+  const uint8_t* data;
+  int64_t nbits;
+  int64_t bitpos;
+  uint32_t rng;
+  uint32_t dif;
+};
+
+inline int spec_next_bit(SpecDec* s) {
+  int64_t p = s->bitpos++;
+  if (p >= s->nbits) return 0;
+  return (s->data[p >> 3] >> (7 - (p & 7))) & 1;
+}
+
+inline void spec_renorm(SpecDec* s) {
+  int d = 16 - bit_length(s->rng);
+  while (d-- > 0) {
+    s->rng <<= 1;
+    s->dif = ((s->dif << 1) | spec_next_bit(s)) & 0x7FFFFFFF;
+  }
+}
+
+inline int spec_symbol(SpecDec* s, uint16_t* icdf, int n, int adapt) {
+  uint32_t r8 = s->rng >> 8;
+  uint32_t dif = s->dif;
+  uint32_t v_prev = s->rng;
+  int sym = 0;
+  uint32_t v_cur;
+  for (;;) {
+    v_cur = ((r8 * (uint32_t(icdf[sym]) >> EC_PROB_SHIFT)) >> 1) +
+            EC_MIN_PROB * uint32_t(n - 1 - sym);
+    if (dif < s->rng - v_cur) break;
+    v_prev = v_cur;
+    ++sym;
+  }
+  s->dif = dif - (s->rng - v_prev);
+  s->rng = v_prev - v_cur;
+  spec_renorm(s);
+  if (adapt) update_cdf(icdf, sym, n);
+  return sym;
+}
+
+inline int spec_bit(SpecDec* s) {
+  uint32_t half = ((s->rng >> 8) << 7) + EC_MIN_PROB;
+  int bit;
+  if (s->dif >= s->rng - half) {
+    s->dif -= s->rng - half;
+    s->rng = half;
+    bit = 1;
+  } else {
+    s->rng -= half;
+    bit = 0;
+  }
+  spec_renorm(s);
+  return bit;
+}
+
+inline int64_t spec_golomb(SpecDec* s) {
+  int length = 1;
+  while (spec_bit(s) == 0) {
+    if (++length > 32) return -1;
+  }
+  int64_t x = 1;
+  for (int i = 0; i < length - 1; ++i) x = (x << 1) | spec_bit(s);
+  return x - 1;
+}
+
+constexpr int SPEC_TX_2D = 0, SPEC_TX_VERT = 1, SPEC_TX_HORZ = 2;
+
+inline int spec_base_ctx(const int32_t* lev, int lstride, int row, int col,
+                         int pos, int tx_class, int txw, int txh) {
+  auto L = [&](int r, int c) { return lev[r * lstride + c]; };
+  auto m3 = [](int v) { return v < 3 ? v : 3; };
+  int mag = m3(L(row, col + 1)) + m3(L(row + 1, col));
+  if (tx_class == SPEC_TX_2D) {
+    mag += m3(L(row + 1, col + 1)) + m3(L(row, col + 2)) + m3(L(row + 2, col));
+    int ctx = (mag + 1) >> 1;
+    if (ctx > 4) ctx = 4;
+    if (pos == 0) return 0;
+    if (txw > txh && col < 2) return 16 + ctx;
+    if (txh > txw && row < 2) return 11 + ctx;
+    if (row + col < 2) return ctx + 1;
+    if (row + col < 4) return 5 + ctx + 1;
+    return 21 + ctx;
+  }
+  if (tx_class == SPEC_TX_VERT) {
+    mag += m3(L(row + 2, col)) + m3(L(row + 3, col)) + m3(L(row + 4, col));
+  } else {
+    mag += m3(L(row, col + 2)) + m3(L(row, col + 3)) + m3(L(row, col + 4));
+  }
+  int ctx = (mag + 1) >> 1;
+  if (ctx > 4) ctx = 4;
+  int d = tx_class == SPEC_TX_VERT ? row : col;
+  if (d == 0) return 26 + ctx;
+  if (d == 1) return 31 + ctx;
+  return 36 + ctx;
+}
+
+inline int spec_br_ctx(const int32_t* lev, int lstride, int row, int col,
+                       int pos, int tx_class) {
+  auto L = [&](int r, int c) { return lev[r * lstride + c]; };
+  int mag = L(row, col + 1) + L(row + 1, col);
+  if (tx_class == SPEC_TX_2D) {
+    mag += L(row + 1, col + 1);
+    mag = (mag + 1) >> 1;
+    if (mag > 6) mag = 6;
+    if (pos == 0) return mag;
+    return mag + ((row < 2 && col < 2) ? 7 : 14);
+  }
+  if (tx_class == SPEC_TX_VERT) {
+    mag += L(row + 2, col);
+    mag = (mag + 1) >> 1;
+    if (mag > 6) mag = 6;
+    if (pos == 0) return mag;
+    return mag + (row == 0 ? 7 : 14);
+  }
+  mag += L(row, col + 2);
+  mag = (mag + 1) >> 1;
+  if (mag > 6) mag = 6;
+  if (pos == 0) return mag;
+  return mag + (col == 0 ? 7 : 14);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns eob (>0), or <0 on malformed stream (golomb overflow).
+// state: int64[3] = {rng, dif, bitpos}, updated in place.
+// out_flags: int32[2] = {cul | dc-sign bits, dc_sign_neg}.
+long avt_spec_coeffs(
+    const uint8_t* data, long nbits, int64_t* state, int adapt,
+    uint16_t* eob_cdf, int eob_nsym,
+    uint16_t* eob_extra, long eob_extra_stride,
+    uint16_t* base_eob, long base_eob_stride,
+    uint16_t* base, long base_stride,
+    uint16_t* br, long br_stride,
+    uint16_t* dc_sign_row,
+    const int32_t* scan, int n_coeff, int cw, int ch, int bwl,
+    int txw, int txh, int tx_class,
+    int64_t* quant, int32_t* out_flags) {
+  SpecDec sd;
+  sd.data = data;
+  sd.nbits = nbits;
+  sd.rng = uint32_t(state[0]);
+  sd.dif = uint32_t(state[1]);
+  sd.bitpos = state[2];
+
+  int eob_pt = spec_symbol(&sd, eob_cdf, eob_nsym, adapt) + 1;
+  int eob = eob_pt < 3 ? eob_pt : (1 << (eob_pt - 2)) + 1;
+  if (eob_pt >= 3) {
+    int eshift = eob_pt - 3;
+    int extra = spec_symbol(&sd, eob_extra + (eob_pt - 3) * eob_extra_stride,
+                            2, adapt);
+    if (extra) eob += 1 << eshift;
+    for (int i = 1; i < eob_pt - 2; ++i) {
+      if (spec_bit(&sd)) eob += 1 << (eshift - i);
+    }
+  }
+  if (eob > n_coeff) eob = n_coeff;
+
+  const int lstride = cw + 4;
+  std::vector<int32_t> lev(size_t(ch + 4) * lstride, 0);
+  for (int si = eob - 1; si >= 0; --si) {
+    int pos = scan[si];
+    int row = pos >> bwl, col = pos & (cw - 1);
+    int64_t level;
+    if (si == eob - 1) {
+      int ctx_e = si == 0 ? 0 : (si <= n_coeff / 8 ? 1 : (si <= n_coeff / 4 ? 2 : 3));
+      level = spec_symbol(&sd, base_eob + ctx_e * base_eob_stride, 3, adapt) + 1;
+    } else {
+      int ctx_b = spec_base_ctx(lev.data(), lstride, row, col, pos, tx_class,
+                                txw, txh);
+      level = spec_symbol(&sd, base + ctx_b * base_stride, 4, adapt);
+    }
+    if (level > 2) {  // NUM_BASE_LEVELS
+      int br_ctx = spec_br_ctx(lev.data(), lstride, row, col, pos, tx_class);
+      for (int i = 0; i < 4; ++i) {
+        int k = spec_symbol(&sd, br + br_ctx * br_stride, 4, adapt);
+        level += k;
+        if (k < 3) break;
+      }
+    }
+    lev[row * lstride + col] = level < 127 ? int32_t(level) : 127;
+    quant[pos] = level;
+  }
+
+  int dc_sign_neg = 0;
+  int64_t culsum = 0;
+  for (int si = 0; si < eob; ++si) {
+    int pos = scan[si];
+    if (quant[pos] != 0) {
+      int sign;
+      if (si == 0) {
+        sign = spec_symbol(&sd, dc_sign_row, 2, adapt);
+        dc_sign_neg = sign;
+      } else {
+        sign = spec_bit(&sd);
+      }
+      if (quant[pos] > 14) {  // NUM_BASE_LEVELS + COEFF_BASE_RANGE
+        int64_t g = spec_golomb(&sd);
+        if (g < 0) return -2;
+        quant[pos] += g;
+      }
+      culsum += quant[pos];
+      if (sign) quant[pos] = -quant[pos];
+    }
+  }
+  int32_t cul = culsum < 63 ? int32_t(culsum) : 63;  // COEFF_CONTEXT_MASK
+  if (quant[0] != 0) cul |= dc_sign_neg ? 64 : 128;
+  out_flags[0] = cul;
+  out_flags[1] = dc_sign_neg;
+
+  state[0] = sd.rng;
+  state[1] = sd.dif;
+  state[2] = sd.bitpos;
+  return eob;
+}
+
+}  // extern "C"
