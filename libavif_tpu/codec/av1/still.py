@@ -26,12 +26,17 @@ def _parse_tile_group(data: bytes, hdr, start_offset_bits: int = 0):
     pos = 0
     tg_start, tg_end = 0, n_tiles - 1
     if n_tiles > 1:
+        if not data:
+            raise AvifError(Result.BMFF_PARSE_FAILED, "empty tile group payload")
         b0 = data[0]
         present = b0 >> 7
         if present:
-            import math
+            # §5.11.1: tg_start/tg_end use TileColsLog2 + TileRowsLog2 bits
+            # (matches headers.py context_update_tile_id), not bit_length of
+            # the tile count — they differ for non-power-of-2 layouts.
+            from .headers import _tile_log2
 
-            bits = max(1, (n_tiles - 1).bit_length())
+            bits = _tile_log2(1, hdr.tile.cols) + _tile_log2(1, hdr.tile.rows)
             # bit-exact read of tg_start/tg_end then byte align
             from ...utils.streams import ROStream
 

@@ -217,7 +217,12 @@ class MsacDecoder:
         while self.decode_bit() == 0:
             length += 1
             if length > 32:
-                raise ValueError("golomb overflow")
+                # Match the native path's failure contract (decode.py turns
+                # the C++ sentinel into AvifError): both backends must fail
+                # identically on hostile streams.
+                from ...constants import AvifError, Result
+
+                raise AvifError(Result.BMFF_PARSE_FAILED, "golomb overflow")
         x = 1
         for _ in range(length - 1):
             x = (x << 1) | self.decode_bit()
