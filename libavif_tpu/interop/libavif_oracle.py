@@ -33,7 +33,9 @@ __all__ = [
     "available",
     "versions",
     "decode",
+    "decode_frames",
     "encode",
+    "encode_animation",
     "OracleImage",
 ]
 
@@ -124,6 +126,34 @@ class _DecoderPrefix(C.Structure):
     ]
 
 
+class _ImageTiming(C.Structure):
+    _fields_ = [
+        ("timescale", C.c_uint64),
+        ("pts", C.c_double),
+        ("ptsInTimescales", C.c_uint64),
+        ("duration", C.c_double),
+        ("durationInTimescales", C.c_uint64),
+    ]
+
+
+class _Decoder(C.Structure):
+    """avifDecoder through `alphaPresent` (avif.h:1253-1352): the settable
+    prefix plus the output fields needed to walk animation frames."""
+
+    _fields_ = _DecoderPrefix._fields_ + [
+        ("image", C.POINTER(_Image)),
+        ("imageIndex", C.c_int),
+        ("imageCount", C.c_int),
+        ("progressiveState", C.c_int),
+        ("imageTiming", _ImageTiming),
+        ("timescale", C.c_uint64),
+        ("duration", C.c_double),
+        ("durationInTimescales", C.c_uint64),
+        ("repetitionCount", C.c_int),
+        ("alphaPresent", C.c_int),
+    ]
+
+
 class _EncoderPrefix(C.Structure):
     """Settable leading fields of avifEncoder (avif.h:1511-1610), through
     qualityGainMap (the 1.2.0 marker)."""
@@ -194,6 +224,22 @@ def _load():
     lib.avifResultToString.restype = C.c_char_p
     lib.avifResultToString.argtypes = [C.c_int]
     lib.avifCodecVersions.argtypes = [C.c_char_p]
+    lib.avifDecoderSetIOMemory.restype = C.c_int
+    lib.avifDecoderSetIOMemory.argtypes = [C.c_void_p, C.c_char_p, C.c_size_t]
+    lib.avifDecoderParse.restype = C.c_int
+    lib.avifDecoderParse.argtypes = [C.c_void_p]
+    lib.avifDecoderNextImage.restype = C.c_int
+    lib.avifDecoderNextImage.argtypes = [C.c_void_p]
+    lib.avifEncoderAddImage.restype = C.c_int
+    lib.avifEncoderAddImage.argtypes = [
+        C.POINTER(_EncoderPrefix), C.POINTER(_Image), C.c_uint64, C.c_uint32,
+    ]
+    lib.avifEncoderFinish.restype = C.c_int
+    lib.avifEncoderFinish.argtypes = [C.POINTER(_EncoderPrefix), C.POINTER(_RWData)]
+    lib.avifEncoderSetCodecSpecificOption.restype = C.c_int
+    lib.avifEncoderSetCodecSpecificOption.argtypes = [
+        C.POINTER(_EncoderPrefix), C.c_char_p, C.c_char_p,
+    ]
     _lib = lib
     return lib
 
@@ -255,6 +301,40 @@ def _rwdata_to_bytes(d: _RWData) -> bytes:
     return bytes(C.cast(d.data, C.POINTER(C.c_uint8 * d.size)).contents)
 
 
+def _image_to_oracle(im: _Image) -> OracleImage:
+    fmt = _PIXEL_FORMAT_NAMES.get(im.yuvFormat, "yuv444")
+    sx = 1 if fmt in ("yuv420", "yuv422") else 0
+    sy = 1 if fmt == "yuv420" else 0
+    cw = (im.width + sx) >> sx
+    ch = (im.height + sy) >> sy
+    planes = []
+    y = _plane_to_np(im.yuvPlanes[0], im.yuvRowBytes[0], im.width, im.height, im.depth)
+    if y is not None:
+        planes.append(y)
+    if fmt != "yuv400":
+        for i in (1, 2):
+            p = _plane_to_np(im.yuvPlanes[i], im.yuvRowBytes[i], cw, ch, im.depth)
+            if p is not None:
+                planes.append(p)
+    alpha = _plane_to_np(im.alphaPlane, im.alphaRowBytes, im.width, im.height, im.depth)
+    return OracleImage(
+        width=im.width,
+        height=im.height,
+        depth=im.depth,
+        yuv_format=fmt,
+        full_range=bool(im.yuvRange),
+        planes=planes,
+        alpha=alpha,
+        color_primaries=im.colorPrimaries,
+        transfer_characteristics=im.transferCharacteristics,
+        matrix_coefficients=im.matrixCoefficients,
+        icc=_rwdata_to_bytes(im.icc),
+        exif=_rwdata_to_bytes(im.exif),
+        xmp=_rwdata_to_bytes(im.xmp),
+        clli=(im.clli.maxCLL, im.clli.maxPALL),
+    )
+
+
 def decode(data: bytes, codec: str = "auto", max_threads: int = 0) -> OracleImage:
     """Decode an AVIF file with the reference stack; returns native YUV."""
     lib = _load()
@@ -270,40 +350,43 @@ def decode(data: bytes, codec: str = "auto", max_threads: int = 0) -> OracleImag
         prefix.maxThreads = max_threads or os.cpu_count() or 1
         prefix.strictFlags = 0  # permissive: we want pixels, not policy
         _check(lib, lib.avifDecoderReadMemory(dec, img, data, len(data)), "decode")
-        im = img.contents
-        fmt = _PIXEL_FORMAT_NAMES.get(im.yuvFormat, "yuv444")
-        sx = 1 if fmt in ("yuv420", "yuv422") else 0
-        sy = 1 if fmt == "yuv420" else 0
-        cw = (im.width + sx) >> sx
-        ch = (im.height + sy) >> sy
-        planes = []
-        y = _plane_to_np(im.yuvPlanes[0], im.yuvRowBytes[0], im.width, im.height, im.depth)
-        if y is not None:
-            planes.append(y)
-        if fmt != "yuv400":
-            for i in (1, 2):
-                p = _plane_to_np(im.yuvPlanes[i], im.yuvRowBytes[i], cw, ch, im.depth)
-                if p is not None:
-                    planes.append(p)
-        alpha = _plane_to_np(im.alphaPlane, im.alphaRowBytes, im.width, im.height, im.depth)
-        return OracleImage(
-            width=im.width,
-            height=im.height,
-            depth=im.depth,
-            yuv_format=fmt,
-            full_range=bool(im.yuvRange),
-            planes=planes,
-            alpha=alpha,
-            color_primaries=im.colorPrimaries,
-            transfer_characteristics=im.transferCharacteristics,
-            matrix_coefficients=im.matrixCoefficients,
-            icc=_rwdata_to_bytes(im.icc),
-            exif=_rwdata_to_bytes(im.exif),
-            xmp=_rwdata_to_bytes(im.xmp),
-            clli=(im.clli.maxCLL, im.clli.maxPALL),
-        )
+        return _image_to_oracle(img.contents)
     finally:
         lib.avifImageDestroy(img)
+        lib.avifDecoderDestroy(dec)
+
+
+def decode_frames(
+    data: bytes, codec: str = "auto", max_threads: int = 0, progressive: bool = False
+) -> list:
+    """Decode every frame of an (animated or progressive) AVIF with the
+    reference stack (dav1d), mirroring read.c:6972-7062's NextImage walk.
+    Returns a list of OracleImage."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"libavif oracle unavailable: {_lib_err}")
+    dec = lib.avifDecoderCreate()
+    if not dec:
+        raise MemoryError("avifDecoderCreate")
+    blob = C.create_string_buffer(data, len(data))  # keep alive during decode
+    try:
+        d = C.cast(dec, C.POINTER(_Decoder)).contents
+        d.codecChoice = _CODEC_CHOICES[codec]
+        d.maxThreads = max_threads or os.cpu_count() or 1
+        d.strictFlags = 0
+        if progressive:
+            d.allowProgressive = 1
+        _check(lib, lib.avifDecoderSetIOMemory(dec, blob, len(data)), "set io")
+        _check(lib, lib.avifDecoderParse(dec), "parse")
+        frames = []
+        while True:
+            r = lib.avifDecoderNextImage(dec)
+            if r == 16:  # AVIF_RESULT_NO_IMAGES_REMAINING
+                break
+            _check(lib, r, "next image")
+            frames.append(_image_to_oracle(d.image.contents))
+        return frames
+    finally:
         lib.avifDecoderDestroy(dec)
 
 
@@ -340,28 +423,61 @@ def encode(
     """Encode native YUV planes to AVIF bytes through libaom.
 
     quality follows avif.h semantics: 100 == lossless (quantizer 0)."""
+    return _encode_impl(
+        [planes], depth=depth, yuv_format=yuv_format, full_range=full_range,
+        quality=quality, quality_alpha=quality_alpha, speed=speed,
+        max_threads=max_threads, matrix_coefficients=matrix_coefficients,
+        color_primaries=color_primaries,
+        transfer_characteristics=transfer_characteristics,
+        alphas=[alpha], codec=codec, auto_tiling=auto_tiling,
+        single=True,
+    )
+
+
+def encode_animation(
+    frames,
+    *,
+    depth: int = 8,
+    yuv_format: str = "yuv420",
+    full_range: bool = True,
+    quality: int = 75,
+    speed: int = 6,
+    max_threads: int = 0,
+    codec: str = "auto",
+    keyframe_interval: int = 0,
+    timescale: int = 30,
+    durations=None,
+    codec_options: Optional[dict] = None,
+) -> bytes:
+    """Encode a YUV plane-list sequence as an animated AVIF through libaom
+    (write.c:2141 avifEncoderAddImage loop). `codec_options` passes aom
+    key/values (codec_aom.c:312-580), e.g. {"enable-obmc": "0"} — the lever
+    for building controlled inter-frame conformance streams."""
+    return _encode_impl(
+        frames, depth=depth, yuv_format=yuv_format, full_range=full_range,
+        quality=quality, quality_alpha=quality, speed=speed,
+        max_threads=max_threads, matrix_coefficients=2, color_primaries=2,
+        transfer_characteristics=2, alphas=None, codec=codec,
+        auto_tiling=False, single=False, keyframe_interval=keyframe_interval,
+        timescale=timescale, durations=durations, codec_options=codec_options,
+    )
+
+
+def _encode_impl(
+    frames, *, depth, yuv_format, full_range, quality, quality_alpha, speed,
+    max_threads, matrix_coefficients, color_primaries,
+    transfer_characteristics, alphas, codec, auto_tiling, single,
+    keyframe_interval=0, timescale=30, durations=None, codec_options=None,
+):
     lib = _load()
     if lib is None:
         raise RuntimeError(f"libavif oracle unavailable: {_lib_err}")
-    y = np.asarray(planes[0])
-    h, w = y.shape
-    img = lib.avifImageCreate(w, h, depth, _PIXEL_FORMATS[yuv_format])
-    if not img:
-        raise MemoryError("avifImageCreate")
+    y0 = np.asarray(frames[0][0])
+    h, w = y0.shape
     enc = lib.avifEncoderCreate()
     out = _RWData()
+    images = []
     try:
-        im = img.contents
-        im.yuvRange = 1 if full_range else 0
-        im.colorPrimaries = color_primaries
-        im.transferCharacteristics = transfer_characteristics
-        im.matrixCoefficients = matrix_coefficients
-        _check(lib, lib.avifImageAllocatePlanes(img, 1 | (2 if alpha is not None else 0)), "alloc")
-        n_chroma = 0 if yuv_format == "yuv400" else 2
-        for i in range(1 + n_chroma):
-            _np_to_plane(np.asarray(planes[i]), im.yuvPlanes[i], im.yuvRowBytes[i], depth)
-        if alpha is not None:
-            _np_to_plane(np.asarray(alpha), im.alphaPlane, im.alphaRowBytes, depth)
         e = enc.contents
         e.codecChoice = _CODEC_CHOICES[codec]
         e.maxThreads = max_threads or os.cpu_count() or 1
@@ -369,9 +485,45 @@ def encode(
         e.quality = quality
         e.qualityAlpha = quality_alpha if quality_alpha >= 0 else quality
         e.autoTiling = 1 if auto_tiling else 0
-        _check(lib, lib.avifEncoderWrite(enc, img, C.byref(out)), "encode")
+        if not single:
+            e.timescale = timescale
+            e.keyframeInterval = keyframe_interval
+        for key, val in (codec_options or {}).items():
+            _check(
+                lib,
+                lib.avifEncoderSetCodecSpecificOption(
+                    enc, key.encode(), str(val).encode()
+                ),
+                f"option {key}",
+            )
+        n_chroma = 0 if yuv_format == "yuv400" else 2
+        for fi, planes in enumerate(frames):
+            img = lib.avifImageCreate(w, h, depth, _PIXEL_FORMATS[yuv_format])
+            if not img:
+                raise MemoryError("avifImageCreate")
+            images.append(img)
+            im = img.contents
+            im.yuvRange = 1 if full_range else 0
+            im.colorPrimaries = color_primaries
+            im.transferCharacteristics = transfer_characteristics
+            im.matrixCoefficients = matrix_coefficients
+            alpha = alphas[fi] if alphas else None
+            _check(
+                lib,
+                lib.avifImageAllocatePlanes(img, 1 | (2 if alpha is not None else 0)),
+                "alloc",
+            )
+            for i in range(1 + n_chroma):
+                _np_to_plane(np.asarray(planes[i]), im.yuvPlanes[i], im.yuvRowBytes[i], depth)
+            if alpha is not None:
+                _np_to_plane(np.asarray(alpha), im.alphaPlane, im.alphaRowBytes, depth)
+            dur = (durations[fi] if durations else 1) if not single else 0
+            flags = 2 if single else 0  # AVIF_ADD_IMAGE_FLAG_SINGLE
+            _check(lib, lib.avifEncoderAddImage(enc, img, dur, flags), "add image")
+        _check(lib, lib.avifEncoderFinish(enc, C.byref(out)), "encode finish")
         return bytes(C.cast(out.data, C.POINTER(C.c_uint8 * out.size)).contents)
     finally:
         lib.avifRWDataFree(C.byref(out))
         lib.avifEncoderDestroy(enc)
-        lib.avifImageDestroy(img)
+        for img in images:
+            lib.avifImageDestroy(img)
