@@ -231,6 +231,190 @@ def extract_quant(U):
     return out
 
 
+# --------------------------------------------------------------- phase 2
+# Inter-prediction constants (reference-frame / MV / compound / motion-mode
+# CDFs, subpel + warp filters). Primary source: dav1d's CdfModeContext blob
+# in the bundled libavif (one contiguous struct; member offsets below were
+# mapped by value-walking the blob and verified against libaom's independent
+# copies of the same spec constants). dav1d stores bool rows as [icdf, count]
+# (stride 2) and n-symbol rows padded to 4/8/16 u16.
+
+# aom BLOCK_SIZES_ALL index -> dav1d descending-size index, for per-block
+# tables (motion_mode/obmc) carved from the dav1d blob.
+# dav1d order: 128x128,128x64,64x128,64x64,64x32,64x16,32x64,32x32,32x16,
+#              32x8,16x64,16x32,16x16,16x8,16x4,8x32,8x16,8x8,8x4,4x16,4x8,4x4
+# aom order:   4x4,4x8,8x4,8x8,8x16,16x8,16x16,16x32,32x16,32x32,32x64,64x32,
+#              64x64,64x128,128x64,128x128,4x16,16x4,8x32,32x8,16x64,64x16
+_AOM_TO_DAV1D_BS = [21, 20, 18, 17, 16, 13, 12, 11, 8, 7, 6, 4, 3, 2, 1, 0,
+                    19, 14, 15, 9, 10, 5]
+
+
+def _bools(seq, n, off):
+    """n bool rows (stride 2) from a dav1d blob at u16 offset off -> probs."""
+    vals = [32768 - int(seq[off + 2 * i]) for i in range(n)]
+    return np.array(vals, dtype=np.uint16), off + 2 * n
+
+
+def extract_inter(A, Bd, tables):
+    anchor = find_fp(Bd, [8733, 0, 16138, 0, 17429, 0])
+    if len(anchor) != 1:
+        raise RuntimeError(f"dav1d newmv anchor hits={len(anchor)}")
+    N = anchor[0]
+    o = N
+    for name, n in (("newmv", 6), ("globalmv", 2), ("refmv", 6), ("drl", 3),
+                    ("intra_inter", 4), ("comp_inter", 5), ("comp_ref_type", 5),
+                    ("compound_idx", 6), ("comp_group_idx", 6),
+                    ("compound_type9", 9)):
+        tables[name], o = _bools(Bd, n, o)
+    # single_ref: dav1d ref[6 bits][3 ctx] -> aom [3 ctx][6 bits]
+    sr, o = _bools(Bd, 18, o)
+    tables["single_ref"] = sr.reshape(6, 3).T.copy()
+    cr, o = _bools(Bd, 9, o)
+    tables["comp_ref"] = cr.reshape(3, 3).T.copy()
+    cb, o = _bools(Bd, 6, o)
+    tables["comp_bwdref"] = cb.reshape(2, 3).T.copy()
+    cu, o = _bools(Bd, 9, o)
+    tables["uni_comp_ref"] = cu.reshape(3, 3).T.copy()
+    # interintra: dav1d keeps 7 slots (leading unused 16384s); spec wants
+    # [BLOCK_SIZE_GROUPS=4] = {16384, 26887, 27597, 30237}
+    ii, o = _bools(Bd, 7, o)
+    tables["interintra"] = ii[3:7].copy()
+    if list(tables["interintra"]) != [16384, 26887, 27597, 30237]:
+        raise RuntimeError(f"interintra defaults unexpected: {tables['interintra']}")
+    o += 6  # 3 zero pad rows
+    wii, o = _bools(Bd, 7, o)  # descending: 32x32..8x8
+    tables["wedge_interintra7"] = wii[::-1].copy()  # ascending 8x8..32x32
+    # obmc: dav1d [22] descending with 0 rows for unused sizes
+    ob, o = _bools(Bd, 22, o)
+    obmc = np.full(22, 16384, dtype=np.uint16)
+    for ai, di in enumerate(_AOM_TO_DAV1D_BS):
+        if ob[di] != 32768:  # raw 0 -> "prob" 32768 == unused
+            obmc[ai] = ob[di]
+    tables["obmc"] = obmc
+    # motion_mode [22][CDF3] @ N-94 (rows padded to 4), dav1d descending
+    mm = Bd[N - 94 : N - 94 + 88].reshape(22, 4)
+    motion = np.zeros((22, 4), dtype=np.uint16)
+    uni3 = np.array([21845, 10923, 0, 0], dtype=np.uint16)
+    for ai, di in enumerate(_AOM_TO_DAV1D_BS):
+        row = mm[di]
+        motion[ai] = uni3 if row[0] == 0 else row.astype(np.uint16)
+    tables["motion_mode"] = motion
+    # interintra_mode [4][CDF4] @ N-110
+    iim = Bd[N - 110 : N - 110 + 16].reshape(4, 4)
+    out = np.zeros((4, 5), dtype=np.uint16)
+    out[:, :3] = iim[:, :3]
+    tables["interintra_mode"] = out
+    # switchable_interp [16][CDF3] @ N-174 (dav1d filter[2][8], rows pad 4)
+    si = Bd[N - 174 : N - 174 + 64].reshape(16, 4).astype(np.uint16)
+    if si[0, 0] != 833 or si[0, 1] != 48:
+        raise RuntimeError("switchable_interp anchor mismatch")
+    si[:, 2:] = 0
+    tables["switchable_interp"] = si
+    # skip_mode sanity (already extracted): dav1d copy at N-6
+    if int(Bd[N - 6]) != 147:
+        raise RuntimeError("skip_mode neighbour mismatch")
+    # segment_pred: no non-trivial default located in either binary; the
+    # spec default is the uninformative prior.
+    tables["seg_pred"] = np.full(3, 16384, dtype=np.uint16)
+
+    # ---- aom-side multi-symbol tables
+    # wedge_idx [9][CDF16]: first real row fingerprint, 3 uniform rows before
+    hits = find_fp(A, [30330, 28328, 26169, 24105, 21763, 19894, 17017])
+    if len(hits) != 1:
+        raise RuntimeError(f"wedge_idx hits={len(hits)}")
+    tables["wedge_idx"] = A[hits[0] - 3 * 17 : hits[0] + 6 * 17].reshape(9, 17).astype(np.uint16)
+    # inter_ext_tx [4 sets][4 size-cats][17]; set1 size0 row fingerprint
+    hits = find_fp(A, [28310, 27208, 25073, 23059, 19438, 17979, 15231])
+    if len(hits) != 1:
+        raise RuntimeError(f"inter_ext_tx hits={len(hits)}")
+    S = hits[0] - 68  # set0 (zeros) start
+    iet = A[S : S + 4 * 4 * 17].reshape(4, 4, 17).astype(np.uint16)
+    if iet[2, 2, 0] != 31998:  # set2 real row (12-symbol) at size-cat 2
+        raise RuntimeError("inter_ext_tx set2 layout mismatch")
+    tables["inter_ext_tx"] = iet
+    # inter_compound_mode [8][CDF8]
+    tables["inter_compound_mode"] = extract_table(
+        A, "inter_compound_mode", [(8, 8)], 9,
+        [25008, 18945, 16960, 15127, 13612, 12102, 5877, 0])
+    # txfm_partition [21]: values verified in both binaries (aom @~47944,
+    # dav1d txpart); stored as probs
+    txp = [28581, 23846, 20847, 24315, 18196, 12133, 18791, 10887, 11005,
+           27179, 20004, 11281, 26549, 19308, 14224, 28015, 21546, 14400,
+           28165, 22401, 16088]
+    for v in txp[:6]:
+        if not find_fp(A, [32768 - v, 0, 0]):
+            raise RuntimeError(f"txfm_partition value {v} not in aom rodata")
+    tables["txfm_partition"] = np.array(txp, dtype=np.uint16)
+    # compound_type [22]: 9 real rows at the wedge-capable positions
+    ct = np.full(22, 16384, dtype=np.uint16)
+    ct[3:10] = tables["compound_type9"][:7]
+    ct[18:20] = tables["compound_type9"][7:9]
+    tables["compound_type"] = ct
+    wi = np.full(22, 16384, dtype=np.uint16)
+    wi[3:10] = tables["wedge_interintra7"]
+    tables["wedge_interintra"] = wi
+
+    # ---- subpel filters [6][16][8] int16: REGULAR8, SMOOTH8, SHARP8,
+    # BILINEAR, REGULAR4, SMOOTH4 — classified by their half-pel rows
+    halves = {
+        "regular8": [0, 2, -14, 76, 76, -14, 2, 0],
+        "smooth8": [0, -2, 14, 52, 52, 14, -2, 0],
+        "sharp8": [-4, 12, -24, 80, 80, -24, 12, -4],
+        "bilinear": [0, 0, 0, 64, 64, 0, 0, 0],
+        "regular4": [0, 0, -12, 76, 76, -12, 0, 0],
+        "smooth4": [0, 0, 12, 52, 52, 12, 0, 0],
+    }
+    import struct as _st
+
+    s16 = A.astype("<u2").tobytes()
+
+    def i16_hits(vals):
+        pat = b"".join(_st.pack("<h", v) for v in vals)
+        i = s16.find(pat)
+        out = []
+        while i >= 0:
+            if i % 2 == 0:
+                out.append(i // 2)
+            i = s16.find(pat, i + 1)
+        return out
+
+    found = {}
+    for h in i16_hits([0, 0, 0, 128, 0, 0, 0, 0]):
+        tab = np.frombuffer(s16[h * 2 : (h + 128) * 2], dtype="<i2").reshape(16, 8)
+        if any(int(r.sum()) != 128 for r in tab):
+            continue
+        for nm, half in halves.items():
+            if nm not in found and tab[8].tolist() == half:
+                found[nm] = tab.copy()
+    missing = [nm for nm in halves if nm not in found]
+    if missing:
+        raise RuntimeError(f"subpel filters missing: {missing}")
+    tables["subpel_filters"] = np.stack(
+        [found[n] for n in ("regular8", "smooth8", "sharp8", "bilinear",
+                            "regular4", "smooth4")]
+    ).astype(np.int16)
+
+    # ---- warp filter [193][8] int16 (rows sum 128). Cross-checked against
+    # dav1d's independent copy, which stores the same constants as int8.
+    Bs8 = Bd.astype("<u2").tobytes()
+    warp = None
+    for h in i16_hits([0, 0, 127, 1, 0, 0, 0, 0]):
+        raw = np.frombuffer(s16[h * 2 : (h + 193 * 8) * 2], dtype="<i2")
+        if len(raw) < 193 * 8:
+            continue
+        tab = raw.reshape(193, 8)
+        if any(int(r.sum()) != 128 for r in tab):
+            continue
+        probe = _st.pack("8b", *tab[2].tolist())
+        if Bs8.find(probe) >= 0:
+            warp = tab.copy()
+            break
+    if warp is None:
+        raise RuntimeError("warp filter not found/cross-checked")
+    tables["warp_filter"] = warp.astype(np.int16)
+    print(f"{'inter tables':20s} {len(tables)} total keys after phase 2")
+
+
 def main():
     A = rodata(find_aom())
     B = rodata(find_bundled_avif())
@@ -322,6 +506,8 @@ def main():
     print("cross-copy validation OK")
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    extract_inter(A, Bd, tables)
+
     np.savez_compressed(OUT, **tables)
     print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes, {len(tables)} tables)")
 
