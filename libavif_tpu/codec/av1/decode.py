@@ -219,6 +219,13 @@ class FrameDecoder:
         self.current_qindex = hdr.quant.base_q_idx
         self.delta_lf = [0, 0, 0, 0]
         self.cdef_idx = np.full((hdr.mi_rows, hdr.mi_cols), -1, dtype=np.int16)
+        # frame-level entropy-context init (§7.20): defaults + the active
+        # coefficient q-ctx, unless a StreamDecoder loads an inherited set
+        # (primary_ref_frame) via `frame_cdf_init` after construction.
+        cdf0 = T.defaults().copy()
+        cdf0.select_qctx(self._q_ctx())
+        self.frame_cdf_init = cdf0
+        self.saved_tile_cdfs = {}  # tile idx -> post-decode CDF state
         if hdr.allow_intrabc:
             raise AvifError(Result.NOT_IMPLEMENTED, "intrabc")
 
@@ -236,6 +243,7 @@ class FrameDecoder:
         for idx, data in tile_payloads:
             tr, tc = divmod(idx, ti.cols)
             self._decode_tile(tr, tc, data)
+            self.saved_tile_cdfs[idx] = self.cdf
         from .loopfilter import loop_filter_frame
 
         loop_filter_frame(self)
@@ -258,8 +266,7 @@ class FrameDecoder:
             self.ctx = TileContexts(self.hdr.mi_rows, self.hdr.mi_cols, self.n_planes)
         else:
             self.ctx.reset_tile_lines()
-        self.cdf = T.defaults().copy()
-        self.qctx = self._q_ctx()
+        self.cdf = self.frame_cdf_init.copy()
         self.dec = MsacDecoder(data)
         self.adapt = not self.hdr.disable_cdf_update
         self.current_qindex = self.hdr.quant.base_q_idx
@@ -1270,7 +1277,6 @@ class FrameDecoder:
     def _coeffs(self, plane, x, y, txw, txh):
         dec = self.dec
         cdf = self.cdf
-        q = self.qctx
         ptype = 1 if plane else 0
         tctx = B.txs_ctx(txw, txh)
         cw = min(txw, 32)
@@ -1278,7 +1284,7 @@ class FrameDecoder:
         n_coeff = cw * ch
         skip_ctx = self._txb_skip_ctx(plane, x, y, txw, txh)
         all_zero = dec.decode_symbol(
-            cdf.txb_skip[q][tctx][skip_ctx], 2, adapt=self.adapt, what="coef"
+            cdf.txb_skip[tctx][skip_ctx], 2, adapt=self.adapt, what="coef"
         )
         if all_zero:
             self._set_coef_ctx(plane, x, y, txw, txh, 0)
@@ -1300,7 +1306,7 @@ class FrameDecoder:
         if hasattr(dec, "data"):
             res = self._coeffs_native(
                 dec, plane, x, y, txw, txh, cw, ch, tx_class, scan,
-                n_coeff, tctx, q, ptype,
+                n_coeff, tctx, ptype,
             )
             if res is not None:
                 quant, eob, cul = res
@@ -1310,14 +1316,14 @@ class FrameDecoder:
                 )
         # ---- eob
         size_key = n_coeff
-        eob_cdf = cdf.eob_pt[size_key][q][ptype][0 if tx_class == TX_CLASS_2D else 1]
+        eob_cdf = cdf.eob_pt[size_key][ptype][0 if tx_class == TX_CLASS_2D else 1]
         nsym = {16: 5, 32: 6, 64: 7, 128: 8, 256: 9, 512: 10, 1024: 11}[size_key]
         eob_pt = dec.decode_symbol(eob_cdf, nsym, adapt=self.adapt, what="coef") + 1
         eob = eob_pt if eob_pt < 3 else (1 << (eob_pt - 2)) + 1
         if eob_pt >= 3:
             eshift = eob_pt - 3
             extra = dec.decode_symbol(
-                cdf.eob_extra[q][tctx][ptype][eob_pt - 3], 2, adapt=self.adapt, what="coef"
+                cdf.eob_extra[tctx][ptype][eob_pt - 3], 2, adapt=self.adapt, what="coef"
             )
             if extra:
                 eob += 1 << eshift
@@ -1335,7 +1341,7 @@ class FrameDecoder:
                 ctx_e = self._eob_base_ctx(si, n_coeff)
                 level = (
                     dec.decode_symbol(
-                        cdf.coeff_base_eob[q][tctx][ptype][ctx_e], 3, adapt=self.adapt, what="coef"
+                        cdf.coeff_base_eob[tctx][ptype][ctx_e], 3, adapt=self.adapt, what="coef"
                     )
                     + 1
                 )
@@ -1347,14 +1353,14 @@ class FrameDecoder:
                 # whole 32x64-after-gather stream class)
                 ctx_b = self._base_ctx(lev, row, col, pos, tx_class, txw, txh)
                 level = dec.decode_symbol(
-                    cdf.coeff_base[q][tctx][ptype][ctx_b], 4, adapt=self.adapt, what="coef"
+                    cdf.coeff_base[tctx][ptype][ctx_b], 4, adapt=self.adapt, what="coef"
                 )
             if level > NUM_BASE_LEVELS:
                 br_ctx = self._br_ctx(lev, row, col, pos, tx_class)
                 bq = min(tctx, 3)
                 for _ in range(4):
                     k = dec.decode_symbol(
-                        cdf.coeff_br[q][bq][ptype][br_ctx], 4, adapt=self.adapt, what="coef"
+                        cdf.coeff_br[bq][ptype][br_ctx], 4, adapt=self.adapt, what="coef"
                     )
                     level += k
                     if k < 3:
@@ -1370,7 +1376,7 @@ class FrameDecoder:
                 if si == 0:
                     sctx = self._dc_sign_ctx(plane, x, y, txw, txh)
                     sign = dec.decode_symbol(
-                        cdf.dc_sign[q][ptype][sctx], 2, adapt=self.adapt, what="coef"
+                        cdf.dc_sign[ptype][sctx], 2, adapt=self.adapt, what="coef"
                     )
                     dc_sign_neg = sign
                 else:
@@ -1388,7 +1394,7 @@ class FrameDecoder:
         return self._dequant_block(quant, scan, eob, plane, txw, txh, cw, ch, tx_type)
 
     def _coeffs_native(self, dec, plane, x, y, txw, txh, cw, ch, tx_class,
-                       scan, n_coeff, tctx, q, ptype):
+                       scan, n_coeff, tctx, ptype):
         """C++ fast path for the eob/levels/signs reads (native/msac.cc
         avt_spec_coeffs). Returns (quant, eob, cul) or None to fall back."""
         from ... import native as _native
@@ -1400,14 +1406,14 @@ class FrameDecoder:
 
         cdf = self.cdf
         size_key = n_coeff
-        eob_cdf = cdf.eob_pt[size_key][q][ptype][0 if tx_class == TX_CLASS_2D else 1]
+        eob_cdf = cdf.eob_pt[size_key][ptype][0 if tx_class == TX_CLASS_2D else 1]
         nsym = {16: 5, 32: 6, 64: 7, 128: 8, 256: 9, 512: 10, 1024: 11}[size_key]
-        eob_extra = cdf.eob_extra[q][tctx][ptype]
-        base_eob = cdf.coeff_base_eob[q][tctx][ptype]
-        base = cdf.coeff_base[q][tctx][ptype]
-        br = cdf.coeff_br[q][min(tctx, 3)][ptype]
+        eob_extra = cdf.eob_extra[tctx][ptype]
+        base_eob = cdf.coeff_base_eob[tctx][ptype]
+        base = cdf.coeff_base[tctx][ptype]
+        br = cdf.coeff_br[min(tctx, 3)][ptype]
         sctx = self._dc_sign_ctx(plane, x, y, txw, txh)
-        dc_sign = cdf.dc_sign[q][ptype][sctx]
+        dc_sign = cdf.dc_sign[ptype][sctx]
         for arr in (eob_cdf, eob_extra, base_eob, base, br, dc_sign):
             if not arr.flags["C_CONTIGUOUS"] or arr.dtype != np.uint16:
                 return None

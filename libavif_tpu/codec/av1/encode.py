@@ -628,8 +628,7 @@ def _encode_still(
     from .decode import TileContexts
 
     dec.ctx = TileContexts(hdr.mi_rows, hdr.mi_cols, dec.n_planes)
-    dec.cdf = T.defaults().copy()
-    dec.qctx = dec._q_ctx()
+    dec.cdf = dec.frame_cdf_init.copy()
     dec.adapt = True
     dec.dec = MirrorCoder(enc, planner)
     from . import blocks as B

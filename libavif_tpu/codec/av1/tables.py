@@ -37,11 +37,46 @@ def _cdf_rows(raw: np.ndarray, nsym: int) -> np.ndarray:
     return rows
 
 
+class NmvCdfs:
+    """One MV entropy context (§5.9.2 NMV; used for inter MVs and, as an
+    independent copy, intrabc DVs). Layout from the aom nmv_context struct
+    (joints, then two per-axis components)."""
+
+    def __init__(self, raw: np.ndarray):
+        v = raw.astype(np.uint16)
+        self.joints = v[:5].copy()                   # CDF4
+        self.classes = np.zeros((2, 12), dtype=np.uint16)
+        self.class0_fp = np.zeros((2, 2, 5), dtype=np.uint16)
+        self.fp = np.zeros((2, 5), dtype=np.uint16)
+        self.sign = np.zeros((2, 3), dtype=np.uint16)
+        self.class0_hp = np.zeros((2, 3), dtype=np.uint16)
+        self.hp = np.zeros((2, 3), dtype=np.uint16)
+        self.class0 = np.zeros((2, 3), dtype=np.uint16)
+        self.bits = np.zeros((2, 10, 3), dtype=np.uint16)
+        o = 5
+        for c in range(2):
+            self.classes[c] = v[o : o + 12]; o += 12
+            self.class0_fp[c][0] = v[o : o + 5]; o += 5
+            self.class0_fp[c][1] = v[o : o + 5]; o += 5
+            self.fp[c] = v[o : o + 5]; o += 5
+            self.sign[c] = v[o : o + 3]; o += 3
+            self.class0_hp[c] = v[o : o + 3]; o += 3
+            self.hp[c] = v[o : o + 3]; o += 3
+            self.class0[c] = v[o : o + 3]; o += 3
+            self.bits[c] = v[o : o + 30].reshape(10, 3); o += 30
+        assert int(self.joints[0]) == 28672 and int(self.sign[0][0]) == 16384
+
+
 class DefaultCdfs:
     """Structured access to the default CDF tables.
 
     Every accessor returns a fresh, mutable copy shaped
     [...contexts..., nsym+1] so a decoder/encoder can adapt in place.
+
+    Coefficient tables carry a leading [4 q-ctx] axis in the *defaults*;
+    `select_qctx()` collapses them to the single active set (init_coeff_cdfs
+    §7.20 semantics) — a frame that inherits CDFs from a reference keeps the
+    inherited coefficient state regardless of its own base_q_idx.
     """
 
     def __init__(self):
@@ -61,6 +96,7 @@ class DefaultCdfs:
                         (512, 10), (1024, 11)):
             t = _cdf_rows(g(f"eob_pt_{n}"), nsym).reshape(4, 2, 2, nsym + 1)
             self.eob_pt[n] = t
+        self.qctx_selected = False
 
         # ---- mode syntax
         self.kf_y_mode = _cdf_rows(g("kf_y_mode"), 13).reshape(5, 5, 14)
@@ -123,6 +159,63 @@ class DefaultCdfs:
             n = k + 2
             self.palette_y_color_index[n] = _cdf_rows(yci[k * 5 : (k + 1) * 5], n)
             self.palette_uv_color_index[n] = _cdf_rows(uci[k * 5 : (k + 1) * 5], n)
+
+        # ---- inter mode syntax (§5.11.10-5.11.33 defaults)
+        def bools(key, *shape):
+            raw = g(key).reshape(-1)
+            out = np.zeros(raw.shape + (3,), dtype=np.uint16)
+            out[:, 0] = raw
+            return out.reshape(*shape, 3) if shape else out
+
+        self.intra_inter = bools("intra_inter")            # [4][3]
+        self.seg_pred = bools("seg_pred")                  # [3][3]
+        self.newmv = bools("newmv")                        # [6][3]
+        self.zeromv = bools("globalmv")                    # [2][3]
+        self.refmv = bools("refmv")                        # [6][3]
+        self.drl = bools("drl")                            # [3][3]
+        self.single_ref = bools("single_ref", 3, 6)        # [ctx][bit][3]
+        self.comp_inter = bools("comp_inter")              # [5][3]
+        self.comp_ref_type = bools("comp_ref_type")        # [5][3]
+        self.uni_comp_ref = bools("uni_comp_ref", 3, 3)
+        self.comp_ref = bools("comp_ref", 3, 3)
+        self.comp_bwdref = bools("comp_bwdref", 3, 2)
+        self.compound_idx = bools("compound_idx")          # [6][3]
+        self.comp_group_idx = bools("comp_group_idx")      # [6][3]
+        self.compound_type = bools("compound_type")        # [22][3]
+        self.wedge_idx = _cdf_rows(g("wedge_idx"), 16)     # [9][17]
+        self.wedge_interintra = bools("wedge_interintra")  # [22][3]
+        self.interintra = bools("interintra")              # [4][3]
+        self.interintra_mode = _cdf_rows(g("interintra_mode"), 4)  # [4][5]
+        self.motion_mode = _cdf_rows(g("motion_mode"), 3)  # [22][4]
+        self.obmc = bools("obmc")                          # [22][3]
+        self.inter_compound_mode = _cdf_rows(g("inter_compound_mode"), 8)
+        # flat [16][4]; ctx = (dir&1)*8 + is_compound*4 + neighbor-match base
+        self.switchable_interp = _cdf_rows(g("switchable_interp"), 3)
+        self.txfm_partition = bools("txfm_partition")      # [21][3]
+        # inter ext-tx: stored [4 sets][4 size-cats][17]; sets 1..3 live
+        iet = g("inter_ext_tx")
+        self.inter_ext_tx = {
+            1: _cdf_rows(iet[1], 16),                      # ALL16
+            2: _cdf_rows(iet[2], 12),                      # DTT9+IDTX+1DDCT
+            3: _cdf_rows(iet[3], 2),                       # DCT+IDTX
+        }
+        self.nmv = NmvCdfs(g("dv_block"))                  # inter MVs
+        self.dv = NmvCdfs(g("dv_block"))                   # intrabc DVs
+
+    def select_qctx(self, q: int) -> None:
+        """Collapse the [4 q-ctx] axis of the coefficient tables to the
+        active context (init_coeff_cdfs). No-op re-selection is forbidden:
+        a loaded (inherited) CDF set keeps its coefficient state."""
+        if self.qctx_selected:
+            raise RuntimeError("coefficient q-ctx already selected")
+        self.txb_skip = self.txb_skip[q].copy()
+        self.eob_extra = self.eob_extra[q].copy()
+        self.dc_sign = self.dc_sign[q].copy()
+        self.coeff_base_eob = self.coeff_base_eob[q].copy()
+        self.coeff_base = self.coeff_base[q].copy()
+        self.coeff_br = self.coeff_br[q].copy()
+        self.eob_pt = {n: t[q].copy() for n, t in self.eob_pt.items()}
+        self.qctx_selected = True
 
     def copy(self) -> "DefaultCdfs":
         import copy as _c
