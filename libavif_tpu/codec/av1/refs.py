@@ -1,0 +1,116 @@
+"""Reference-frame state for spec-AV1 decoding (§7.20 reference frame
+update, §5.9.2 header dependencies).
+
+Plays the role dav1d's internal picture/ref pool plays behind the
+reference's codec seam (codec_dav1d.c:100-156): eight slots, each holding
+the decoded planes plus everything a later frame may inherit — entropy
+state (CDFs), segmentation map and feature data, loop-filter deltas,
+global-motion parameters, the frame's own order-hint view of *its*
+references (for motion-field projection), and the per-mi motion field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+# reference-frame enum (§6.10.24)
+NONE_FRAME = -1
+INTRA_FRAME = 0
+LAST_FRAME = 1
+LAST2_FRAME = 2
+LAST3_FRAME = 3
+GOLDEN_FRAME = 4
+BWDREF_FRAME = 5
+ALTREF2_FRAME = 6
+ALTREF_FRAME = 7
+TOTAL_REFS = 8
+
+# frame types (§6.8.2)
+KEY_FRAME = 0
+INTER_FRAME = 1
+INTRA_ONLY_FRAME = 2
+SWITCH_FRAME = 3
+
+# global-motion transform types (§6.8.17)
+IDENTITY = 0
+TRANSLATION = 1
+ROTZOOM = 2
+AFFINE = 3
+
+WARPEDMODEL_PREC_BITS = 16
+
+
+def default_gm_params() -> np.ndarray:
+    """[8 refs][6] identity warp model."""
+    p = np.zeros((TOTAL_REFS, 6), dtype=np.int64)
+    p[:, 2] = 1 << WARPEDMODEL_PREC_BITS
+    p[:, 5] = 1 << WARPEDMODEL_PREC_BITS
+    return p
+
+
+@dataclasses.dataclass
+class RefSlot:
+    """One slot of the 8-entry reference store (VBI)."""
+
+    planes: list  # cropped (h, w) int32 arrays, current-frame geometry
+    frame_type: int
+    order_hint: int
+    width: int
+    height: int
+    upscaled_width: int
+    render_width: int
+    render_height: int
+    mi_cols: int
+    mi_rows: int
+    bit_depth: int
+    subsampling_x: int
+    subsampling_y: int
+    showable: bool = False
+    frame_id: int = 0
+    # saved cross-frame state (§7.20)
+    order_hints: np.ndarray = None  # [8] this frame's OrderHints view
+    gm_params: np.ndarray = None  # [8][6]
+    seg_enabled: bool = False
+    seg_feature_enabled: list = None  # [8][8]
+    seg_feature_data: list = None  # [8][8]
+    lf_ref_deltas: list = None  # [8]
+    lf_mode_deltas: list = None  # [2]
+    delta_lf_multi: bool = False
+    seg_ids: np.ndarray = None  # [mi_rows][mi_cols] uint8
+    mvs: np.ndarray = None  # [mi_rows][mi_cols][2] int32 (row, col) 1/8 px
+    ref_frames: np.ndarray = None  # [mi_rows][mi_cols][2] int8
+    cdfs: object = None  # DefaultCdfs working set (qctx-selected)
+
+
+class DecoderState:
+    """Cross-temporal-unit decoder state: sequence header + the eight
+    reference slots (read.c keeps this inside dav1d; we own it)."""
+
+    def __init__(self):
+        self.seq = None
+        self.refs: list[Optional[RefSlot]] = [None] * TOTAL_REFS
+
+    def reset(self):
+        self.refs = [None] * TOTAL_REFS
+
+    def ref_order_hint(self, i: int) -> int:
+        s = self.refs[i]
+        return s.order_hint if s is not None else 0
+
+    def update(self, refresh_flags: int, slot: RefSlot) -> None:
+        """reference_frame_update (§7.20)."""
+        for i in range(TOTAL_REFS):
+            if refresh_flags & (1 << i):
+                self.refs[i] = slot
+
+
+def get_relative_dist(seq, a: int, b: int) -> int:
+    """§5.9.3: signed order-hint distance a-b in modular arithmetic."""
+    if not seq.enable_order_hint:
+        return 0
+    diff = a - b
+    m = 1 << (seq.order_hint_bits - 1)
+    return (diff & (m - 1)) - (diff & m)
