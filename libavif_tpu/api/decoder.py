@@ -107,6 +107,10 @@ class Decoder:
         self._io: Optional[IO] = None
         self._decoded_cell_count = 0
         self._grid_shape = None  # (rows, cols, cell_h) of the color grid
+        # per-track spec-AV1 stream decoders: animation samples may be
+        # inter frames (read.c:6972-7062 walks them in order through one
+        # persistent dav1d context; we keep one StreamDecoder per track)
+        self._track_streams: dict = {}
 
     # ----------------------------------------------------------------- parse
 
@@ -250,6 +254,7 @@ class Decoder:
             self._validate_properties(item)
 
         self.image_index = -1
+        self._track_streams = {}
 
     def _validate_properties(self, item: Item) -> None:
         """Strictness subset (reference: avifDecoderItemValidateProperties,
@@ -621,7 +626,12 @@ class Decoder:
         st = track.sample_table
         ranges = st.sample_ranges()
         off, size = ranges[index]
-        return decode_frame(self._io.read_exact(off, size))
+        stream = self._track_streams.get(track.id)
+        if stream is None:
+            from ..codec.av1.stream import StreamDecoder
+
+            stream = self._track_streams[track.id] = StreamDecoder()
+        return decode_frame(self._io.read_exact(off, size), stream=stream)
 
     def decoded_row_count(self) -> int:
         """Rows of the current frame exposed so far (reference:
@@ -638,14 +648,24 @@ class Decoder:
 
     def nth_image(self, index: int) -> Image:
         """Random access (reference: avifDecoderNthImage, read.c:7100).
-        Intra-only codec: every sample is independently decodable."""
+        Foreign tracks may contain inter frames, so a seek restarts at the
+        nearest preceding keyframe and decodes forward; our own (all-intra)
+        samples resolve in one step."""
         if self._container is None:
             raise AvifError(Result.NO_CONTENT, "parse() not called")
         if index >= self.image_count:
             raise AvifError(Result.NO_IMAGES_REMAINING, f"index {index}")
-        self.image_index = index - 1
-        if not self.next_image():
-            raise AvifError(Result.NO_IMAGES_REMAINING, f"index {index}")
+        start = index
+        if self._use_tracks and index != self.image_index + 1:
+            start = self.nearest_keyframe(index)
+            if start <= self.image_index < index:
+                start = self.image_index + 1  # already mid-GOP, keep rolling
+            else:
+                self._track_streams = {}
+        self.image_index = start - 1
+        while self.image_index < index:
+            if not self.next_image():
+                raise AvifError(Result.NO_IMAGES_REMAINING, f"index {index}")
         return self.image
 
     def nth_image_timing(self, index: int):

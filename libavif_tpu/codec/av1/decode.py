@@ -188,9 +188,10 @@ class TileContexts:
 
 
 class FrameDecoder:
-    def __init__(self, seq, hdr: FrameHeader):
+    def __init__(self, seq, hdr: FrameHeader, state=None, cdf_init=None):
         self.seq = seq
         self.hdr = hdr
+        self.state = state  # refs.DecoderState (inter frames)
         self.bd = seq.bit_depth
         self.n_planes = 1 if seq.monochrome else 3
         self.ss_x = seq.subsampling_x if not seq.monochrome else 1
@@ -220,12 +221,23 @@ class FrameDecoder:
         self.delta_lf = [0, 0, 0, 0]
         self.cdef_idx = np.full((hdr.mi_rows, hdr.mi_cols), -1, dtype=np.int16)
         # frame-level entropy-context init (§7.20): defaults + the active
-        # coefficient q-ctx, unless a StreamDecoder loads an inherited set
-        # (primary_ref_frame) via `frame_cdf_init` after construction.
-        cdf0 = T.defaults().copy()
-        cdf0.select_qctx(self._q_ctx())
-        self.frame_cdf_init = cdf0
+        # coefficient q-ctx, or the primary reference frame's saved state
+        # (which keeps its own coefficient q-ctx — init_coeff_cdfs rule).
+        if cdf_init is not None:
+            self.frame_cdf_init = cdf_init
+        else:
+            cdf0 = T.defaults().copy()
+            cdf0.select_qctx(self._q_ctx())
+            self.frame_cdf_init = cdf0
         self.saved_tile_cdfs = {}  # tile idx -> post-decode CDF state
+        # cross-frame saved state (§7.20): per-mi segment ids and the
+        # motion field consumed by later frames' MV prediction
+        self.seg_ids = np.zeros((hdr.mi_rows, hdr.mi_cols), dtype=np.uint8)
+        self.mf_mvs = np.zeros((hdr.mi_rows, hdr.mi_cols, 2), dtype=np.int32)
+        self.mf_refs = np.zeros((hdr.mi_rows, hdr.mi_cols, 2), dtype=np.int8)
+        self.mf_refs[:, :, 1] = -1  # NONE
+        if not hdr.frame_is_intra:
+            raise AvifError(Result.NOT_IMPLEMENTED, "inter block decode")
         if hdr.allow_intrabc:
             raise AvifError(Result.NOT_IMPLEMENTED, "intrabc")
 
@@ -244,6 +256,8 @@ class FrameDecoder:
             tr, tc = divmod(idx, ti.cols)
             self._decode_tile(tr, tc, data)
             self.saved_tile_cdfs[idx] = self.cdf
+        if self.hdr.segmentation_enabled:
+            self.seg_ids = self.ctx.seg_of.copy()
         from .loopfilter import loop_filter_frame
 
         loop_filter_frame(self)

@@ -83,6 +83,8 @@ class RefSlot:
     mvs: np.ndarray = None  # [mi_rows][mi_cols][2] int32 (row, col) 1/8 px
     ref_frames: np.ndarray = None  # [mi_rows][mi_cols][2] int8
     cdfs: object = None  # DefaultCdfs working set (qctx-selected)
+    header: object = None  # the FrameHeader this slot was decoded under
+    film_grain: object = None  # FilmGrainParams (for load_grain_params)
 
 
 class DecoderState:

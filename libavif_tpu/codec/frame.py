@@ -363,12 +363,21 @@ def _encode_frame_spec_lossless(image: Image) -> tuple[bytes, SequenceHeader]:
     return payload, find_sequence_header(payload)
 
 
-def _decode_frame_spec(data: bytes, width: int = 0, height: int = 0) -> Image:
-    """Decode a real AV1 still payload (foreign AVIF files; also our own
-    spec-conformant lossless output). codec_dav1d.c:58 role."""
+def _decode_frame_spec(
+    data: bytes, width: int = 0, height: int = 0, stream=None
+) -> Image:
+    """Decode a real AV1 payload (foreign AVIF files; also our own
+    spec-conformant output). codec_dav1d.c:58 role. With `stream`, state
+    persists so the payload may reference previously decoded frames."""
     from .av1.still import decode_still
 
-    planes, seq, hdr = decode_still(data)
+    if stream is not None:
+        shown = stream.decode_obus(data)
+        if not shown:
+            raise AvifError(Result.BMFF_PARSE_FAILED, "sample produced no frame")
+        planes, seq, hdr = shown[-1]
+    else:
+        planes, seq, hdr = decode_still(data)
     if seq.monochrome:
         fmt = PixelFormat.YUV400
     elif seq.subsampling_x and seq.subsampling_y:
@@ -600,11 +609,16 @@ def _plane_dims(hdr: SequenceHeader, c: int, width: int, height: int) -> tuple[i
     )
 
 
-def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
+def decode_frame(
+    data: bytes, width: int = 0, height: int = 0, stream=None
+) -> Image:
     """Decode an OBU stream into an Image (planes + format + CICP).
 
     width/height override the sequence-header size when the container's
     ispe disagrees (the container wins, read.c:5316-5349 semantics).
+    `stream` (an av1.stream.StreamDecoder) carries reference-frame state
+    across calls so animation samples may be inter frames — the role of
+    the persistent dav1d context behind codec_dav1d.c:100-156.
     """
     # Keep the LAST (seq, frame) pair: progressive layers are concatenated
     # self-contained streams, and a cumulative byte prefix through layer k
@@ -639,7 +653,7 @@ def decode_frame(data: bytes, width: int = 0, height: int = 0) -> Image:
             for o in obus[td:]:
                 write_obu(s, o.obu_type, o.payload)
             data = s.data()
-        return _decode_frame_spec(data, width, height)
+        return _decode_frame_spec(data, width, height, stream)
     if seq is None or frame is None:
         raise AvifError(Result.BMFF_PARSE_FAILED, "missing sequence header or frame OBU")
 
