@@ -35,6 +35,18 @@ EXT_TX_INV = {
     2: [TXF.IDTX, TXF.DCT_DCT, TXF.ADST_ADST, TXF.ADST_DCT, TXF.DCT_ADST],
 }
 
+# inter tx sets (av1_ext_tx_inv): 1 = ALL16, 2 = DTT9+IDTX+1DDCT, 3 = DCT+IDTX
+INTER_EXT_TX_INV = {
+    1: [TXF.IDTX, TXF.V_DCT, TXF.H_DCT, TXF.V_ADST, TXF.H_ADST,
+        TXF.V_FLIPADST, TXF.H_FLIPADST, TXF.DCT_DCT, TXF.ADST_DCT,
+        TXF.DCT_ADST, TXF.FLIPADST_DCT, TXF.DCT_FLIPADST, TXF.ADST_ADST,
+        TXF.FLIPADST_FLIPADST, TXF.ADST_FLIPADST, TXF.FLIPADST_ADST],
+    2: [TXF.IDTX, TXF.V_DCT, TXF.H_DCT, TXF.DCT_DCT, TXF.ADST_DCT,
+        TXF.DCT_ADST, TXF.FLIPADST_DCT, TXF.DCT_FLIPADST, TXF.ADST_ADST,
+        TXF.FLIPADST_FLIPADST, TXF.ADST_FLIPADST, TXF.FLIPADST_ADST],
+    3: [TXF.IDTX, TXF.DCT_DCT],
+}
+
 # intra prediction mode -> predicted chroma tx type (av1 intra_mode_to_tx_type)
 MODE_TO_TXFM = [
     TXF.DCT_DCT,    # DC
@@ -175,12 +187,17 @@ class TileContexts:
         self.delta_lf_of = np.zeros((mi_rows, mi_cols, 4), dtype=np.int8)
         # per-mi segment ids (segmentation_enabled frames)
         self.seg_of = np.zeros((mi_rows, mi_cols), dtype=np.uint8)
+        # temporal segment-id prediction contexts (§5.11.8)
+        self.above_seg_pred = np.zeros(mi_cols, dtype=np.uint8)
+        self.left_seg_pred = np.zeros(mi_rows, dtype=np.uint8)
 
     def reset_tile_lines(self):
         self.above_part[:] = 0
         self.left_part[:] = 0
         self.above_skip[:] = 0
         self.left_skip[:] = 0
+        self.above_seg_pred[:] = 0
+        self.left_seg_pred[:] = 0
         for a in self.above_coef:
             a[:] = 0
         for a in self.left_coef:
@@ -231,13 +248,54 @@ class FrameDecoder:
             self.frame_cdf_init = cdf0
         self.saved_tile_cdfs = {}  # tile idx -> post-decode CDF state
         # cross-frame saved state (§7.20): per-mi segment ids and the
-        # motion field consumed by later frames' MV prediction
-        self.seg_ids = np.zeros((hdr.mi_rows, hdr.mi_cols), dtype=np.uint8)
-        self.mf_mvs = np.zeros((hdr.mi_rows, hdr.mi_cols, 2), dtype=np.int32)
-        self.mf_refs = np.zeros((hdr.mi_rows, hdr.mi_cols, 2), dtype=np.int8)
-        self.mf_refs[:, :, 1] = -1  # NONE
+        # condensed motion field consumed by later frames' MV projection
+        mi_r, mi_c = hdr.mi_rows, hdr.mi_cols
+        self.seg_ids = np.zeros((mi_r, mi_c), dtype=np.uint8)
+        self.mf_mvs = np.zeros((mi_r, mi_c, 2), dtype=np.int32)
+        self.mf_refs = np.full((mi_r, mi_c), -1, dtype=np.int8)
+        # per-mi inter state (mode info other blocks' contexts read)
+        self.ref_frames_mi = np.zeros((mi_r, mi_c, 2), dtype=np.int8)
+        self.ref_frames_mi[:, :, 1] = -1
+        self.mvs_mi = np.zeros((mi_r, mi_c, 2, 2), dtype=np.int32)
+        self.interp_mi = np.zeros((mi_r, mi_c, 2), dtype=np.uint8)
+        self.skip_mode_mi = np.zeros((mi_r, mi_c), dtype=np.uint8)
+        self.comp_group_mi = np.zeros((mi_r, mi_c), dtype=np.uint8)
+        self.compound_idx_mi = np.zeros((mi_r, mi_c), dtype=np.uint8)
+        self.txtype_mi = np.zeros((mi_r, mi_c), dtype=np.uint8)
+        self.prev_seg_ids = None
+        self.ref_planes = [None] * 8  # RefSlot per reference frame 1..7
+        self.motion_field = {}  # ref -> (h8, w8, 2) projected MVs
         if not hdr.frame_is_intra:
-            raise AvifError(Result.NOT_IMPLEMENTED, "inter block decode")
+            if state is None:
+                raise AvifError(Result.BMFF_PARSE_FAILED, "inter frame w/o state")
+            from . import refs as R
+
+            for i in range(7):
+                slot = state.refs[hdr.ref_frame_idx[i]]
+                self.ref_planes[R.LAST_FRAME + i] = slot
+                if slot is not None and (
+                    slot.width != hdr.width
+                    or slot.height != hdr.height
+                    or slot.bit_depth != seq.bit_depth
+                    or slot.subsampling_x != seq.subsampling_x
+                    or slot.subsampling_y != seq.subsampling_y
+                ):
+                    raise AvifError(
+                        Result.NOT_IMPLEMENTED, "scaled/mismatched reference frame"
+                    )
+            if hdr.primary_ref_frame != H.PRIMARY_REF_NONE:
+                prev = state.refs[hdr.ref_frame_idx[hdr.primary_ref_frame]]
+                if (
+                    prev is not None
+                    and prev.seg_ids is not None
+                    and prev.mi_rows == mi_r
+                    and prev.mi_cols == mi_c
+                ):
+                    self.prev_seg_ids = prev.seg_ids
+            if hdr.use_ref_frame_mvs:
+                from . import mvproj
+
+                self.motion_field = mvproj.motion_field_estimation(self)
         if hdr.allow_intrabc:
             raise AvifError(Result.NOT_IMPLEMENTED, "intrabc")
 
@@ -258,6 +316,7 @@ class FrameDecoder:
             self.saved_tile_cdfs[idx] = self.cdf
         if self.hdr.segmentation_enabled:
             self.seg_ids = self.ctx.seg_of.copy()
+        self.mf_mvs, self.mf_refs = self.finish_motion_field()
         from .loopfilter import loop_filter_frame
 
         loop_filter_frame(self)
@@ -474,8 +533,85 @@ class FrameDecoder:
             return False
         return True
 
+    def is_inside(self, r, c) -> bool:
+        """Tile-bounds candidate check (§5.11.51 is_inside)."""
+        return (
+            self.mi_row0 <= r < self.mi_row1 and self.mi_col0 <= c < self.mi_col1
+        )
+
+    def _read_cdef_idx(self, r, c, bsize, skip):
+        """§5.11.14: one L(cdef_bits) literal per 64x64 cdef unit, read by
+        its first non-skip block."""
+        hdr = self.hdr
+        if (
+            skip
+            or hdr.coded_lossless
+            or not self.seq.enable_cdef
+            or hdr.allow_intrabc
+        ):
+            return
+        bw4, bh4 = B.w4(bsize), B.h4(bsize)
+        ur, uc = r & ~15, c & ~15
+        if self.cdef_idx[ur, uc] < 0:
+            v = self.dec.decode_literal(hdr.cdef.bits) if hdr.cdef.bits else 0
+            r_end = min(ur + max(bh4, 16), hdr.mi_rows)
+            c_end = min(uc + max(bw4, 16), hdr.mi_cols)
+            self.cdef_idx[ur:r_end:16, uc:c_end:16] = v
+
+    def _read_deltas(self, r, c, bsize, skip):
+        """§5.11.17/5.11.18: per-superblock delta q / delta lf, read by the
+        first block of each SB unless it is an SB-sized skip block."""
+        if not self.read_deltas:
+            return
+        dec = self.dec
+        cdf = self.cdf
+        wpx, hpx = B.BLOCK_DIMS[bsize]
+        sb_sized = wpx == self.sb_px and hpx == self.sb_px
+        if not (sb_sized and skip):
+            if self.hdr.delta_q_present:
+                qa = dec.decode_symbol(
+                    cdf.delta_q[0], 4, adapt=self.adapt, what="delta_q"
+                )
+                if qa == 3:
+                    rem = dec.decode_literal(3) + 1
+                    qa = dec.decode_literal(rem) + (1 << rem) + 1
+                if qa:
+                    if dec.decode_bit():
+                        qa = -qa
+                    self.current_qindex = min(
+                        255, max(1, self.current_qindex + (qa << self.hdr.delta_q_res))
+                    )
+            if self.hdr.delta_lf_present:
+                n_lf = (
+                    (4 if self.n_planes > 1 else 2)
+                    if self.hdr.delta_lf_multi
+                    else 1
+                )
+                for i in range(n_lf):
+                    row = (
+                        cdf.delta_lf_multi[i]
+                        if self.hdr.delta_lf_multi
+                        else cdf.delta_lf[0]
+                    )
+                    la = dec.decode_symbol(row, 4, adapt=self.adapt, what="delta_lf")
+                    if la == 3:
+                        rem = dec.decode_literal(3) + 1
+                        la = dec.decode_literal(rem) + (1 << rem) + 1
+                    if la:
+                        if dec.decode_bit():
+                            la = -la
+                        self.delta_lf[i] = min(
+                            63, max(-63, self.delta_lf[i] + (la << self.hdr.delta_lf_res))
+                        )
+        self.read_deltas = False
+
     def _decode_block(self, r, c, bsize):
         self.block_pos = (r, c, bsize)  # encoder-planner hook
+        if not self.hdr.frame_is_intra:
+            from . import interdec
+
+            interdec.decode_inter_block(self, r, c, bsize)
+            return
         ctx = self.ctx
         bw4, bh4 = B.w4(bsize), B.h4(bsize)
         wpx, hpx = B.BLOCK_DIMS[bsize]
@@ -506,69 +642,31 @@ class FrameDecoder:
         if hdr.segmentation_enabled and not hdr.seg_id_pre_skip:
             seg_id = self._read_segment_id(r, c, avail_u, avail_l, skip=skip)
 
-        # ---- cdef index (§5.11.14): one L(cdef_bits) literal per 64x64
-        # cdef unit, read by its first non-skip block
-        if (
-            not skip
-            and not hdr.coded_lossless
-            and self.seq.enable_cdef
-            and not hdr.allow_intrabc
-        ):
-            ur, uc = r & ~15, c & ~15
-            if self.cdef_idx[ur, uc] < 0:
-                v = dec.decode_literal(hdr.cdef.bits) if hdr.cdef.bits else 0
-                r_end = min(ur + max(bh4, 16), hdr.mi_rows)
-                c_end = min(uc + max(bw4, 16), hdr.mi_cols)
-                self.cdef_idx[ur:r_end:16, uc:c_end:16] = v
+        self._read_cdef_idx(r, c, bsize, skip)
+        self._read_deltas(r, c, bsize, skip)
 
-        # ---- per-superblock delta q / delta lf (§5.11.17/5.11.18), read by
-        # the first block of each SB unless it is an SB-sized skip block
-        if self.read_deltas:
-            sb_sized = wpx == self.sb_px and hpx == self.sb_px
-            if not (sb_sized and skip):
-                if self.hdr.delta_q_present:
-                    qa = dec.decode_symbol(
-                        cdf.delta_q[0], 4, adapt=self.adapt, what="delta_q"
-                    )
-                    if qa == 3:
-                        rem = dec.decode_literal(3) + 1
-                        qa = dec.decode_literal(rem) + (1 << rem) + 1
-                    if qa:
-                        if dec.decode_bit():
-                            qa = -qa
-                        self.current_qindex = min(
-                            255, max(1, self.current_qindex + (qa << self.hdr.delta_q_res))
-                        )
-                if self.hdr.delta_lf_present:
-                    n_lf = (
-                        (4 if self.n_planes > 1 else 2)
-                        if self.hdr.delta_lf_multi
-                        else 1
-                    )
-                    for i in range(n_lf):
-                        row = (
-                            cdf.delta_lf_multi[i]
-                            if self.hdr.delta_lf_multi
-                            else cdf.delta_lf[0]
-                        )
-                        la = dec.decode_symbol(row, 4, adapt=self.adapt, what="delta_lf")
-                        if la == 3:
-                            rem = dec.decode_literal(3) + 1
-                            la = dec.decode_literal(rem) + (1 << rem) + 1
-                        if la:
-                            if dec.decode_bit():
-                                la = -la
-                            self.delta_lf[i] = min(
-                                63, max(-63, self.delta_lf[i] + (la << self.hdr.delta_lf_res))
-                            )
-            self.read_deltas = False
-
-        # ---- y mode
+        # ---- y mode (key/intra-only frames: neighbor-conditioned CDFs)
         above_mode = int(ctx.y_modes[r - 1, c]) if avail_u else I.DC_PRED
         left_mode = int(ctx.y_modes[r, c - 1]) if avail_l else I.DC_PRED
         actx = INTRA_MODE_CONTEXT[above_mode]
         lctx = INTRA_MODE_CONTEXT[left_mode]
         y_mode = dec.decode_symbol(cdf.kf_y_mode[actx][lctx], 13, adapt=self.adapt, what="y_mode")
+        self.finish_intra_modes(
+            r, c, bsize, seg_id, skip, avail_u, avail_l, has_chroma, y_mode
+        )
+
+    def finish_intra_modes(
+        self, r, c, bsize, seg_id, skip, avail_u, avail_l, has_chroma, y_mode,
+        inter_frame: bool = False,
+    ):
+        """Shared tail of intra mode info (§5.11.6/§5.11.18): angle deltas,
+        uv mode, palette, filter-intra, tx size, mi recording, residual."""
+        ctx = self.ctx
+        hdr = self.hdr
+        dec = self.dec
+        cdf = self.cdf
+        bw4, bh4 = B.w4(bsize), B.h4(bsize)
+        wpx, hpx = B.BLOCK_DIMS[bsize]
         angle_y = 0
         # av1_use_angle_delta: every size except 4x4/4x8/8x4 (the extended
         # rects like 16x4 sit after 8x8 in the enum and do read deltas)
@@ -750,8 +848,20 @@ class FrameDecoder:
             ctx.palette_size[1][r:r1, c:c1] = pal_sz_uv
             ctx.palette_colors[1][r:r1, c:c1, : pal_sz_uv] = pal_u
 
+        if inter_frame:
+            # intra block inside an inter frame: record the inter-side mi
+            # state other blocks' syntax contexts read
+            self.ref_frames_mi[r:r1, c:c1, 0] = 0  # INTRA_FRAME
+            self.ref_frames_mi[r:r1, c:c1, 1] = -1
+            self.mvs_mi[r:r1, c:c1] = 0
+            self.skip_mode_mi[r:r1, c:c1] = 0
+            self.comp_group_mi[r:r1, c:c1] = 0
+            self.compound_idx_mi[r:r1, c:c1] = 0
+            self.interp_mi[r:r1, c:c1] = 0
+
         self.block = dict(
             r=r, c=c, bsize=bsize, skip=skip, y_mode=y_mode, uv_mode=uv_mode,
+            is_inter=False, seg_id=seg_id,
             angle_y=angle_y, angle_uv=angle_uv, use_filter_intra=use_filter_intra,
             fi_mode=fi_mode, cfl_u=cfl_alpha_u, cfl_v=cfl_alpha_v,
             avail_u=avail_u, avail_l=avail_l, has_chroma=has_chroma,
@@ -967,8 +1077,23 @@ class FrameDecoder:
         # neighbor use only it, with none use 0 (aom get_tx_size_context)
         has_a = r > self.mi_row0
         has_l = c > self.mi_col0
-        above = 1 if (has_a and int(self.ctx.tx_w[r - 1, c]) >= max_txw) else 0
-        left = 1 if (has_l and int(self.ctx.tx_h[r, c - 1]) >= max_txh) else 0
+        # inter neighbors count as their BLOCK dims (aom get_tx_size_context)
+        if has_a:
+            if int(self.ref_frames_mi[r - 1, c, 0]) > 0:
+                aw = B.BLOCK_DIMS[int(self.ctx.block_of[r - 1, c])][0]
+            else:
+                aw = int(self.ctx.tx_w[r - 1, c])
+            above = 1 if aw >= max_txw else 0
+        else:
+            above = 0
+        if has_l:
+            if int(self.ref_frames_mi[r, c - 1, 0]) > 0:
+                lh = B.BLOCK_DIMS[int(self.ctx.block_of[r, c - 1])][1]
+            else:
+                lh = int(self.ctx.tx_h[r, c - 1])
+            left = 1 if lh >= max_txh else 0
+        else:
+            left = 0
         if has_a and has_l:
             tctx = above + left
         elif has_a:
@@ -983,6 +1108,168 @@ class FrameDecoder:
         for _ in range(depth):
             txw, txh = B.SUB_TX[(txw, txh)]
         return (txw, txh)
+
+    def finish_motion_field(self):
+        """§7.20 motion-field save, condensed to the 8x8 grid temporal
+        projection samples (bottom-right 4x4 of each 8x8; list 1 preferred;
+        only past-pointing small MVs qualify — dav1d save_tmvs rule)."""
+        hdr = self.hdr
+        h8 = hdr.mi_rows >> 1
+        w8 = hdr.mi_cols >> 1
+        mvs = np.zeros((h8, w8, 2), dtype=np.int32)
+        refs = np.full((h8, w8), -1, dtype=np.int8)
+        if hdr.frame_is_intra or h8 == 0 or w8 == 0:
+            return mvs, refs
+        limit = (1 << 12) - 1  # REFMVS_LIMIT
+        rr = np.minimum(np.arange(h8) * 2 + 1, hdr.mi_rows - 1)
+        cc = np.minimum(np.arange(w8) * 2 + 1, hdr.mi_cols - 1)
+        sub_refs = self.ref_frames_mi[np.ix_(rr, cc)]  # (h8, w8, 2)
+        sub_mvs = self.mvs_mi[np.ix_(rr, cc)]  # (h8, w8, 2, 2)
+        past = np.array(
+            [not hdr.ref_frame_sign_bias[i] if i >= 1 else False for i in range(8)]
+        )
+        for lst in (1, 0):  # list 1 preferred; list 0 fills the rest
+            ref_l = sub_refs[:, :, lst]
+            mv_l = sub_mvs[:, :, lst]
+            ok = (
+                (ref_l >= 1)
+                & past[np.clip(ref_l, 0, 7)]
+                & (np.abs(mv_l[:, :, 0]) <= limit)
+                & (np.abs(mv_l[:, :, 1]) <= limit)
+                & (refs == -1 if lst == 0 else np.ones_like(refs, dtype=bool))
+            )
+            refs = np.where(ok, ref_l, refs)
+            mvs[:, :, 0] = np.where(ok, mv_l[:, :, 0], mvs[:, :, 0])
+            mvs[:, :, 1] = np.where(ok, mv_l[:, :, 1], mvs[:, :, 1])
+        return mvs, refs
+
+    # ------------------------------------------- inter block mi + tx sizes
+
+    def record_inter_mi(self, r, c, bsize, seg_id):
+        """Store one inter block's mode info into the per-mi arrays (the
+        inter-frame counterpart of the intra record section)."""
+        b = self.block
+        ctx = self.ctx
+        bw4, bh4 = B.w4(bsize), B.h4(bsize)
+        r1 = min(r + bh4, self.hdr.mi_rows)
+        c1 = min(c + bw4, self.hdr.mi_cols)
+        skip = b["skip"]
+        ctx.y_modes[r:r1, c:c1] = b["y_mode"]
+        ctx.uv_modes[r:r1, c:c1] = 0
+        ctx.block_of[r:r1, c:c1] = bsize
+        ctx.above_skip[c:c1] = skip
+        ctx.left_skip[r:r1] = skip
+        ctx.skip_of[r:r1, c:c1] = skip
+        ctx.blk_r0[r:r1, c:c1] = r
+        ctx.blk_c0[r:r1, c:c1] = c
+        self.ref_frames_mi[r:r1, c:c1, 0] = b["ref_frames"][0]
+        self.ref_frames_mi[r:r1, c:c1, 1] = b["ref_frames"][1]
+        self.mvs_mi[r:r1, c:c1, 0] = b["mvs"][0]
+        self.mvs_mi[r:r1, c:c1, 1] = b["mvs"][1]
+        self.skip_mode_mi[r:r1, c:c1] = b["skip_mode"]
+        self.comp_group_mi[r:r1, c:c1] = b["comp_group_idx"]
+        self.compound_idx_mi[r:r1, c:c1] = b["compound_idx"]
+        self.interp_mi[r:r1, c:c1, 0] = b["filters"][0]
+        self.interp_mi[r:r1, c:c1, 1] = b["filters"][1]
+        if b["has_chroma"] and self.n_planes > 1:
+            wpx, hpx = B.BLOCK_DIMS[bsize]
+            pw = max(4, wpx >> self.ss_x)
+            phh = max(4, hpx >> self.ss_y)
+            utw, uth = (4, 4) if self.hdr.coded_lossless else self._chroma_tx_size(pw, phh)
+            cr0 = r & ~self.ss_y if (bh4 == 1 and self.ss_y) else r
+            cc0 = c & ~self.ss_x if (bw4 == 1 and self.ss_x) else c
+            cr1 = min(cr0 + max(bh4, 1 + self.ss_y if bh4 == 1 else bh4), self.hdr.mi_rows)
+            cc1 = min(cc0 + max(bw4, 1 + self.ss_x if bw4 == 1 else bw4), self.hdr.mi_cols)
+            ctx.uvtx_w[cr0:cr1, cc0:cc1] = utw
+            ctx.uvtx_h[cr0:cr1, cc0:cc1] = uth
+        lw = bw4.bit_length() - 1
+        lh = bh4.bit_length() - 1
+        ctx.above_part[c:c1] = (~((1 << (lw + 1)) - 1)) & 0x3F
+        ctx.left_part[r:r1] = (~((1 << (lh + 1)) - 1)) & 0x3F
+        if self.hdr.delta_lf_present:
+            ctx.delta_lf_of[r:r1, c:c1] = self.delta_lf
+        if self.hdr.segmentation_enabled:
+            ctx.seg_of[r:r1, c:c1] = seg_id
+
+    def _nb_txctx_w(self, rr, cc):
+        """Neighbor tx-ctx width: inter skip neighbors count as their block
+        width (aom set_txfm_ctxs skip semantics), otherwise the tx width."""
+        if int(self.ref_frames_mi[rr, cc, 0]) > 0 and int(self.ctx.skip_of[rr, cc]):
+            return B.BLOCK_DIMS[int(self.ctx.block_of[rr, cc])][0]
+        return int(self.ctx.tx_w[rr, cc])
+
+    def _nb_txctx_h(self, rr, cc):
+        if int(self.ref_frames_mi[rr, cc, 0]) > 0 and int(self.ctx.skip_of[rr, cc]):
+            return B.BLOCK_DIMS[int(self.ctx.block_of[rr, cc])][1]
+        return int(self.ctx.tx_h[rr, cc])
+
+    def read_block_tx_sizes(self, r, c, bsize, skip):
+        """Inter-block transform sizes (§5.11.15 read_block_tx_size): the
+        variable tx-size tree for non-skip TX_MODE_SELECT frames, else the
+        largest rectangular size. Leaves land in ctx.tx_w/tx_h and
+        block['tx_leaves'] (recursion order = §5.11.37 traversal order)."""
+        hdr = self.hdr
+        ctx = self.ctx
+        b = self.block
+        bw4, bh4 = B.w4(bsize), B.h4(bsize)
+        wpx, hpx = B.BLOCK_DIMS[bsize]
+        r1 = min(r + bh4, hdr.mi_rows)
+        c1 = min(c + bw4, hdr.mi_cols)
+        max_txw, max_txh = B.MAX_TX_SIZE_RECT[(wpx, hpx)]
+        if hdr.coded_lossless:
+            ctx.tx_w[r:r1, c:c1] = 4
+            ctx.tx_h[r:r1, c:c1] = 4
+            b["txw"] = b["txh"] = 4
+            b["tx_leaves"] = None
+            return
+        if hdr.tx_mode_select and not skip and (wpx, hpx) != (4, 4):
+            self._vartx_block = (wpx, hpx)
+            leaves = []
+            for dr in range(0, bh4, max_txh >> 2):
+                for dc in range(0, bw4, max_txw >> 2):
+                    self._read_var_tx_size(r + dr, c + dc, max_txw, max_txh, 0, leaves)
+            b["tx_leaves"] = leaves
+        else:
+            ctx.tx_w[r:r1, c:c1] = max_txw
+            ctx.tx_h[r:r1, c:c1] = max_txh
+            b["tx_leaves"] = None  # uniform tiling
+        b["txw"], b["txh"] = max_txw, max_txh
+
+    def _read_var_tx_size(self, row, col, txw, txh, depth, leaves):
+        """§5.11.16 read_var_tx_size."""
+        hdr = self.hdr
+        ctx = self.ctx
+        if row >= hdr.mi_rows or col >= hdr.mi_cols:
+            return
+        if (txw == 4 and txh == 4) or depth == 2:
+            split = 0
+        else:
+            above = (
+                self._nb_txctx_w(row - 1, col) if row > self.mi_row0 else 64
+            ) < txw
+            left = (
+                self._nb_txctx_h(row, col - 1) if col > self.mi_col0 else 64
+            ) < txh
+            wpx, hpx = self._vartx_block
+            max_tx = min(64, max(wpx, hpx))
+            max_idx = max_tx.bit_length() - 3  # 4->0 .. 64->4
+            sqr_up = min(64, max(txw, txh))
+            cat = int(sqr_up != max_tx and max_tx > 8) + (4 - max_idx) * 2
+            tctx = cat * 3 + int(above) + int(left)
+            split = self.dec.decode_symbol(
+                self.cdf.txfm_partition[tctx], 2, adapt=self.adapt, what="txfm_split"
+            )
+        if split:
+            subw, subh = B.SUB_TX[(txw, txh)]
+            for dr in range(0, txh >> 2, subh >> 2):
+                for dc in range(0, txw >> 2, subw >> 2):
+                    self._read_var_tx_size(row + dr, col + dc, subw, subh, depth + 1, leaves)
+        else:
+            r1 = min(row + (txh >> 2), hdr.mi_rows)
+            c1 = min(col + (txw >> 2), hdr.mi_cols)
+            ctx.tx_w[row:r1, col:c1] = txw
+            ctx.tx_h[row:r1, col:c1] = txh
+            leaves.append((row, col, txw, txh))
 
     # ---------------------------------------------------------- residual
 
@@ -999,6 +1286,7 @@ class FrameDecoder:
     def _residual_chunk(self, cx, cy, cwpx, chpx):
         b = self.block
         r, c, bsize = b["r"], b["c"], b["bsize"]
+        is_inter = b.get("is_inter", False)
         wpx, hpx = cwpx, chpx
         for plane in range(self.n_planes if b["has_chroma"] else 1):
             sx = self.ss_x if plane else 0
@@ -1018,6 +1306,28 @@ class FrameDecoder:
                 txw, txh = 4, 4
             max_x = self.cw[plane]
             max_y = self.ch[plane]
+            if is_inter:
+                from . import interpred
+
+                interpred.predict_inter_block(self, plane, px, py, pw, ph)
+                if b["skip"]:
+                    # prediction only: mark decoded, zero coef contexts
+                    self._mark_region_decoded(plane, px, py, min(pw, max_x - px),
+                                              min(ph, max_y - py))
+                    self._set_coef_ctx(plane, px, py, pw, ph, 0)
+                    continue
+                if plane == 0 and b.get("tx_leaves") is not None:
+                    # §5.11.37 transform_tree traversal order = leaf order
+                    for (mr, mc, ltw, lth) in b["tx_leaves"]:
+                        lx, ly = mc * 4, mr * 4
+                        if not (cx <= lx - c * 4 < cx + cwpx):
+                            continue
+                        if not (cy <= ly - r * 4 < cy + chpx):
+                            continue
+                        if lx >= max_x or ly >= max_y:
+                            continue
+                        self._transform_block(plane, lx, ly, ltw, lth)
+                    continue
             for y in range(0, ph, txh):
                 if py + y >= max_y:
                     break
@@ -1025,6 +1335,13 @@ class FrameDecoder:
                     if px + x >= max_x:
                         break
                     self._transform_block(plane, px + x, py + y, txw, txh)
+
+    def _mark_region_decoded(self, plane, px, py, w, h):
+        sy = self.ss_y if plane else 0
+        sx = self.ss_x if plane else 0
+        sb_y4 = (py - ((self.sb_r >> sy) * 4)) >> 2
+        sb_x4 = (px - ((self.sb_c >> sx) * 4)) >> 2
+        self._bd_set(plane, sb_y4, sb_x4, (h + 3) >> 2, (w + 3) >> 2)
 
     def _chroma_tx_size(self, pw, ph):
         txw, txh = B.MAX_TX_SIZE_RECT[
@@ -1036,7 +1353,11 @@ class FrameDecoder:
 
     def _transform_block(self, plane, x, y, txw, txh):
         b = self.block
-        pred = self._predict(plane, x, y, txw, txh)
+        if b.get("is_inter", False):
+            # inter: prediction already written into the frame buffer
+            pred = self.planes[plane][y : y + txh, x : x + txw].copy()
+        else:
+            pred = self._predict(plane, x, y, txw, txh)
         frame = self.planes[plane]
         planner = getattr(self, "planner", None)
         if planner is not None and not b["skip"]:
@@ -1307,7 +1628,9 @@ class FrameDecoder:
         if self.hdr.coded_lossless:
             tx_type = TXF.DCT_DCT
         else:
-            tx_type = self._tx_type(plane, txw, txh)
+            tx_type = self._tx_type(plane, txw, txh, x, y)
+            if plane == 0 and self.block.get("is_inter", False):
+                self.txtype_mi[y >> 2 : (y + txh) >> 2, x >> 2 : (x + txw) >> 2] = tx_type
         tx_class = tx_class_of(tx_type)
         if tx_class == TX_CLASS_2D:
             scan = T.default_scan(cw, ch)
@@ -1492,9 +1815,11 @@ class FrameDecoder:
             dq[row, col] = s * min(mag, cmax)
         return dq, eob, tx_type
 
-    def _tx_type(self, plane, txw, txh):
+    def _tx_type(self, plane, txw, txh, x=0, y=0):
         """transform_type() (§5.11.47) + compute_tx_type for chroma."""
         b = self.block
+        if b.get("is_inter", False):
+            return self._tx_type_inter(plane, txw, txh, x, y)
         sqr_up = min(max(txw, txh), 64)
         if sqr_up >= 32:
             return TXF.DCT_DCT
@@ -1514,6 +1839,37 @@ class FrameDecoder:
         t = MODE_TO_TXFM[b["uv_mode"]]
         if t not in EXT_TX_INV[tx_set]:
             t = TXF.DCT_DCT
+        return t
+
+    def _tx_type_inter(self, plane, txw, txh, x, y):
+        """Inter transform_type: luma reads from the inter ext-tx sets;
+        chroma copies the co-located luma type restricted to its set."""
+        hdr = self.hdr
+        sqr_up = min(max(txw, txh), 64)
+        sqr = min(txw, txh)
+        if sqr_up > 32:
+            return TXF.DCT_DCT
+        if hdr.reduced_tx_set or sqr_up == 32:
+            tx_set = 3
+        elif sqr == 16:
+            tx_set = 2
+        else:
+            tx_set = 1
+        if plane == 0:
+            if self.block["qindex"] <= 0:
+                return TXF.DCT_DCT
+            cat = min(sqr.bit_length() - 3, 3)
+            nsym = {1: 16, 2: 12, 3: 2}[tx_set]
+            sym = self.dec.decode_symbol(
+                self.cdf.inter_ext_tx[tx_set][cat], nsym, adapt=self.adapt, what="coef"
+            )
+            return INTER_EXT_TX_INV[tx_set][sym]
+        # chroma: the luma tx type at this chroma block's top-left luma mi
+        mr = (y << self.ss_y) >> 2
+        mc = (x << self.ss_x) >> 2
+        t = int(self.txtype_mi[min(mr, hdr.mi_rows - 1), min(mc, hdr.mi_cols - 1)])
+        if t not in INTER_EXT_TX_INV[tx_set]:
+            return TXF.DCT_DCT
         return t
 
     def _eob_base_ctx(self, si, n):

@@ -184,7 +184,15 @@ def _filter_plane(dec, plane, direction, base_lvl, bd):
                     min(MAX_LOOP_FILTER, lvl + hdr.seg_feature_data[sid][seg_feature]),
                 )
         if lf.delta_enabled:
-            lvl += lf.ref_deltas[0] << (lvl >> 5)
+            ref = int(dec.ref_frames_mi[mr, mc, 0])
+            if ref <= 0:  # intra block (or intra frame)
+                lvl += lf.ref_deltas[0] << (lvl >> 5)
+            else:
+                # mode delta slot 1 for all inter modes except GLOBALMV /
+                # GLOBAL_GLOBALMV (aom mode_lf_lut)
+                mode = int(ctx.y_modes[mr, mc])
+                mtype = 0 if mode in (15, 23) else 1
+                lvl += (lf.ref_deltas[ref] + lf.mode_deltas[mtype]) << (lvl >> 5)
         return max(0, min(MAX_LOOP_FILTER, lvl))
 
     step = 4

@@ -173,6 +173,8 @@ class StreamDecoder:
             final_cdfs = dec.frame_cdf_init
         else:
             final_cdfs = dec.saved_tile_cdfs[hdr.tile.context_update_tile_id]
+        final_cdfs = final_cdfs.copy()
+        final_cdfs.reset_counters()  # av1_reset_cdf_symbol_counters
         slot = R.RefSlot(
             planes=[p.copy() for p in planes],
             frame_type=hdr.frame_type,

@@ -161,10 +161,12 @@ class DefaultCdfs:
             self.palette_uv_color_index[n] = _cdf_rows(uci[k * 5 : (k + 1) * 5], n)
 
         # ---- inter mode syntax (§5.11.10-5.11.33 defaults)
+        # extractor stores these bools as probability args (P(sym0)*32768,
+        # the AOM_CDF2 argument); the msac wants icdf[0] = 32768 - P
         def bools(key, *shape):
             raw = g(key).reshape(-1)
             out = np.zeros(raw.shape + (3,), dtype=np.uint16)
-            out[:, 0] = raw
+            out[:, 0] = 32768 - raw.astype(np.int64)
             return out.reshape(*shape, 3) if shape else out
 
         self.intra_inter = bools("intra_inter")            # [4][3]
@@ -221,6 +223,55 @@ class DefaultCdfs:
         import copy as _c
 
         return _c.deepcopy(self)
+
+    def reset_counters(self) -> None:
+        """Zero every row's adaptation counter (aom
+        av1_reset_cdf_symbol_counters): applied to the state saved at
+        frame end so inherited CDFs restart at the fast adaptation rate."""
+        def z(a, nsym):
+            a[..., nsym] = 0
+
+        z(self.txb_skip, 2); z(self.eob_extra, 2); z(self.dc_sign, 2)
+        z(self.coeff_base_eob, 3); z(self.coeff_base, 4); z(self.coeff_br, 4)
+        for n, t in self.eob_pt.items():
+            z(t, {16: 5, 32: 6, 64: 7, 128: 8, 256: 9, 512: 10, 1024: 11}[n])
+        z(self.kf_y_mode, 13); z(self.y_mode, 13)
+        z(self.uv_mode_nocfl, 13); z(self.uv_mode_cfl, 14)
+        for i, nsym in enumerate(self.partition_nsym):
+            self.partition[i, nsym] = 0
+        z(self.skip, 2); z(self.skip_mode, 2); z(self.angle_delta, 7)
+        z(self.filter_intra_mode, 5); z(self.use_filter_intra, 2)
+        z(self.cfl_sign, 8); z(self.cfl_alpha, 16)
+        self.tx_size[0, :, 2] = 0
+        self.tx_size[1:, :, 3] = 0
+        z(self.intra_ext_tx[1], 7); z(self.intra_ext_tx[2], 5)
+        z(self.seg_id, 8)
+        z(self.restore_switchable, 2); z(self.restore_wiener, 2)
+        z(self.restore_sgrproj, 2)
+        z(self.delta_q, 4); z(self.delta_lf, 4); z(self.delta_lf_multi, 4)
+        z(self.intrabc, 2)
+        z(self.palette_y_size, 7); z(self.palette_uv_size, 7)
+        z(self.palette_y_mode, 2); z(self.palette_uv_mode, 2)
+        for n, t in self.palette_y_color_index.items():
+            z(t, n)
+        for n, t in self.palette_uv_color_index.items():
+            z(t, n)
+        for a in (self.intra_inter, self.seg_pred, self.newmv, self.zeromv,
+                  self.refmv, self.drl, self.single_ref, self.comp_inter,
+                  self.comp_ref_type, self.uni_comp_ref, self.comp_ref,
+                  self.comp_bwdref, self.compound_idx, self.comp_group_idx,
+                  self.compound_type, self.wedge_interintra, self.interintra,
+                  self.obmc, self.txfm_partition):
+            z(a, 2)
+        z(self.wedge_idx, 16); z(self.interintra_mode, 4)
+        z(self.motion_mode, 3); z(self.inter_compound_mode, 8)
+        z(self.switchable_interp, 3)
+        z(self.inter_ext_tx[1], 16); z(self.inter_ext_tx[2], 12)
+        z(self.inter_ext_tx[3], 2)
+        for nmv in (self.nmv, self.dv):
+            z(nmv.joints, 4); z(nmv.classes, 11); z(nmv.class0_fp, 4)
+            z(nmv.fp, 4); z(nmv.sign, 2); z(nmv.class0_hp, 2)
+            z(nmv.hp, 2); z(nmv.class0, 2); z(nmv.bits, 2)
 
 
 @functools.lru_cache(maxsize=1)
