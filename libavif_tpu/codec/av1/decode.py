@@ -264,7 +264,7 @@ class FrameDecoder:
         self.txtype_mi = np.zeros((mi_r, mi_c), dtype=np.uint8)
         self.prev_seg_ids = None
         self.ref_planes = [None] * 8  # RefSlot per reference frame 1..7
-        self.motion_field = {}  # ref -> (h8, w8, 2) projected MVs
+        self.motion_field = None  # (raw mv (h8,w8,2), d1 (h8,w8)) or None
         if not hdr.frame_is_intra:
             if state is None:
                 raise AvifError(Result.BMFF_PARSE_FAILED, "inter frame w/o state")
@@ -295,7 +295,7 @@ class FrameDecoder:
             if hdr.use_ref_frame_mvs:
                 from . import mvproj
 
-                self.motion_field = mvproj.motion_field_estimation(self)
+                self.motion_field = mvproj.motion_field_estimation(self)  # (mv, d1)
         if hdr.allow_intrabc:
             raise AvifError(Result.NOT_IMPLEMENTED, "intrabc")
 

@@ -151,58 +151,70 @@ def _ref_count_ctxs(refs):
 
 
 def _comp_mode_ctx(above, left) -> int:
-    """comp_inter_cdf context (§5.11.25 / dav1d get_comp_ctx)."""
+    """comp_inter_cdf context (§5.11.25 comp mode ctx): a single-predicted
+    neighbor opposite a compound one contributes its backward-ness OR its
+    intra-ness."""
     def bwd(info):
-        return info[0] >= R.BWDREF_FRAME
+        return int(info[0] >= R.BWDREF_FRAME)
 
     if above is not None and left is not None:
-        if above[3]:  # above compound
-            return 4 if left[3] else 2 + bwd(left)
-        if left[3]:
-            return 2 + bwd(above)
-        return int(bwd(above)) ^ int(bwd(left))
+        a_single = not above[3]
+        l_single = not left[3]
+        if a_single and l_single:
+            return bwd(above) ^ bwd(left)
+        if a_single:
+            return 2 + int(bwd(above) or above[2])
+        if l_single:
+            return 2 + int(bwd(left) or left[2])
+        return 4
     if above is not None:
-        return 3 if above[3] else int(bwd(above))
+        return bwd(above) if not above[3] else 3
     if left is not None:
-        return 3 if left[3] else int(bwd(left))
+        return bwd(left) if not left[3] else 3
     return 1
 
 
 def _comp_ref_type_ctx(above, left) -> int:
-    """comp_ref_type_cdf context (dav1d get_comp_dir_ctx)."""
-    def samedir(info):
-        # single ref: fwd counts as same-dir pair base
-        r0, r1 = info[0], info[1]
-        if r1 > R.INTRA_FRAME:
-            return int((r0 >= R.BWDREF_FRAME) == (r1 >= R.BWDREF_FRAME))
-        return 1
+    """comp_ref_type_cdf context (aom
+    av1_get_comp_reference_type_context)."""
+    def bwd(r):
+        return r >= R.BWDREF_FRAME
+
+    def uni(info):  # has_uni_comp_refs: both refs on the same side
+        return int(bwd(info[0]) == bwd(info[1]))
 
     if above is not None and left is not None:
-        if above[2] and left[2]:  # both intra
+        a_intra, l_intra = above[2], left[2]
+        if a_intra and l_intra:
             return 2
-        if above[2]:
-            return 3 * samedir(left) if not left[3] else 1 + 2 * samedir(left)
-        if left[2]:
-            return 3 * samedir(above) if not above[3] else 1 + 2 * samedir(above)
+        if a_intra or l_intra:
+            inter = left if a_intra else above
+            if not inter[3]:  # single
+                return 2
+            return 1 + 2 * uni(inter)
         a_comp, l_comp = above[3], left[3]
-        if not a_comp and not l_comp:
-            return 1 + 2 * (int(above[0] >= R.BWDREF_FRAME)
-                            == int(left[0] >= R.BWDREF_FRAME))
-        if a_comp != l_comp:
-            single, comp = (above, left) if not a_comp else (left, above)
-            return 1 + 2 * samedir(comp)
-        return 4 * samedir(above) * samedir(left) if False else (
-            0 if (samedir(above) == 0 and samedir(left) == 0) else
-            (2 if samedir(above) != samedir(left) else 4)
+        if not a_comp and not l_comp:  # single/single
+            return 1 + 2 * int(bwd(above[0]) == bwd(left[0]))
+        if a_comp != l_comp:  # single/comp
+            comp = above if a_comp else left
+            if not uni(comp):
+                return 1
+            return 3 + int(bwd(above[0]) == bwd(left[0]))
+        # comp/comp
+        au, lu = uni(above), uni(left)
+        if not au and not lu:
+            return 0
+        if au != lu:
+            return 2
+        return 3 + int(
+            (above[0] == R.BWDREF_FRAME) == (left[0] == R.BWDREF_FRAME)
         )
     one = above if above is not None else left
     if one is None:
         return 2
-    if one[2]:
+    if one[2] or not one[3]:  # intra or single
         return 2
-    if one[3]:
-        return 3 * samedir(one)
-    return 2
+    return 4 * uni(one)
 
 
 # -------------------------------------------------------------- mode reads

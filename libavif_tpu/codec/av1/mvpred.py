@@ -296,8 +296,27 @@ class _StackBuilder:
         col = (self.c & (d.sb_mi - 1)) + dc
         return 0 <= row < d.sb_mi and -2 <= col < d.sb_mi + 8
 
+    def _tpl_mv_for(self, y8, x8, which):
+        """Scale the stored raw field mv onto this block's reference
+        `which` (aom add_tpl_ref_mv lookup: mv * dist(cur, ref) / d1)."""
+        from . import mvproj as MP
+
+        d = self.d
+        mf_mv, mf_off = d.motion_field
+        d1 = int(mf_off[y8, x8])
+        if d1 == 0:
+            return None
+        num = R.get_relative_dist(
+            d.seq, d.hdr.order_hint, d.hdr.order_hints[self.rf[which]]
+        )
+        raw = (int(mf_mv[y8, x8, 0]), int(mf_mv[y8, x8, 1]))
+        mv = MP.mv_projection(raw, num, d1)
+        return lower_mv_precision(d, (mv[0], mv[1]))
+
     def add_tpl_candidate(self, dr, dc):
         d = self.d
+        if d.motion_field is None:
+            return
         mv_row = (self.r + dr) | 1
         mv_col = (self.c + dc) | 1
         if not d.is_inside(mv_row, mv_col):
@@ -307,13 +326,9 @@ class _StackBuilder:
         if dr == 0 and dc == 0:
             self.zero_mv_ctx = 1
         if not self.comp:
-            cand = d.motion_field.get(self.rf[0])
-            if cand is None:
+            cand_mv = self._tpl_mv_for(y8, x8, 0)
+            if cand_mv is None:
                 return
-            raw = cand[y8, x8]
-            if raw[0] == REF_MV_INVALID:
-                return
-            cand_mv = lower_mv_precision(d, (int(raw[0]), int(raw[1])))
             if dr == 0 and dc == 0:
                 g = self.global_mvs[0]
                 self.zero_mv_ctx = (
@@ -328,16 +343,10 @@ class _StackBuilder:
                 self.stack.append((cand_mv, (0, 0)))
                 self.weights.append(2)
         else:
-            cand0 = d.motion_field.get(self.rf[0])
-            cand1 = d.motion_field.get(self.rf[1])
-            if cand0 is None or cand1 is None:
+            mv0 = self._tpl_mv_for(y8, x8, 0)
+            mv1 = self._tpl_mv_for(y8, x8, 1)
+            if mv0 is None or mv1 is None:
                 return
-            raw0 = cand0[y8, x8]
-            raw1 = cand1[y8, x8]
-            if raw0[0] == REF_MV_INVALID or raw1[0] == REF_MV_INVALID:
-                return
-            mv0 = lower_mv_precision(d, (int(raw0[0]), int(raw0[1])))
-            mv1 = lower_mv_precision(d, (int(raw1[0]), int(raw1[1])))
             if dr == 0 and dc == 0:
                 g0, g1 = self.global_mvs
                 self.zero_mv_ctx = (

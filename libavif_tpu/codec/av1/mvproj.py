@@ -2,13 +2,19 @@
 
 Projects stored reference-frame motion onto the current frame's 8x8 grid
 so find_mv_stack can add temporal candidates when use_ref_frame_mvs=1.
-The reference store keeps per-8x8 condensed (mv, ref) pairs saved at
-frame completion (§7.20; decode.py finish_motion_field).
 
-Source priority and first-write-wins overwrite semantics follow the
-spec's fixed processing order (LAST, BWDREF, ALTREF2, ALTREF, LAST2 with
-the MFMV_STACK_SIZE budget); validated against dav1d on ref-frame-mvs
-probe streams.
+Mirrors aom av1_setup_motion_field / motion_field_projection semantics
+(validated against dav1d on ref-frame-mvs probe streams):
+- the field stores the source's RAW mv plus its reference distance d1;
+  scaling onto the current block's reference happens at lookup
+  (mvpred.add_tpl_candidate) as mv * dist(cur, ref) / d1;
+- later sources OVERWRITE earlier writes (last-write-wins);
+- projected positions use symmetric (toward-zero) >>6 shifts, a row band
+  of exactly the source row's 8-row superblock band and a column band of
+  ±8 around the aligned base column;
+- processing order LAST, BWDREF, ALTREF2, ALTREF, LAST2 under the
+  MFMV_STACK_SIZE-1 stamp budget (LAST always consumes a stamp; its
+  projection is skipped when LAST is the current GOLDEN's overlay).
 """
 
 from __future__ import annotations
@@ -18,7 +24,7 @@ import numpy as np
 from . import refs as R
 
 MAX_FRAME_DISTANCE = 31
-MAX_OFFSET_WIDTH = 8
+MAX_OFFSET_WIDTH = 64  # in px; >>3 = 8 units of 8px
 MAX_OFFSET_HEIGHT = 0
 MFMV_STACK_SIZE = 3
 INVALID = (1 << 15) - 1
@@ -37,8 +43,8 @@ def _round2_signed(v: int, n: int) -> int:
     return -((-v + (1 << (n - 1))) >> n)
 
 
-def _mv_projection(mv, num: int, den: int):
-    """§7.9.3 get_mv_projection."""
+def mv_projection(mv, num: int, den: int):
+    """get_mv_projection: mv * num / den with spec rounding/clamping."""
     den = min(MAX_FRAME_DISTANCE, den)
     num = max(-MAX_FRAME_DISTANCE, min(MAX_FRAME_DISTANCE, num))
     out = []
@@ -48,26 +54,33 @@ def _mv_projection(mv, num: int, den: int):
     return out
 
 
-def _get_block_position(x8: int, y8: int, dst_sign: int, proj_mv, w8: int, h8: int):
-    """§7.9.4 get_block_position."""
-    pos_y8 = y8 + dst_sign * (proj_mv[0] >> 6)
-    pos_x8 = x8 + dst_sign * (proj_mv[1] >> 6)
-    if pos_y8 < 0 or pos_y8 >= h8 or pos_x8 < 0 or pos_x8 >= w8:
+def _shift_to_zero(v: int, n: int) -> int:
+    return (v >> n) if v >= 0 else -((-v) >> n)
+
+
+def _get_block_position(x8, y8, sign_bias, this_mv, w8, h8):
+    row_off = _shift_to_zero(this_mv[0], 6)
+    col_off = _shift_to_zero(this_mv[1], 6)
+    row = y8 - row_off if sign_bias else y8 + row_off
+    col = x8 - col_off if sign_bias else x8 + col_off
+    if row < 0 or row >= h8 or col < 0 or col >= w8:
         return None
-    # row band limit: the projected row must stay within the source row's
-    # 64px superblock band (MAX_OFFSET_HEIGHT = 0 extension)
-    if pos_y8 < (y8 & ~7) - (MAX_OFFSET_HEIGHT >> 3) or pos_y8 >= (
-        (y8 & ~7) + 8 + (MAX_OFFSET_HEIGHT >> 3)
+    base_row = y8 & ~7
+    base_col = x8 & ~7
+    if row < base_row - (MAX_OFFSET_HEIGHT >> 3) or row >= base_row + 8 + (
+        MAX_OFFSET_HEIGHT >> 3
     ):
         return None
-    if abs(pos_x8 - x8) > MAX_OFFSET_WIDTH:
+    if col < base_col - (MAX_OFFSET_WIDTH >> 3) or col >= base_col + 8 + (
+        MAX_OFFSET_WIDTH >> 3
+    ):
         return None
-    return pos_y8, pos_x8
+    return row, col
 
 
-def _project_source(d, out, written, src_ref: int, dst_sign: int) -> bool:
-    """One source frame's projection pass (§7.9.2). Returns True if the
-    source was usable."""
+def _project_source(d, mf_mv, mf_off, src_ref: int, direction: int) -> bool:
+    """One source frame's pass (aom motion_field_projection). direction 2
+    = past source, 0 = future source. Returns True if usable."""
     hdr = d.hdr
     seq = d.seq
     slot = d.ref_planes[src_ref]
@@ -78,75 +91,71 @@ def _project_source(d, out, written, src_ref: int, dst_sign: int) -> bool:
     if slot.frame_type in (R.KEY_FRAME, R.INTRA_ONLY_FRAME):
         return False
     start_hint = hdr.order_hints[src_ref]
-    src_to_cur = R.get_relative_dist(seq, start_hint, hdr.order_hint)
-    if abs(src_to_cur) > MAX_FRAME_DISTANCE:
-        return False
+    start_to_cur = R.get_relative_dist(seq, start_hint, hdr.order_hint)
+    if direction == 2:
+        start_to_cur = -start_to_cur
+    if abs(start_to_cur) > MAX_FRAME_DISTANCE:
+        return True  # usable source, projects nothing (aom returns 0 here)
+    sign_bias = direction >> 1
     h8 = hdr.mi_rows >> 1
     w8 = hdr.mi_cols >> 1
-    saved_hints = slot.order_hints  # the source's own view of its refs
-    mvs = slot.mvs  # (h8, w8, 2) condensed
-    refs = slot.ref_frames  # (h8, w8) condensed
+    saved_hints = slot.order_hints
+    mvs = slot.mvs
+    refs = slot.ref_frames
     for y8 in range(h8):
         for x8 in range(w8):
             sref = int(refs[y8, x8])
             if sref < R.LAST_FRAME:
                 continue
-            ref_to_start = R.get_relative_dist(
-                seq, start_hint, int(saved_hints[sref])
-            )
-            if ref_to_start <= 0 or ref_to_start > MAX_FRAME_DISTANCE:
+            d1 = R.get_relative_dist(seq, start_hint, int(saved_hints[sref]))
+            if d1 <= 0 or d1 > MAX_FRAME_DISTANCE:
                 continue
             mv = (int(mvs[y8, x8, 0]), int(mvs[y8, x8, 1]))
-            proj = _mv_projection(mv, src_to_cur, ref_to_start)
-            pos = _get_block_position(x8, y8, dst_sign, proj, w8, h8)
+            this_mv = mv_projection(mv, start_to_cur, d1)
+            pos = _get_block_position(x8, y8, sign_bias, this_mv, w8, h8)
             if pos is None:
                 continue
             py8, px8 = pos
-            if written[py8, px8]:
-                continue  # first-write-wins across sources
-            written[py8, px8] = True
-            for dst in range(R.LAST_FRAME, R.ALTREF_FRAME + 1):
-                d2 = R.get_relative_dist(
-                    seq, hdr.order_hints[dst], hdr.order_hint
-                )
-                pmv = _mv_projection(mv, d2, ref_to_start)
-                out[dst][py8, px8, 0] = pmv[0]
-                out[dst][py8, px8, 1] = pmv[1]
+            mf_mv[py8, px8, 0] = mv[0]
+            mf_mv[py8, px8, 1] = mv[1]
+            mf_off[py8, px8] = d1
     return True
 
 
-def motion_field_estimation(d) -> dict:
-    """Returns {ref_frame: (h8, w8, 2) int32} with INVALID sentinels."""
+def motion_field_estimation(d):
+    """Returns (mf_mv (h8,w8,2) raw int32, mf_off (h8,w8) int16 with 0 =
+    invalid): the condensed temporal field add_tpl_candidate scales."""
     hdr = d.hdr
     seq = d.seq
     h8 = hdr.mi_rows >> 1
     w8 = hdr.mi_cols >> 1
-    out = {
-        ref: np.full((h8, w8, 2), INVALID, dtype=np.int32)
-        for ref in range(R.LAST_FRAME, R.ALTREF_FRAME + 1)
-    }
-    written = np.zeros((h8, w8), dtype=bool)
+    mf_mv = np.zeros((h8, w8, 2), dtype=np.int32)
+    mf_off = np.zeros((h8, w8), dtype=np.int16)
 
     last_slot = d.ref_planes[R.LAST_FRAME]
-    use_last = True
-    if last_slot is not None and last_slot.order_hints is not None:
-        last_alt_hint = int(last_slot.order_hints[R.ALTREF_FRAME])
-        use_last = last_alt_hint != hdr.order_hints[R.GOLDEN_FRAME]
-    if use_last:
-        _project_source(d, out, written, R.LAST_FRAME, -1)
-    ref_stamp = MFMV_STACK_SIZE - 2
+    ref_stamp = MFMV_STACK_SIZE - 1
+    if last_slot is not None:
+        last_alt_hint = (
+            int(last_slot.order_hints[R.ALTREF_FRAME])
+            if last_slot.order_hints is not None
+            else 0
+        )
+        is_lst_overlay = last_alt_hint == hdr.order_hints[R.GOLDEN_FRAME]
+        if not is_lst_overlay:
+            _project_source(d, mf_mv, mf_off, R.LAST_FRAME, 2)
+        ref_stamp -= 1
     if R.get_relative_dist(seq, hdr.order_hints[R.BWDREF_FRAME], hdr.order_hint) > 0:
-        if _project_source(d, out, written, R.BWDREF_FRAME, 1):
+        if _project_source(d, mf_mv, mf_off, R.BWDREF_FRAME, 0):
             ref_stamp -= 1
     if R.get_relative_dist(seq, hdr.order_hints[R.ALTREF2_FRAME], hdr.order_hint) > 0:
-        if _project_source(d, out, written, R.ALTREF2_FRAME, 1):
+        if _project_source(d, mf_mv, mf_off, R.ALTREF2_FRAME, 0):
             ref_stamp -= 1
     if (
         R.get_relative_dist(seq, hdr.order_hints[R.ALTREF_FRAME], hdr.order_hint) > 0
         and ref_stamp >= 0
     ):
-        if _project_source(d, out, written, R.ALTREF_FRAME, 1):
+        if _project_source(d, mf_mv, mf_off, R.ALTREF_FRAME, 0):
             ref_stamp -= 1
     if ref_stamp >= 0:
-        _project_source(d, out, written, R.LAST2_FRAME, -1)
-    return out
+        _project_source(d, mf_mv, mf_off, R.LAST2_FRAME, 2)
+    return mf_mv, mf_off
