@@ -161,51 +161,74 @@ class _StackBuilder:
         self.zero_mv_ctx = 0
         self.global_mvs = [(0, 0), (0, 0)]
         self.n_padded = 0  # trailing global-mv fill entries (not real cands)
+        self.processed_rows = 0  # rows already covered by tall -1 candidates
+        self.processed_cols = 0
 
-    # ---- §7.10.2.2-4 spatial scans
+    # ---- spatial scans (aom scan_row_mbmi / scan_col_mbmi semantics:
+    # outer rows step >=2, step-16 blocks step by candidate width, and a
+    # candidate as wide as the block boosts weight by its row coverage
+    # while marking those rows processed)
 
-    def scan_row(self, delta_row: int):
+    def scan_row(self, delta_row: int, max_row_offset: int):
         d = self.d
         bw4 = B.w4(self.bsize)
         end4 = min(min(bw4, d.hdr.mi_cols - self.c), 16)
         delta_col = 0
-        use_step16 = bw4 >= 16
         if abs(delta_row) > 1:
-            delta_row += self.r & 1
-            delta_col = 1 - (self.c & 1)
+            delta_col = 1
+            if (self.c & 1) and bw4 < 2:
+                delta_col -= 1
+        use_step16 = bw4 >= 16
         i = 0
         while i < end4:
             mv_row = self.r + delta_row
             mv_col = self.c + delta_col + i
             if not d.is_inside(mv_row, mv_col):
                 break
-            length = min(2, B.w4(int(d.ctx.block_of[mv_row, mv_col])))
+            cand_bs = int(d.ctx.block_of[mv_row, mv_col])
+            cand_w4 = B.w4(cand_bs)
+            length = min(2, cand_w4)
             if use_step16:
-                length = max(4, length)
-            weight = length * 2
-            self.add_candidate(mv_row, mv_col, weight)
+                length = max(4, cand_w4)
+            elif abs(delta_row) > 1:
+                length = max(length, 2)
+            weight = 2
+            if 2 <= bw4 <= cand_w4:
+                inc = min(-max_row_offset + delta_row + 1, B.h4(cand_bs))
+                weight = max(weight, inc)
+                self.processed_rows = inc - delta_row - 1
+            self.add_candidate(mv_row, mv_col, weight * length)
             i += length
 
-    def scan_col(self, delta_col: int):
+    def scan_col(self, delta_col: int, max_col_offset: int):
         d = self.d
         bh4 = B.h4(self.bsize)
         end4 = min(min(bh4, d.hdr.mi_rows - self.r), 16)
         delta_row = 0
-        use_step16 = bh4 >= 16
         if abs(delta_col) > 1:
-            delta_row = 1 - (self.r & 1)
-            delta_col += self.c & 1
+            delta_row = 1
+            if (self.r & 1) and bh4 < 2:
+                delta_row -= 1
+        use_step16 = bh4 >= 16
         i = 0
         while i < end4:
             mv_row = self.r + delta_row + i
             mv_col = self.c + delta_col
             if not d.is_inside(mv_row, mv_col):
                 break
-            length = min(2, B.h4(int(d.ctx.block_of[mv_row, mv_col])))
+            cand_bs = int(d.ctx.block_of[mv_row, mv_col])
+            cand_h4 = B.h4(cand_bs)
+            length = min(2, cand_h4)
             if use_step16:
-                length = max(4, length)
-            weight = length * 2
-            self.add_candidate(mv_row, mv_col, weight)
+                length = max(4, cand_h4)
+            elif abs(delta_col) > 1:
+                length = max(length, 2)
+            weight = 2
+            if 2 <= bh4 <= cand_h4:
+                inc = min(-max_col_offset + delta_col + 1, B.w4(cand_bs))
+                weight = max(weight, inc)
+                self.processed_cols = inc - delta_col - 1
+            self.add_candidate(mv_row, mv_col, weight * length)
             i += length
 
     def scan_point(self, delta_row: int, delta_col: int):
@@ -376,10 +399,12 @@ class _StackBuilder:
         self.ref_diff_mvs = [[], []]
         w4 = min(min(16, bw4), d.hdr.mi_cols - self.c)
         h4 = min(min(16, bh4), d.hdr.mi_rows - self.r)
-        num4x4 = min(w4, h4)  # spec: Min( w4, h4 ) iterations per pass? see below
+        # BOTH passes iterate to min(w4, h4) (aom setup_ref_mv_list
+        # mi_size = AOMMIN(mi_width, mi_height)), not per-pass w4/h4
+        num4x4 = min(w4, h4)
         for pass_ in range(2):
             idx = 0
-            limit = w4 if pass_ == 0 else h4
+            limit = num4x4
             while idx < limit:
                 if pass_ == 0:
                     mv_row, mv_col = self.r - 1, self.c + idx
@@ -393,6 +418,9 @@ class _StackBuilder:
                 else:
                     idx += B.h4(int(d.ctx.block_of[mv_row, mv_col]))
         if self.comp:
+            # compound fill entries are REAL stack candidates: they bump
+            # NumMvFound to 2 (aom setup_ref_mv_list ++*refmv_count), so
+            # they gate drl reads — unlike the single-ref global fill.
             combined = [[], []]
             for lst in range(2):
                 combined[lst] = (self.ref_id_mvs[lst] + self.ref_diff_mvs[lst])[:2]
@@ -402,7 +430,6 @@ class _StackBuilder:
                 idx = len(self.stack)
                 self.stack.append((combined[0][idx], combined[1][idx]))
                 self.weights.append(2)
-                self.n_padded += 1
         else:
             while len(self.stack) < 2:
                 self.stack.append((self.global_mvs[0], (0, 0)))
@@ -471,11 +498,26 @@ def find_mv_stack(d, r, c, bsize, ref_frames, is_compound) -> MvContext:
         sb.global_mvs[1] = global_mv(d, ref_frames[1], bsize, r, c)
     bw4, bh4 = B.w4(bsize), B.h4(bsize)
 
+    # maximum scan offsets (aom setup_ref_mv_list): sub-8px dimensions
+    # limit the outer scans to one ring, and offsets clamp to the tile
+    row_adj = 1 if (bh4 < 2 and (r & 1)) else 0
+    col_adj = 1 if (bw4 < 2 and (c & 1)) else 0
+    max_row_offset = 0
+    if r > d.mi_row0:
+        max_row_offset = (-(2 << 1) if bh4 < 2 else -(3 << 1)) + row_adj
+        max_row_offset = max(max_row_offset, d.mi_row0 - r)
+    max_col_offset = 0
+    if c > d.mi_col0:
+        max_col_offset = (-(2 << 1) if bw4 < 2 else -(3 << 1)) + col_adj
+        max_col_offset = max(max_col_offset, d.mi_col0 - c)
+
     sb.found_match = False
-    sb.scan_row(-1)
+    if abs(max_row_offset) >= 1:
+        sb.scan_row(-1, max_row_offset)
     found_above = sb.found_match
     sb.found_match = False
-    sb.scan_col(-1)
+    if abs(max_col_offset) >= 1:
+        sb.scan_col(-1, max_col_offset)
     found_left = sb.found_match
     sb.found_match = False
     if max(bw4, bh4) <= 16:
@@ -496,15 +538,24 @@ def find_mv_stack(d, r, c, bsize, ref_frames, is_compound) -> MvContext:
     if sb.found_match:
         found_above = True
     for idx in (2, 3):
-        delta = -(idx << 1) + 1
-        sb.found_match = False
-        sb.scan_row(delta)
-        if sb.found_match:
-            found_above = True
-        sb.found_match = False
-        sb.scan_col(delta)
-        if sb.found_match:
-            found_left = True
+        row_offset = -(idx << 1) + 1 + row_adj
+        col_offset = -(idx << 1) + 1 + col_adj
+        if (
+            abs(row_offset) <= abs(max_row_offset)
+            and abs(row_offset) > sb.processed_rows
+        ):
+            sb.found_match = False
+            sb.scan_row(row_offset, max_row_offset)
+            if sb.found_match:
+                found_above = True
+        if (
+            abs(col_offset) <= abs(max_col_offset)
+            and abs(col_offset) > sb.processed_cols
+        ):
+            sb.found_match = False
+            sb.scan_col(col_offset, max_col_offset)
+            if sb.found_match:
+                found_left = True
     total_matches = int(found_above) + int(found_left)
 
     # §7.10.2.14 sorting: stable, by weight desc, nearest band then rest
