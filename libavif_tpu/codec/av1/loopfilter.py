@@ -219,8 +219,11 @@ def _filter_plane(dec, plane, direction, base_lvl, bd):
                 mc_prev = ((x - 1) << sx) >> 2
                 txw_prev = int(tx_w[mr, mc_prev]) or txw_cur
                 is_block_edge = int(ctx.blk_c0[mr, mc]) != int(ctx.blk_c0[mr, mc_prev])
-                skip_cur = int(ctx.skip_of[mr, mc])
-                skip_prev = int(ctx.skip_of[mr, mc_prev])
+                # interior-tx-edge skip shortcut applies to INTER skip
+                # blocks only (aom loopfilter.c: skip_txfm && is_inter);
+                # intra skip blocks still filter their interior tx edges
+                skip_cur = int(ctx.skip_of[mr, mc]) and int(dec.ref_frames_mi[mr, mc, 0]) > 0
+                skip_prev = int(ctx.skip_of[mr, mc_prev]) and int(dec.ref_frames_mi[mr, mc_prev, 0]) > 0
                 if not is_block_edge and skip_cur and skip_prev:
                     x += step
                     continue
@@ -271,8 +274,8 @@ def _filter_plane(dec, plane, direction, base_lvl, bd):
                 mr_prev = ((y - 1) << sy) >> 2
                 txh_prev = int(tx_h[mr_prev, mc]) or txh_cur
                 is_block_edge = int(ctx.blk_r0[mr, mc]) != int(ctx.blk_r0[mr_prev, mc])
-                skip_cur = int(ctx.skip_of[mr, mc])
-                skip_prev = int(ctx.skip_of[mr_prev, mc])
+                skip_cur = int(ctx.skip_of[mr, mc]) and int(dec.ref_frames_mi[mr, mc, 0]) > 0
+                skip_prev = int(ctx.skip_of[mr_prev, mc]) and int(dec.ref_frames_mi[mr_prev, mc, 0]) > 0
                 if not is_block_edge and skip_cur and skip_prev:
                     y += step
                     continue
