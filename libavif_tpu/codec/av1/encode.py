@@ -286,7 +286,7 @@ class LossyPlanner(LosslessPlanner):
         blk = src[np.ix_(rows, cols)].astype(np.int64)
         res = blk - pred
         qd = self.hdr.quant
-        depth = 8
+        depth = self.seq.bit_depth
         dcq = T.dc_q(qd.base_q_idx + (qd.delta_q_y_dc if plane == 0 else qd.delta_q_u_dc), depth)
         acq = T.ac_q(qd.base_q_idx + (0 if plane == 0 else qd.delta_q_u_ac), depth)
         pels = txw * txh
@@ -360,7 +360,8 @@ class RDPlanner(LossyPlanner):
         self.cfg = R.speed_config(speed)
         self.sizes = self.cfg["sizes"]
         self.max_px = max(self.sizes)
-        self.plan = R.plan_luma(sources[0], qindex, speed)
+        bd = seq.bit_depth
+        self.plan = R.plan_luma(sources[0], qindex, speed, bd=bd)
         self.uv_plan = {}
         if (
             len(sources) == 3
@@ -368,7 +369,7 @@ class RDPlanner(LossyPlanner):
             and seq.subsampling_y
             and self.cfg["uv_modes"]
         ):
-            self.uv_plan = R.plan_chroma(sources[1], sources[2], qindex, speed)
+            self.uv_plan = R.plan_chroma(sources[1], sources[2], qindex, speed, bd=bd)
         self.dec = None  # FrameDecoder, attached by _encode_still
 
     def _mode_at(self, r, c):
@@ -417,7 +418,10 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
                         tx_mode_select: bool = True,
                         segmentation=None, allow_scc: bool = False,
                         enable_lr: bool = False,
-                        enable_cdef: bool = False) -> bytes:
+                        enable_cdef: bool = False,
+                        tile_cols_log2: int = 0,
+                        tile_rows_log2: int = 0,
+                        cdef_strengths=None) -> bytes:
     """Reduced-still-picture uncompressed header (mirror of
     headers.parse_frame_header for the configurations we emit: lossless
     or lossy with loop filters off and TX_MODE_SELECT)."""
@@ -449,16 +453,29 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
     max_log2_rows = _tile_log2(1, min(sb_rows, 64))
     min_log2_tiles = max(min_log2_cols, _tile_log2(max_tile_area_sb, sb_cols * sb_rows))
     w(1, 1)  # uniform_tile_spacing
+    want_cols = max(min_log2_cols, min(int(tile_cols_log2), max_log2_cols))
     log2_cols = min_log2_cols
+    while log2_cols < want_cols:
+        w(1, 1)
+        log2_cols += 1
     if log2_cols < max_log2_cols:
-        w(0, 1)  # stop at the minimum
+        w(0, 1)
     min_log2_rows = max(min_log2_tiles - log2_cols, 0)
+    want_rows = max(min_log2_rows, min(int(tile_rows_log2), max_log2_rows))
     log2_rows = min_log2_rows
+    while log2_rows < want_rows:
+        w(1, 1)
+        log2_rows += 1
     if log2_rows < max_log2_rows:
         w(0, 1)
-    n_tiles = (1 << log2_cols) * (1 << log2_rows)
-    if n_tiles > 1:
-        raise AvifError(Result.NOT_IMPLEMENTED, "multi-tile spec encode")
+    tile_width_sb = (sb_cols + (1 << log2_cols) - 1) >> log2_cols
+    tile_height_sb = (sb_rows + (1 << log2_rows) - 1) >> log2_rows
+    n_cols = len(range(0, sb_cols, tile_width_sb))
+    n_rows = len(range(0, sb_rows, tile_height_sb))
+    if n_cols * n_rows > 1:
+        bits = _tile_log2(1, n_cols) + _tile_log2(1, n_rows)
+        w(0, bits)  # context_update_tile_id
+        w(3, 2)  # tile_size_bytes_minus_1 = 3 (4-byte tile sizes)
     # quantization
     w(base_q_idx, 8)
     w(0, 1)  # delta_q_y_dc flag
@@ -559,14 +576,24 @@ def _encode_still(
 ) -> bytes:
     """Encode YUV planes as a spec-conformant AV1 still payload
     (temporal delimiter + sequence header + frame OBU)."""
-    if bit_depth != 8:
-        raise AvifError(Result.NOT_IMPLEMENTED, "spec encode: 8-bit first")
+    if bit_depth not in (8, 10, 12):
+        raise AvifError(Result.UNSUPPORTED_DEPTH, f"spec encode: depth {bit_depth}")
     y = np.asarray(planes[0])
     h, w = y.shape
+    # profile selection mirrors codec_aom.c:834-869: 12-bit -> professional
+    # (2); 4:4:4 -> high (1); 4:2:2 -> professional; 4:2:0/4:0:0 -> main (0)
+    if bit_depth == 12:
+        profile = 2
+    elif monochrome or (subsampling_x and subsampling_y):
+        profile = 0
+    elif not subsampling_x and not subsampling_y:
+        profile = 1
+    else:
+        profile = 2
     seq = SequenceHeader(
-        seq_profile=(
-            0 if (monochrome or (subsampling_x and subsampling_y)) else (1 if not subsampling_x and not subsampling_y else 2)
-        ),
+        seq_profile=profile,
+        high_bitdepth=bit_depth > 8,
+        twelve_bit=bit_depth == 12,
         still_picture=True,
         reduced_still_picture_header=True,
         max_frame_width=w,

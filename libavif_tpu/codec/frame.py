@@ -219,7 +219,6 @@ def encode_frames_pipelined(
     if (
         params.lossless
         and images
-        and images[0].depth == 8
         and (params.codec == "spec" or (params.codec == "auto" and _spec_av1_enabled()))
     ):
         return [_encode_frame_spec_lossless(im) for im in images]
@@ -408,10 +407,6 @@ def _encode_frame_spec_lossy(image: Image, params: FrameParams) -> tuple[bytes, 
     rule (avif.h AVIF_QUANTIZER scale, write.c quality mapping)."""
     from .av1.encode import encode_lossy_still
 
-    if image.depth != 8:
-        raise AvifError(
-            Result.NOT_IMPLEMENTED, "spec lossy encode: 8-bit only for now"
-        )
     info = pixel_format_info(image.yuv_format)
     planes = [image.yuv_planes[c] for c in range(_coded_planes(image))]
     quantizer = ((100 - params.quality) * 63 + 50) // 100
@@ -440,11 +435,10 @@ def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHead
         return _encode_frame_spec_lossy(image, params)
     if (
         params.lossless
-        and image.depth == 8
         and (params.codec == "spec" or (params.codec == "auto" and _spec_av1_enabled()))
     ):
-        # lossless 8-bit rides the spec-conformant AV1 path so the files
-        # interoperate with every AVIF decoder
+        # lossless rides the spec-conformant AV1 path at every depth so
+        # the files interoperate with every AVIF decoder
         return _encode_frame_spec_lossless(image)
     # single frame = one-element pipelined batch (byte-identity is tested)
     return encode_frames_pipelined([image], params)[0]

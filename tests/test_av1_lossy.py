@@ -212,3 +212,62 @@ class TestProbeConformance:
         finally:
             E.LossyPlanner = old
         self._check(payload, 64, 64)
+
+
+def _hbd_photo(n, m, depth, seed=5):
+    rng = np.random.RandomState(seed)
+    maxv = (1 << depth) - 1
+    yy, xx = np.mgrid[0:m, 0:n]
+    sc = maxv / 255.0
+    y = ((128 + 80 * np.sin(yy / 9.0) * np.cos(xx / 11.0)) * sc
+         + rng.rand(m, n) * 16 - 8).clip(0, maxv).astype(np.uint16)
+    u = ((128 + 50 * np.sin(xx[: (m + 1) // 2, : (n + 1) // 2] / 7.0)) * sc
+         ).clip(0, maxv).astype(np.uint16)
+    v = ((128 + 50 * np.cos(yy[: (m + 1) // 2, : (n + 1) // 2] / 5.0)) * sc
+         ).clip(0, maxv).astype(np.uint16)
+    return [y, u, v]
+
+
+@pytest.mark.parametrize("depth", [10, 12])
+@pytest.mark.parametrize("lossless", [False, True])
+def test_encode_high_bitdepth_dav1d_bit_exact(depth, lossless):
+    """10/12-bit spec encode (profiles per codec_aom.c:834-869) decodes
+    bit-exactly in dav1d at both lossy and lossless settings."""
+    pl = _hbd_photo(72, 56, depth, seed=depth)
+    if lossless:
+        payload = E.encode_lossless_still(pl, bit_depth=depth)
+    else:
+        payload = E.encode_lossy_still(pl, qindex=100, speed=6, bit_depth=depth)
+    from libavif_tpu.containers.items import CodecConfiguration as CC
+    from libavif_tpu.containers.write import write_still as WS
+
+    item = OutputItem(
+        id=1, item_type="av01", payload=payload,
+        properties=[
+            Property("ispe", ImageSpatialExtents(72, 56)),
+            Property("pixi", PixelInformation(plane_depths=[depth] * 3)),
+            Property("av1C", CodecConfiguration(
+                seq_profile=2 if depth == 12 else 0,
+                high_bitdepth=True, twelve_bit=depth == 12,
+                chroma_subsampling_x=1, chroma_subsampling_y=1)),
+            Property("colr", ColorInformation(has_nclx=True, color_primaries=2,
+                                              transfer_characteristics=2,
+                                              matrix_coefficients=2,
+                                              yuv_range=Range.FULL)),
+        ],
+    )
+    data = write_still([item], 1)
+    ofr = oracle.decode_frames(data)[0]
+    planes, seq, hdr = decode_still(payload)
+    assert seq.bit_depth == depth
+    for ours, th in zip(planes, ofr.planes):
+        assert np.array_equal(
+            ours[: th.shape[0], : th.shape[1]].astype(np.int64),
+            th.astype(np.int64),
+        )
+    if lossless:
+        for ours, src in zip(planes, pl):
+            assert np.array_equal(
+                ours[: src.shape[0], : src.shape[1]].astype(np.int64),
+                src.astype(np.int64),
+            )
