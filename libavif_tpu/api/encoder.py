@@ -71,6 +71,13 @@ class Encoder:
         self.repetition_count = 0  # 0 = infinite (reference: avif.h repetition)
         self.keyframe_interval = 0
         self.tx_size = 16
+        # AV1 tile grid for the spec codec (avifEncoder tileRowsLog2/
+        # tileColsLog2/autoTiling, avif.h:1568-1576; auto heuristic
+        # write.c:89-119)
+        self.tile_rows_log2 = 0
+        self.tile_cols_log2 = 0
+        self.auto_tiling = False
+        self.max_threads = 8
         # 16-bit bit-depth extension (avifEncoder::sampleTransformRecipe)
         from ..hdr.sampletransform import Recipe
 
@@ -89,6 +96,9 @@ class Encoder:
         internal.h:517-528). Known keys for the native codec:
 
           tx-size          transform size (4|8|16|32)
+          tile-rows / tile-columns        log2 tile counts for the spec
+                                          codec (aom key names,
+                                          codec_aom.c:465-470)
           color:tx-size / alpha:tx-size   scoped variants (codec_aom.c:312
                                           scoping convention)
 
@@ -102,6 +112,15 @@ class Encoder:
                 raise AvifError(Result.INVALID_ARGUMENT, f"tx-size {value}")
             if not key.startswith("alpha:"):
                 self.tx_size = v
+        elif scoped in ("tile-rows", "tile-columns"):
+            v = int(value)
+            if not 0 <= v <= 6:
+                raise AvifError(Result.INVALID_ARGUMENT, f"{scoped} {value}")
+            if not key.startswith("alpha:"):
+                if scoped == "tile-rows":
+                    self.tile_rows_log2 = v
+                else:
+                    self.tile_cols_log2 = v
 
     # ------------------------------------------------------------- internals
 
@@ -109,6 +128,10 @@ class Encoder:
         return FrameParams(
             quality=quality, speed=self.speed, tx_size=self.tx_size,
             codec=self.codec_choice,
+            tile_rows_log2=self.tile_rows_log2,
+            tile_cols_log2=self.tile_cols_log2,
+            auto_tiling=self.auto_tiling,
+            max_threads=self.max_threads,
         )
 
     def _alpha_image(self, image: Image) -> Image:

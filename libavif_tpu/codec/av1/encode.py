@@ -573,6 +573,8 @@ def _encode_still(
     allow_scc: bool = False,
     enable_lr: bool = False,
     enable_cdef: bool = False,
+    tile_cols_log2: int = 0,
+    tile_rows_log2: int = 0,
 ) -> bytes:
     """Encode YUV planes as a spec-conformant AV1 still payload
     (temporal delimiter + sequence header + frame OBU)."""
@@ -628,7 +630,9 @@ def _encode_still(
     seq = parse_sequence_header(seq_payload)
     hdr_payload = _write_frame_header(seq, base_q_idx, segmentation=segmentation,
                                       allow_scc=allow_scc, enable_lr=enable_lr,
-                                      enable_cdef=enable_cdef)
+                                      enable_cdef=enable_cdef,
+                                      tile_cols_log2=tile_cols_log2,
+                                      tile_rows_log2=tile_rows_log2)
     # parse back our own header (guarantees reader/writer agreement and
     # yields the derived geometry the shared traversal needs)
     hdr = parse_frame_header(hdr_payload, seq)
@@ -643,34 +647,56 @@ def _encode_still(
         planner = RDPlanner(srcs, hdr, seq, base_q_idx, speed)
     else:
         planner = LossyPlanner(srcs, hdr, seq, block_px=block_px, tx_depth=tx_depth)
-    enc = MsacEncoder()
     dec.planner = planner
     planner.dec = dec  # position hooks (part_pos/block_pos) for RD plans
-    dec.dec = None  # will be set per tile in decode_tiles; set below instead
 
-    # run the shared traversal with the mirror coder
+    # run the shared traversal with the mirror coder, one tile at a time
+    # (tiles are entropy-independent; the reference reaches multi-tile via
+    # AV1E_SET_TILE_ROWS/COLUMNS, codec_aom.c:994-997)
     ti = hdr.tile
-    dec.mi_col0, dec.mi_col1 = 0, hdr.mi_cols
-    dec.mi_row0, dec.mi_row1 = 0, hdr.mi_rows
     from .decode import TileContexts
 
     dec.ctx = TileContexts(hdr.mi_rows, hdr.mi_cols, dec.n_planes)
-    dec.cdf = dec.frame_cdf_init.copy()
     dec.adapt = True
-    dec.dec = MirrorCoder(enc, planner)
     from . import blocks as B
 
     from .restoration import read_lr, reset_lr_refs, setup_lr
 
     setup_lr(dec)
-    reset_lr_refs(dec)
-    for r in range(0, hdr.mi_rows, dec.sb_mi):
-        for c in range(0, hdr.mi_cols, dec.sb_mi):
-            dec._clear_block_decoded(r, c)
-            read_lr(dec, r, c)
-            dec._decode_partition(r, c, B.block_size(dec.sb_px, dec.sb_px))
-    assert planner.pos == len(planner.script), "unconsumed txb script"
-    tile_data = enc.finish(strip=False)
+    tile_payloads = []
+    for tr in range(ti.rows):
+        for tc in range(ti.cols):
+            dec.mi_col0 = ti.col_starts[tc] * dec.sb_mi
+            dec.mi_col1 = min(ti.col_starts[tc + 1] * dec.sb_mi, hdr.mi_cols)
+            dec.mi_row0 = ti.row_starts[tr] * dec.sb_mi
+            dec.mi_row1 = min(ti.row_starts[tr + 1] * dec.sb_mi, hdr.mi_rows)
+            dec.ctx.reset_tile_lines()
+            dec.cdf = dec.frame_cdf_init.copy()
+            dec.current_qindex = hdr.quant.base_q_idx
+            dec.delta_lf = [0, 0, 0, 0]
+            dec.read_deltas = False
+            enc = MsacEncoder()
+            dec.dec = MirrorCoder(enc, planner)
+            reset_lr_refs(dec)
+            for r in range(dec.mi_row0, dec.mi_row1, dec.sb_mi):
+                for c in range(dec.mi_col0, dec.mi_col1, dec.sb_mi):
+                    dec._clear_block_decoded(r, c)
+                    read_lr(dec, r, c)
+                    dec._decode_partition(r, c, B.block_size(dec.sb_px, dec.sb_px))
+            assert planner.pos == len(planner.script), "unconsumed txb script"
+            tile_payloads.append(enc.finish(strip=False))
+    if len(tile_payloads) == 1:
+        tile_data = tile_payloads[0]
+    else:
+        # tile group inside an OBU_FRAME: tile_start_and_end_present_flag
+        # must be 0 (byte-aligned single flag byte), then size-prefixed
+        # tiles, last tile unprefixed (§5.11.1)
+        parts = [b"\x00"]
+        for i, tp in enumerate(tile_payloads):
+            if i < len(tile_payloads) - 1:
+                parts.append((len(tp) - 1).to_bytes(ti.tile_size_bytes, "little"))
+            parts.append(tp)
+        tile_data = b"".join(parts)
 
     # lossless: verify the encoder's own reconstruction equals the source
     if base_q_idx == 0:

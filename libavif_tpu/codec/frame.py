@@ -74,6 +74,12 @@ class FrameParams:
     # "spec": always emit spec-conformant AV1 (decodes in dav1d/libaom;
     # host-side RD search, slower). "native": always the TPU codec.
     codec: str = "auto"
+    # AV1 tile grid for the spec codec (avifEncoder tileRowsLog2/
+    # tileColsLog2/autoTiling, avif.h:1568-1576)
+    tile_rows_log2: int = 0
+    tile_cols_log2: int = 0
+    auto_tiling: bool = False
+    max_threads: int = 8  # avifEncoder maxThreads (write.c:1844 uses 8)
 
     @property
     def qindex(self) -> int:
@@ -221,7 +227,7 @@ def encode_frames_pipelined(
         and images
         and (params.codec == "spec" or (params.codec == "auto" and _spec_av1_enabled()))
     ):
-        return [_encode_frame_spec_lossless(im) for im in images]
+        return [_encode_frame_spec_lossless(im, params) for im in images]
     staged = []
     n = params.tx_size
     lossless = params.lossless
@@ -339,15 +345,38 @@ def _spec_av1_enabled() -> bool:
     return os.environ.get("LIBAVIF_TPU_SPEC_AV1", "1") != "0"
 
 
-def _encode_frame_spec_lossless(image: Image) -> tuple[bytes, SequenceHeader]:
+def _tile_config(params: FrameParams, width: int, height: int) -> tuple[int, int]:
+    """Resolve the AV1 tile grid: explicit log2s, or the reference's
+    auto-tiling heuristic (write.c:89-119 avifSetTileConfiguration:
+    >=512x512 px per tile, <=32 tiles, <= threads, near-square tiles with
+    more columns than rows for landscape images)."""
+    if not params.auto_tiling:
+        return params.tile_cols_log2, params.tile_rows_log2
+    threads = max(1, params.max_threads)
+    if threads <= 1:
+        return 0, 0
+    tiles = min((width * height + 512 * 512 - 1) // (512 * 512), 32, threads)
+    tiles_log2 = max(tiles, 1).bit_length() - 1
+    dim1, dim2 = (width, height) if width >= height else (height, width)
+    diff_log2 = max(dim1 // dim2, 1).bit_length() - 1
+    sub = max(tiles_log2 - diff_log2, 0)
+    d2 = sub // 2
+    d1 = tiles_log2 - d2
+    return (d1, d2) if width >= height else (d2, d1)
+
+
+def _encode_frame_spec_lossless(image: Image, params: FrameParams | None = None) -> tuple[bytes, SequenceHeader]:
     """Spec-conformant AV1 lossless payload (decodable by dav1d/libaom);
     see codec/av1/encode.py."""
     from .av1.encode import encode_lossless_still
 
     info = pixel_format_info(image.yuv_format)
+    tcl, trl = _tile_config(params, image.width, image.height) if params else (0, 0)
     planes = [image.yuv_planes[c] for c in range(_coded_planes(image))]
     payload = encode_lossless_still(
         planes,
+        tile_cols_log2=tcl,
+        tile_rows_log2=trl,
         monochrome=info.monochrome,
         subsampling_x=info.chroma_shift_x,
         subsampling_y=info.chroma_shift_y,
@@ -411,8 +440,11 @@ def _encode_frame_spec_lossy(image: Image, params: FrameParams) -> tuple[bytes, 
     planes = [image.yuv_planes[c] for c in range(_coded_planes(image))]
     quantizer = ((100 - params.quality) * 63 + 50) // 100
     qindex = max(1, min(255, quantizer * 4))
+    tcl, trl = _tile_config(params, image.width, image.height)
     payload = encode_lossy_still(
         planes, qindex, speed=params.speed,
+        tile_cols_log2=tcl,
+        tile_rows_log2=trl,
         monochrome=info.monochrome,
         subsampling_x=info.chroma_shift_x,
         subsampling_y=info.chroma_shift_y,
@@ -439,7 +471,7 @@ def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHead
     ):
         # lossless rides the spec-conformant AV1 path at every depth so
         # the files interoperate with every AVIF decoder
-        return _encode_frame_spec_lossless(image)
+        return _encode_frame_spec_lossless(image, params)
     # single frame = one-element pipelined batch (byte-identity is tested)
     return encode_frames_pipelined([image], params)[0]
 

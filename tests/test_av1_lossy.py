@@ -271,3 +271,54 @@ def test_encode_high_bitdepth_dav1d_bit_exact(depth, lossless):
                 ours[: src.shape[0], : src.shape[1]].astype(np.int64),
                 src.astype(np.int64),
             )
+
+
+@pytest.mark.parametrize("knobs", [
+    dict(tile_cols_log2=1, tile_rows_log2=1),
+    dict(auto_tiling=True),
+])
+def test_encode_multitile_api_dav1d_bit_exact(knobs):
+    """Multi-tile spec encode through the product Encoder decodes
+    bit-exactly in dav1d (reference tiling seam codec_aom.c:994-997,
+    auto-tiling write.c:89-119)."""
+    from libavif_tpu.api import Decoder as ADecoder
+    from libavif_tpu.api import Encoder as AEncoder
+    from libavif_tpu.image import Image as AImage
+    from libavif_tpu.constants import PixelFormat
+
+    pl = _photo(1280, 640, seed=13)
+    im = AImage(1280, 640, 8, PixelFormat.YUV420)
+    im.yuv_planes = [p.copy() for p in pl]
+    im.image_owns_yuv_planes = True
+    e = AEncoder()
+    e.quality = 60
+    e.speed = 8
+    e.codec_choice = "spec"
+    for k, val in knobs.items():
+        setattr(e, k, val)
+    e.add_image(im)
+    data = bytes(e.finish())
+    ofr = oracle.decode_frames(data)[0]
+    d = ADecoder()
+    d.parse(data)
+    d.next_image()
+    for ours, th in zip(d.image.yuv_planes, ofr.planes):
+        assert np.array_equal(ours.astype(np.int64), th.astype(np.int64))
+
+
+def test_auto_tiling_matches_reference_heuristic():
+    """_tile_config mirrors avifSetTileConfiguration (write.c:89-119)."""
+    from libavif_tpu.codec.frame import FrameParams, _tile_config
+
+    p = FrameParams(auto_tiling=True, max_threads=8)
+    # 1280x640 = ceil(3.125) = 4 tiles -> log2 2; 2:1 landscape puts both
+    # on columns (splitTilesLog2: diffLog2 1, subtract 1, dim2 gets 0)
+    assert _tile_config(p, 1280, 640) == (2, 0)
+    # small image: single tile
+    assert _tile_config(p, 400, 300) == (0, 0)
+    # 4K: 32 tiles capped by threads=8 -> log2 3, square-ish split
+    assert _tile_config(p, 3840, 2160) == (2, 1)
+    # portrait flips the split
+    assert _tile_config(p, 2160, 3840) == (1, 2)
+    p2 = FrameParams(auto_tiling=True, max_threads=1)
+    assert _tile_config(p2, 3840, 2160) == (0, 0)
