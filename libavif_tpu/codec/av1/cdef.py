@@ -148,8 +148,74 @@ def _filter_block(dst, src, x0, y0, w, h, pri, sec, damping, dir_, bd,
     dst[y0 : y0 + h, x0 : x0 + w] = np.clip(v, mn, mx).astype(dst.dtype)
 
 
-def apply_cdef(dec) -> None:
-    """Filter the whole frame (§7.15.1)."""
+# one-hot accumulation matrices for the batched direction search:
+# _DIR_M[d] is (64, nbins_d) with M[p, b] = 1 where pixel p falls in bin b
+def _dir_matrices():
+    i = np.arange(8).reshape(-1, 1) * np.ones((1, 8), dtype=np.int64)
+    j = np.ones((8, 1), dtype=np.int64) * np.arange(8).reshape(1, -1)
+    idxs = [
+        (i + j, 15), (i + (j >> 1), 11), (i + 0 * j, 8),
+        (3 + i - (j >> 1), 11), (7 + i - j, 15), (3 - (i >> 1) + j, 11),
+        (0 * i + j, 8), ((i >> 1) + j, 11),
+    ]
+    mats = []
+    for idx, nbins in idxs:
+        m = np.zeros((64, nbins), dtype=np.int64)
+        m[np.arange(64), idx.ravel()] = 1
+        mats.append(m)
+    return mats
+
+
+_DIR_M = _dir_matrices()
+_DIV = np.array(DIV_TABLE, dtype=np.int64)
+
+
+def find_dir_batch(blocks: np.ndarray, bd: int):
+    """Vectorized §7.15.2 over (N, 8, 8) luma blocks -> (dir, var) arrays.
+    Matches find_dir exactly (argmax picks the first maximal cost)."""
+    n = blocks.shape[0]
+    px = ((blocks.astype(np.int64) >> (bd - 8)) - 128).reshape(n, 64)
+    cost = np.zeros((n, 8), dtype=np.int64)
+    partial = [px @ _DIR_M[d] for d in range(8)]
+    for d in (2, 6):
+        cost[:, d] = (partial[d] ** 2).sum(axis=1) * 105
+    for d in (0, 4):
+        p = partial[d]
+        c = p[:, 7] ** 2 * 105
+        c += ((p[:, :7] ** 2 + p[:, 14:7:-1] ** 2) * _DIV).sum(axis=1)
+        cost[:, d] = c
+    for m in range(4):
+        d = m * 2 + 1
+        p = partial[d]
+        c = (p[:, 3:8] ** 2).sum(axis=1) * 105
+        c += ((p[:, :3] ** 2 + p[:, 10:7:-1] ** 2) * _DIV[1::2]).sum(axis=1)
+        cost[:, d] = c
+    best = cost.argmax(axis=1)
+    var = (cost[np.arange(n), best] - cost[np.arange(n), best ^ 4]) >> 10
+    return best.astype(np.int64), var
+
+
+_DIR_DY = np.array([[d[k][0] for k in range(2)] for d in CDEF_DIRECTIONS],
+                   dtype=np.int64)  # (8 dirs, 2 taps)
+_DIR_DX = np.array([[d[k][1] for k in range(2)] for d in CDEF_DIRECTIONS],
+                   dtype=np.int64)
+_UV_DIR_422 = np.array((7, 0, 2, 4, 5, 6, 6, 6), dtype=np.int64)
+_UV_DIR_440 = np.array((1, 2, 2, 2, 3, 4, 6, 0), dtype=np.int64)
+
+
+def _ulog2_vec(x: np.ndarray) -> np.ndarray:
+    """floor(log2(x)) per element for x >= 1 (0 -> 0)."""
+    out = np.zeros_like(x)
+    nz = x > 0
+    out[nz] = np.frexp(x[nz].astype(np.float64))[1] - 1
+    return out
+
+
+def apply_cdef(dec, _dir_cache=None) -> None:
+    """Filter the whole frame (§7.15.1), batched over all 8x8 blocks.
+
+    Exact same arithmetic as the scalar reference (find_dir/_filter_block
+    above, mirroring dav1d cdef_tmpl.c); corpus-verified bit-identical."""
     hdr = dec.hdr
     c = hdr.cdef
     if (
@@ -167,57 +233,136 @@ def apply_cdef(dec) -> None:
     bd = dec.bd
     ctx = dec.ctx
     mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
+    brs = np.arange(0, mi_rows, 2)
+    bcs = np.arange(0, mi_cols, 2)
+    nbr, nbc = len(brs), len(bcs)
+    # all-skip 8x8 blocks are never filtered
+    pr = 2 * nbr - mi_rows
+    pc = 2 * nbc - mi_cols
+    sk = np.pad(ctx.skip_of, ((0, pr), (0, pc)), mode="edge")
+    skip_all = sk.reshape(nbr, 2, nbc, 2).all(axis=(1, 3))
+    # strength index per block from its 64x64 unit (-1 = unit never coded)
+    idx = dec.cdef_idx[(brs // 16 * 16)[:, None], (bcs // 16 * 16)[None, :]]
+    eligible = (idx >= 0) & ~skip_all
+    if not eligible.any():
+        return
+    bi, bj = np.nonzero(eligible)
+    n = len(bi)
+    blk_mi_r = brs[bi]
+    blk_mi_c = bcs[bj]
+    uidx = idx[bi, bj].astype(np.int64)
+    y_pri0 = np.asarray(c.y_pri, dtype=np.int64)[uidx] << (bd - 8)
+    y_sec0 = np.asarray(c.y_sec, dtype=np.int64)[uidx] << (bd - 8)
+    uv_pri0 = np.asarray(c.uv_pri, dtype=np.int64)[uidx] << (bd - 8)
+    uv_sec0 = np.asarray(c.uv_sec, dtype=np.int64)[uidx] << (bd - 8)
+
     sources = [p.copy() for p in dec.planes]
-    # luma direction/variance per 8x8 computed from the pre-CDEF luma
-    for ur in range(0, mi_rows, 16):
-        for uc in range(0, mi_cols, 16):
-            idx = int(dec.cdef_idx[ur, uc])
-            if idx < 0:
-                continue  # entirely-skip 64x64 unit: never coded
-            for plane in range(dec.n_planes):
-                sx = dec.ss_x if plane else 0
-                sy = dec.ss_y if plane else 0
-                if plane == 0:
-                    pri0 = c.y_pri[idx] << (bd - 8)
-                    sec0 = c.y_sec[idx] << (bd - 8)
-                    damping = c.damping
-                else:
-                    pri0 = c.uv_pri[idx] << (bd - 8)
-                    sec0 = c.uv_sec[idx] << (bd - 8)
-                    damping = c.damping - 1
-                if not pri0 and not sec0:
-                    continue
-                step4 = 2 << (0 if plane == 0 else 0)  # 8x8 luma blocks
-                for br in range(ur, min(ur + 16, mi_rows), 2):
-                    for bc in range(uc, min(uc + 16, mi_cols), 2):
-                        # all-skip 8x8 -> unfiltered
-                        r1 = min(br + 2, mi_rows)
-                        c1 = min(bc + 2, mi_cols)
-                        if ctx.skip_of[br:r1, bc:c1].all():
-                            continue
-                        dir_ = 0
-                        var = 0
-                        pri = pri0
-                        if pri0:
-                            ly, lx = br * 4, bc * 4
-                            blk = sources[0][ly : ly + 8, lx : lx + 8]
-                            if blk.shape == (8, 8):
-                                dir_, var = find_dir(blk, bd)
-                            if plane == 0:
-                                pri = _adjust_strength(pri0, var)
-                            else:
-                                if dec.ss_x and not dec.ss_y:
-                                    dir_ = (7, 0, 2, 4, 5, 6, 6, 6)[dir_]
-                                elif dec.ss_y and not dec.ss_x:
-                                    dir_ = (1, 2, 2, 2, 3, 4, 6, 0)[dir_]
-                        if not pri and not sec0:
-                            continue
-                        x0 = (bc * 4) >> sx
-                        y0 = (br * 4) >> sy
-                        w = 8 >> sx
-                        h = 8 >> sy
-                        _filter_block(
-                            dec.planes[plane], sources[plane],
-                            x0, y0, w, h, pri, sec0, damping, dir_, bd,
-                            (dec.ch[plane], dec.cw[plane]),
-                        )
+    # direction/variance from pre-CDEF luma, one batched pass
+    need_dir = (y_pri0 > 0) | (uv_pri0 > 0)
+    dirs = np.zeros(n, dtype=np.int64)
+    var = np.zeros(n, dtype=np.int64)
+    if need_dir.any():
+        if _dir_cache is not None and "dirs" in _dir_cache:
+            dirs, var = _dir_cache["dirs"], _dir_cache["var"]
+        else:
+            ly = blk_mi_r * 4
+            lx = blk_mi_c * 4
+            yy = ly[:, None, None] + np.arange(8).reshape(1, 8, 1)
+            xx = lx[:, None, None] + np.arange(8).reshape(1, 1, 8)
+            blocks = sources[0][yy, xx]
+            dirs, var = find_dir_batch(blocks, bd)
+            if _dir_cache is not None:
+                _dir_cache["dirs"], _dir_cache["var"] = dirs, var
+
+    for plane in range(dec.n_planes):
+        sx = dec.ss_x if plane else 0
+        sy = dec.ss_y if plane else 0
+        if plane == 0:
+            pri0, sec0 = y_pri0, y_sec0
+            damping = c.damping
+            # luma: primary strength adjusted by direction variance
+            i_adj = np.minimum(_ulog2_vec(var >> 6), 12)
+            pri = np.where(var > 0, (pri0 * (4 + i_adj) + 8) >> 4, 0)
+            pri = np.where(pri0 > 0, pri, 0)
+            pdir = np.where(pri0 > 0, dirs, 0)  # dir only searched when pri>0
+        else:
+            pri0, sec0 = uv_pri0, uv_sec0
+            damping = c.damping - 1
+            pri = pri0
+            if sx and not sy:
+                pdir = _UV_DIR_422[dirs]
+            elif sy and not sx:
+                pdir = _UV_DIR_440[dirs]
+            else:
+                pdir = dirs
+            pdir = np.where(pri0 > 0, pdir, 0)
+        act = (pri > 0) | (sec0 > 0)
+        if not act.any():
+            continue
+        a = np.nonzero(act)[0]
+        pri_a = pri[a]
+        sec_a = sec0[a]
+        dir_a = pdir[a]
+        w = 8 >> sx
+        h = 8 >> sy
+        x0 = (blk_mi_c[a] * 4) >> sx
+        y0 = (blk_mi_r[a] * 4) >> sy
+        ph, pw = dec.ch[plane], dec.cw[plane]
+        src = sources[plane]
+        ah, aw = src.shape  # mi-padded array may exceed the crop (ph, pw)
+        # taps outside the CROP are excluded (scalar bounds semantics);
+        # center pixels still read/write the full mi-padded array
+        padded = np.full((ah + 4, aw + 4), CDEF_VERY_LARGE, dtype=np.int64)
+        padded[2 : 2 + ph, 2 : 2 + pw] = src[:ph, :pw]
+        yy = y0[:, None, None] + np.arange(h).reshape(1, h, 1) + 2
+        xx = x0[:, None, None] + np.arange(w).reshape(1, 1, w) + 2
+        px = src[yy - 2, xx - 2].astype(np.int64)
+        s = np.zeros_like(px)
+        mn = px.copy()
+        mx = px.copy()
+        pri_shift = np.maximum(0, damping - _ulog2_vec(pri_a))
+        # sec==0 blocks never use the shift (threshold 0) — zero it so one
+        # such block can't poison the batched >> with a stray value
+        sec_shift = np.where(sec_a > 0, damping - _ulog2_vec(sec_a), 0)
+        pri_tap0 = 4 - ((pri_a >> (bd - 8)) & 1)
+        pri_tap1 = 2 + ((pri_a >> (bd - 8)) & 1)
+
+        def constrain(diff, thr, shift):
+            # thr/shift are (m,) per-block; diff (m,h,w)
+            t = thr[:, None, None]
+            sh = shift[:, None, None]
+            adiff = np.abs(diff)
+            v = np.minimum(adiff, np.maximum(0, t - (adiff >> sh)))
+            return np.where(diff >= 0, v, -v) * (t > 0)
+
+        def tap(dy, dx, weight, thr, shift):
+            nonlocal s, mn, mx
+            p = padded[yy + dy[:, None, None], xx + dx[:, None, None]]
+            ok = p != CDEF_VERY_LARGE
+            diff = np.where(ok, p - px, 0)
+            s = s + weight[:, None, None] * constrain(diff, thr, shift)
+            mn = np.where(ok, np.minimum(mn, p), mn)
+            mx = np.where(ok, np.maximum(mx, p), mx)
+
+        zero = np.zeros(len(a), dtype=np.int64)
+        for k in range(2):
+            dy = _DIR_DY[dir_a, k]
+            dx = _DIR_DX[dir_a, k]
+            wgt = np.where(pri_a > 0, pri_tap0 if k == 0 else pri_tap1, 0)
+            for sgn in (1, -1):
+                tap(sgn * dy, sgn * dx, wgt, pri_a, pri_shift)
+        sdir0 = (dir_a + 2) & 7
+        sdir1 = (dir_a + 6) & 7
+        for k in range(2):
+            wgt = np.where(sec_a > 0, 2 if k == 0 else 1, zero)
+            for sd in (sdir0, sdir1):
+                dy = _DIR_DY[sd, k]
+                dx = _DIR_DX[sd, k]
+                for sgn in (1, -1):
+                    tap(sgn * dy, sgn * dx, wgt, sec_a, sec_shift)
+        v = px + ((8 + s - (s < 0).astype(np.int64)) >> 4)
+        out = np.clip(v, mn, mx)
+        dst = dec.planes[plane]
+        yy0 = yy - 2
+        xx0 = xx - 2
+        dst[yy0, xx0] = out.astype(dst.dtype)

@@ -414,6 +414,66 @@ def _write_frame_header_lossless(seq: SequenceHeader) -> bytes:
     return _write_frame_header(seq, base_q_idx=0)
 
 
+def _search_cdef(dec, srcs, base_q_idx: int, speed: int):
+    """Encoder-side CDEF strength pick: the tile payload is invariant to
+    the frame-header strengths (cdef_bits 0, no per-block syntax), so the
+    search runs post-encode on the reconstruction — apply candidate
+    strengths, keep the SSE-best per plane group. Plays the role of
+    libaom's pickcdef.c behind codec_aom.c's always-on CDEF."""
+    from .cdef import apply_cdef
+
+    damping = min(6, max(3, 3 + (base_q_idx >> 6)))
+    if speed <= 2:
+        pris, secs = (0, 1, 2, 3, 4, 6, 8, 12), (0, 1, 2)
+    elif speed <= 4:
+        pris, secs = (0, 1, 2, 4, 8), (0, 2)
+    else:
+        pris, secs = (0, 1, 2, 4), (0,)
+    c = dec.hdr.cdef
+    c.damping = damping
+    c.bits = 0
+    base = [p.copy() for p in dec.planes]
+    dir_cache = {}  # direction search depends only on pre-CDEF luma
+
+    def sse(planes_sel):
+        tot = 0
+        for pi in planes_sel:
+            src = srcs[pi]
+            h, w = src.shape
+            d = dec.planes[pi][:h, :w].astype(np.int64) - src
+            tot += int((d * d).sum())
+        return tot
+
+    def trial(planes_sel, ypri, ysec, uvpri, uvsec):
+        c.y_pri[0], c.y_sec[0] = ypri, ysec
+        c.uv_pri[0], c.uv_sec[0] = uvpri, uvsec
+        apply_cdef(dec, _dir_cache=dir_cache)
+        v = sse(planes_sel)
+        dec.planes = [p.copy() for p in base]
+        return v
+
+    best_y = (sse([0]), 0, 0)
+    for pri in pris:
+        for sec in secs:
+            if pri == 0 and sec == 0:
+                continue
+            v = trial([0], pri, sec, 0, 0)
+            if v < best_y[0]:
+                best_y = (v, pri, sec)
+    best_uv = (0, 0, 0)
+    if dec.n_planes == 3:
+        best_uv = (sse([1, 2]), 0, 0)
+        for pri in pris:
+            for sec in secs:
+                if pri == 0 and sec == 0:
+                    continue
+                v = trial([1, 2], 0, 0, pri, sec)
+                if v < best_uv[0]:
+                    best_uv = (v, pri, sec)
+    dec.planes = base
+    return (damping, best_y[1], best_y[2], best_uv[1], best_uv[2])
+
+
 def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
                         tx_mode_select: bool = True,
                         segmentation=None, allow_scc: bool = False,
@@ -516,12 +576,20 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
         w(0, 3)
         w(0, 1)  # loop_filter_delta_enabled
         if enable_cdef:
-            # cdef_params (§5.9.19): damping 4, bits 0, one strength set
-            # y_pri 1 / y_sec 0 / uv_pri 1 / uv_sec 0 (alpha_noispe config)
-            w(1, 2)  # cdef_damping_minus_3
+            # cdef_params (§5.9.19): bits 0 (one strength set); strengths
+            # either caller-chosen (encoder-side search) or the fixed
+            # y 1/0, uv 1/0 probe configuration
+            if cdef_strengths is None:
+                damping, ypri, ysec, uvpri, uvsec = 4, 1, 0, 1, 0
+            else:
+                damping, ypri, ysec, uvpri, uvsec = cdef_strengths
+            w(damping - 3, 2)  # cdef_damping_minus_3
             w(0, 2)  # cdef_bits
-            w(1, 4); w(0, 2)  # y strength
-            w(1, 4); w(0, 2)  # uv strength
+            w(ypri, 4)
+            w(3 if ysec == 4 else ysec, 2)
+            if not seq.monochrome:
+                w(uvpri, 4)
+                w(3 if uvsec == 4 else uvsec, 2)
         if enable_lr:
             # lr_params (§5.9.20): SWITCHABLE on all coded planes, 64px
             # units (no shifts) — the alpha_noispe configuration
@@ -573,6 +641,7 @@ def _encode_still(
     allow_scc: bool = False,
     enable_lr: bool = False,
     enable_cdef: bool = False,
+    cdef_search: bool = False,
     tile_cols_log2: int = 0,
     tile_rows_log2: int = 0,
 ) -> bytes:
@@ -685,6 +754,20 @@ def _encode_still(
                     dec._decode_partition(r, c, B.block_size(dec.sb_px, dec.sb_px))
             assert planner.pos == len(planner.script), "unconsumed txb script"
             tile_payloads.append(enc.finish(strip=False))
+    if enable_cdef and cdef_search and base_q_idx > 0:
+        chosen = _search_cdef(dec, srcs, base_q_idx, speed if speed is not None else 6)
+        hdr_payload = _write_frame_header(
+            seq, base_q_idx, segmentation=segmentation, allow_scc=allow_scc,
+            enable_lr=enable_lr, enable_cdef=True,
+            tile_cols_log2=tile_cols_log2, tile_rows_log2=tile_rows_log2,
+            cdef_strengths=chosen,
+        )
+        hdr2 = parse_frame_header(hdr_payload, seq)
+        dec.hdr.cdef = hdr2.cdef
+        from .cdef import apply_cdef
+
+        apply_cdef(dec)  # last_recon must be the true decoder output
+
     if len(tile_payloads) == 1:
         tile_data = tile_payloads[0]
     else:

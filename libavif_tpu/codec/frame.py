@@ -441,8 +441,13 @@ def _encode_frame_spec_lossy(image: Image, params: FrameParams) -> tuple[bytes, 
     quantizer = ((100 - params.quality) * 63 + 50) // 100
     qindex = max(1, min(255, quantizer * 4))
     tcl, trl = _tile_config(params, image.width, image.height)
+    # encoder-side CDEF (role of libaom's always-on pickcdef behind
+    # codec_aom.c): post-encode strength search, skipped only at the
+    # realtime speeds where the reference also trades quality for speed
+    cdef_on = params.cdef is not False and params.speed <= 8
     payload = encode_lossy_still(
         planes, qindex, speed=params.speed,
+        enable_cdef=cdef_on, cdef_search=cdef_on,
         tile_cols_log2=tcl,
         tile_rows_log2=trl,
         monochrome=info.monochrome,

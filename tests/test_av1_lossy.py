@@ -322,3 +322,48 @@ def test_auto_tiling_matches_reference_heuristic():
     assert _tile_config(p, 2160, 3840) == (1, 2)
     p2 = FrameParams(auto_tiling=True, max_threads=1)
     assert _tile_config(p2, 3840, 2160) == (0, 0)
+
+
+def test_encode_cdef_search_dav1d_bit_exact():
+    """Encoder-side CDEF strength search (post-encode, header-only
+    rewrite) produces streams dav1d decodes bit-exactly, and the chosen
+    strengths actually filter (PSNR >= the no-CDEF encode)."""
+    pl = _photo(160, 96, seed=21)
+    payload = E.encode_lossy_still(pl, qindex=120, speed=6,
+                                   enable_cdef=True, cdef_search=True)
+    item = OutputItem(
+        id=1, item_type="av01", payload=payload,
+        properties=[
+            Property("ispe", ImageSpatialExtents(160, 96)),
+            Property("pixi", PixelInformation(plane_depths=[8, 8, 8])),
+            Property("av1C", CodecConfiguration(chroma_subsampling_x=1,
+                                                chroma_subsampling_y=1)),
+            Property("colr", ColorInformation(has_nclx=True, color_primaries=2,
+                                              transfer_characteristics=2,
+                                              matrix_coefficients=2,
+                                              yuv_range=Range.FULL)),
+        ],
+    )
+    data = write_still([item], 1)
+    ofr = oracle.decode_frames(data)[0]
+    planes, seq, hdr = decode_still(payload)
+    for ours, th in zip(planes, ofr.planes):
+        assert np.array_equal(
+            ours[: th.shape[0], : th.shape[1]].astype(np.int64),
+            th.astype(np.int64),
+        )
+    # the search must never pick strengths that hurt, per search group
+    # (Y alone, U+V jointly — the strengths are shared across chroma):
+    # grouped SSE <= no-CDEF SSE
+    plain = E.encode_lossy_still(pl, qindex=120, speed=6)
+    pplanes, _, _ = decode_still(plain)
+
+    def sse(dst, src):
+        h, w = src.shape
+        d = dst[:h, :w].astype(np.int64) - src.astype(np.int64)
+        return int((d * d).sum())
+
+    assert sse(planes[0], pl[0]) <= sse(pplanes[0], pl[0])
+    sse_c_uv = sse(planes[1], pl[1]) + sse(planes[2], pl[2])
+    sse_p_uv = sse(pplanes[1], pl[1]) + sse(pplanes[2], pl[2])
+    assert sse_c_uv <= sse_p_uv
