@@ -481,7 +481,8 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
                         enable_cdef: bool = False,
                         tile_cols_log2: int = 0,
                         tile_rows_log2: int = 0,
-                        cdef_strengths=None) -> bytes:
+                        cdef_strengths=None,
+                        film_grain=None) -> bytes:
     """Reduced-still-picture uncompressed header (mirror of
     headers.parse_frame_header for the configurations we emit: lossless
     or lossy with loop filters off and TX_MODE_SELECT)."""
@@ -600,8 +601,67 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
                 w(0, 1)  # lr_uv_shift (chroma units 64 too)
         w(1 if tx_mode_select else 0, 1)  # tx_mode
     w(0, 1)  # reduced_tx_set
+    if seq.film_grain_params_present:
+        _write_film_grain(w, film_grain, seq)
     s.flush_bits()
     return s.data()
+
+
+def _write_film_grain(w, fg, seq: SequenceHeader) -> None:
+    """film_grain_params (§5.9.30) for a shown key frame: apply_grain +
+    full parameter set (update_grain is implied 1 for intra)."""
+    if fg is None or not fg.apply:
+        w(0, 1)
+        return
+    w(1, 1)  # apply_grain
+    w(fg.seed, 16)
+    w(len(fg.point_y), 4)
+    for v, sc in fg.point_y:
+        w(v, 8)
+        w(sc, 8)
+    mono = seq.monochrome
+    if not mono:
+        w(1 if fg.chroma_scaling_from_luma else 0, 1)
+    skip_chroma = mono or fg.chroma_scaling_from_luma or (
+        seq.subsampling_x == 1 and seq.subsampling_y == 1 and not fg.point_y
+    )
+    if not skip_chroma:
+        w(len(fg.point_cb), 4)
+        for v, sc in fg.point_cb:
+            w(v, 8)
+            w(sc, 8)
+        w(len(fg.point_cr), 4)
+        for v, sc in fg.point_cr:
+            w(v, 8)
+            w(sc, 8)
+    w(fg.scaling_shift - 8, 2)
+    w(fg.ar_coeff_lag, 2)
+    num_pos = 2 * fg.ar_coeff_lag * (fg.ar_coeff_lag + 1)
+    if fg.point_y:
+        assert len(fg.ar_coeffs_y) == num_pos
+        for c in fg.ar_coeffs_y:
+            w(c + 128, 8)
+    num_pos_c = num_pos + (1 if fg.point_y else 0)
+    if fg.chroma_scaling_from_luma or fg.point_cb:
+        assert len(fg.ar_coeffs_cb) == num_pos_c
+        for c in fg.ar_coeffs_cb:
+            w(c + 128, 8)
+    if fg.chroma_scaling_from_luma or fg.point_cr:
+        assert len(fg.ar_coeffs_cr) == num_pos_c
+        for c in fg.ar_coeffs_cr:
+            w(c + 128, 8)
+    w(fg.ar_coeff_shift - 6, 2)
+    w(fg.grain_scale_shift, 2)
+    if not skip_chroma and fg.point_cb:
+        w(fg.cb_mult, 8)
+        w(fg.cb_luma_mult, 8)
+        w(fg.cb_offset, 9)
+    if not skip_chroma and fg.point_cr:
+        w(fg.cr_mult, 8)
+        w(fg.cr_luma_mult, 8)
+        w(fg.cr_offset, 9)
+    w(1 if fg.overlap_flag else 0, 1)
+    w(1 if fg.clip_to_restricted_range else 0, 1)
 
 
 def encode_lossless_still(planes, **kw) -> bytes:
@@ -644,6 +704,7 @@ def _encode_still(
     cdef_search: bool = False,
     tile_cols_log2: int = 0,
     tile_rows_log2: int = 0,
+    film_grain=None,
 ) -> bytes:
     """Encode YUV planes as a spec-conformant AV1 still payload
     (temporal delimiter + sequence header + frame OBU)."""
@@ -689,7 +750,7 @@ def _encode_still(
         subsampling_y=subsampling_y if not monochrome else 1,
         chroma_sample_position=0,
         separate_uv_delta_q=False,
-        film_grain_params_present=False,
+        film_grain_params_present=film_grain is not None,
     )
     seq_payload = write_sequence_header(seq)
     # re-parse our own bytes so implied fields (e.g. reduced-still headers
@@ -701,7 +762,8 @@ def _encode_still(
                                       allow_scc=allow_scc, enable_lr=enable_lr,
                                       enable_cdef=enable_cdef,
                                       tile_cols_log2=tile_cols_log2,
-                                      tile_rows_log2=tile_rows_log2)
+                                      tile_rows_log2=tile_rows_log2,
+                                      film_grain=film_grain)
     # parse back our own header (guarantees reader/writer agreement and
     # yields the derived geometry the shared traversal needs)
     hdr = parse_frame_header(hdr_payload, seq)
@@ -760,7 +822,7 @@ def _encode_still(
             seq, base_q_idx, segmentation=segmentation, allow_scc=allow_scc,
             enable_lr=enable_lr, enable_cdef=True,
             tile_cols_log2=tile_cols_log2, tile_rows_log2=tile_rows_log2,
-            cdef_strengths=chosen,
+            cdef_strengths=chosen, film_grain=film_grain,
         )
         hdr2 = parse_frame_header(hdr_payload, seq)
         dec.hdr.cdef = hdr2.cdef

@@ -152,7 +152,16 @@ class StreamDecoder:
             slot.showable = False
         # re-present the slot under its own header for geometry/format
         shdr = slot.header
-        return ([p.copy() for p in slot.planes], state.seq, shdr)
+        planes = [p.copy() for p in slot.planes]
+        fg = getattr(slot, "film_grain", None)
+        if fg is not None and fg.apply:
+            from .filmgrain import apply_film_grain
+
+            planes = apply_film_grain(
+                planes, fg, state.seq, slot.upscaled_width, slot.height,
+                mc_identity=state.seq.matrix_coefficients == 0,
+            )
+        return (planes, state.seq, shdr)
 
     def _decode_frame(self, hdr, tiles):
         state = self.state
@@ -205,8 +214,15 @@ class StreamDecoder:
         slot.header = hdr
         slot.film_grain = hdr.film_grain
         state.update(hdr.refresh_frame_flags, slot)
-        if hdr.film_grain_apply:
-            raise AvifError(Result.NOT_IMPLEMENTED, "film grain synthesis")
+        if hdr.film_grain_apply and hdr.film_grain is not None:
+            # §7.18.3: grain is an output transform — the reference store
+            # above keeps the pre-grain reconstruction
+            from .filmgrain import apply_film_grain
+
+            planes = apply_film_grain(
+                planes, hdr.film_grain, seq, hdr.upscaled_width, hdr.height,
+                mc_identity=seq.matrix_coefficients == 0,
+            )
         return planes
 
 

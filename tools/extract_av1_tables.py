@@ -255,6 +255,32 @@ def _bools(seq, n, off):
     return np.array(vals, dtype=np.uint16), off + 2 * n
 
 
+def extract_gaussian(B, tables):
+    """gaussian_sequence (§7.18.3.1 / §7.18.3.3): int16[2048] of zero-mean
+    ~std-512 Gaussian samples rounded to multiples of 4 and clipped to
+    ±2048, used by film grain synthesis. The system libaom carries no
+    int16 copy (its grain path stores a transformed representation), so
+    this comes from the dav1d copy, anchored by the spec's opening values
+    and validated against every structural property the spec states."""
+    Bi = B.copy()
+    Bi[Bi >= 32768] -= 65536
+    head = [56, 568, -180, 172, 124, -84, 172, -64]
+    hits = [
+        i
+        for i in np.where(Bi[: len(Bi) - 2048] == head[0])[0]
+        if Bi[i : i + 8].tolist() == head
+    ]
+    if len(hits) != 1:
+        raise RuntimeError(f"gaussian_sequence anchor hits={len(hits)}")
+    g = Bi[hits[0] : hits[0] + 2048]
+    if not ((g % 4 == 0).all() and np.abs(g).max() <= 2048):
+        raise RuntimeError("gaussian_sequence range/granularity check failed")
+    if not (500 < g.std() < 525 and abs(g.mean()) < 5):
+        raise RuntimeError(f"gaussian_sequence stats off: std={g.std():.1f}")
+    tables["gaussian_sequence"] = g.astype(np.int16)
+    print(f"{'gaussian_sequence':20s} [2048] extracted (std={g.std():.1f})")
+
+
 def extract_inter(A, Bd, tables):
     anchor = find_fp(Bd, [8733, 0, 16138, 0, 17429, 0])
     if len(anchor) != 1:
@@ -507,6 +533,7 @@ def main():
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     extract_inter(A, Bd, tables)
+    extract_gaussian(B, tables)
 
     np.savez_compressed(OUT, **tables)
     print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes, {len(tables)} tables)")
