@@ -296,8 +296,10 @@ class FrameDecoder:
                 from . import mvproj
 
                 self.motion_field = mvproj.motion_field_estimation(self)  # (mv, d1)
-        if hdr.allow_intrabc:
-            raise AvifError(Result.NOT_IMPLEMENTED, "intrabc")
+        # per-mi intrabc flag: is_inter_block() semantics need it because
+        # intrabc blocks record RefFrames[0] == INTRA_FRAME like plain
+        # intra blocks but DO carry MVs for DV prediction scans
+        self.intrabc_mi = np.zeros((mi_r, mi_c), dtype=bool)
 
     # ------------------------------------------------------------ tiles
 
@@ -644,6 +646,20 @@ class FrameDecoder:
 
         self._read_cdef_idx(r, c, bsize, skip)
         self._read_deltas(r, c, bsize, skip)
+
+        # ---- intrabc (§5.11.18: screen content DV blocks)
+        if hdr.allow_intrabc:
+            use_intrabc = dec.decode_symbol(
+                cdf.intrabc[0], 2, adapt=self.adapt, what="use_intrabc"
+            )
+            if use_intrabc:
+                from . import interdec
+
+                interdec.intrabc_mode_info(
+                    self, r, c, bsize, seg_id, skip, avail_u, avail_l,
+                    has_chroma,
+                )
+                return
 
         # ---- y mode (key/intra-only frames: neighbor-conditioned CDFs)
         above_mode = int(ctx.y_modes[r - 1, c]) if avail_u else I.DC_PRED
@@ -1194,12 +1210,16 @@ class FrameDecoder:
     def _nb_txctx_w(self, rr, cc):
         """Neighbor tx-ctx width: inter skip neighbors count as their block
         width (aom set_txfm_ctxs skip semantics), otherwise the tx width."""
-        if int(self.ref_frames_mi[rr, cc, 0]) > 0 and int(self.ctx.skip_of[rr, cc]):
+        if (
+            int(self.ref_frames_mi[rr, cc, 0]) > 0 or bool(self.intrabc_mi[rr, cc])
+        ) and int(self.ctx.skip_of[rr, cc]):
             return B.BLOCK_DIMS[int(self.ctx.block_of[rr, cc])][0]
         return int(self.ctx.tx_w[rr, cc])
 
     def _nb_txctx_h(self, rr, cc):
-        if int(self.ref_frames_mi[rr, cc, 0]) > 0 and int(self.ctx.skip_of[rr, cc]):
+        if (
+            int(self.ref_frames_mi[rr, cc, 0]) > 0 or bool(self.intrabc_mi[rr, cc])
+        ) and int(self.ctx.skip_of[rr, cc]):
             return B.BLOCK_DIMS[int(self.ctx.block_of[rr, cc])][1]
         return int(self.ctx.tx_h[rr, cc])
 
@@ -1864,9 +1884,12 @@ class FrameDecoder:
                 self.cdf.inter_ext_tx[tx_set][cat], nsym, adapt=self.adapt, what="coef"
             )
             return INTER_EXT_TX_INV[tx_set][sym]
-        # chroma: the luma tx type at this chroma block's top-left luma mi
-        mr = (y << self.ss_y) >> 2
-        mc = (x << self.ss_x) >> 2
+        # chroma: the luma tx type at this chroma block's top-left luma mi,
+        # clamped INTO the current block (compute_tx_type's
+        # Max(MiRow/MiCol, ...) — a sub-8x8 chroma block spans the luma
+        # pair, and the lookup must not read the neighbour block)
+        mr = max(self.block["r"], (y << self.ss_y) >> 2)
+        mc = max(self.block["c"], (x << self.ss_x) >> 2)
         t = int(self.txtype_mi[min(mr, hdr.mi_rows - 1), min(mc, hdr.mi_cols - 1)])
         if t not in INTER_EXT_TX_INV[tx_set]:
             return TXF.DCT_DCT

@@ -321,10 +321,11 @@ def _read_ref_frames(d, r, c, bsize, seg_id, skip_mode):
     return [R.LAST_FRAME, R.NONE_FRAME]
 
 
-def _read_mv_component(d, comp: int) -> int:
+def _read_mv_component(d, comp: int, nmv=None) -> int:
     """§5.11.32 read_mv_component."""
     dec = d.dec
-    nmv = d.cdf.nmv
+    if nmv is None:
+        nmv = d.cdf.nmv
     hdr = d.hdr
     sign = dec.decode_symbol(nmv.sign[comp], 2, adapt=d.adapt, what="mv_sign")
     cls = dec.decode_symbol(nmv.classes[comp], 11, adapt=d.adapt, what="mv_class")
@@ -363,13 +364,15 @@ def _read_mv_component(d, comp: int) -> int:
     return -mag if sign else mag
 
 
-def _read_mv(d, pred_mv) -> tuple:
-    """§5.11.31 read_mv: joint + components, relative to PredMv."""
+def _read_mv(d, pred_mv, nmv=None) -> tuple:
+    """§5.11.31 read_mv: joint + components, relative to PredMv. `nmv`
+    selects the context set (MV_INTRABC_CONTEXT uses the dv CDFs)."""
     dec = d.dec
-    nmv = d.cdf.nmv
+    if nmv is None:
+        nmv = d.cdf.nmv
     joint = dec.decode_symbol(nmv.joints, 4, adapt=d.adapt, what="mv_joint")
-    diff_row = _read_mv_component(d, 0) if joint in (2, 3) else 0
-    diff_col = _read_mv_component(d, 1) if joint in (1, 3) else 0
+    diff_row = _read_mv_component(d, 0, nmv) if joint in (2, 3) else 0
+    diff_col = _read_mv_component(d, 1, nmv) if joint in (1, 3) else 0
     return (pred_mv[0] + diff_row, pred_mv[1] + diff_col)
 
 
@@ -787,6 +790,56 @@ def _inter_block_mode_info(
         qindex=d._seg_qindex(seg_id),
     )
     d.record_inter_mi(r, c, bsize, seg_id)
+    d.read_block_tx_sizes(r, c, bsize, skip)
+    d._residual()
+
+
+def intrabc_mode_info(d, r, c, bsize, seg_id, skip, avail_u, avail_l,
+                      has_chroma):
+    """Intrabc block (§5.11.18 tail): DV prediction + read_mv with the
+    MV_INTRABC_CONTEXT CDFs, then the inter residual path with the
+    current frame as reference (bilinear MC). Role of the intrabc
+    handling dav1d provides behind codec_dav1d.c:58."""
+    hdr = d.hdr
+
+    rf = [R.INTRA_FRAME, R.NONE_FRAME]
+    mvctx = M.find_mv_stack(d, r, c, bsize, rf, False)
+
+    # PredMv (§5.11.26 assign_mv, intrabc arm): first nonzero of the top
+    # two stack entries, else the position-derived default DV
+    pred = mvctx.stack[0][0] if mvctx.stack else (0, 0)
+    if pred == (0, 0) and len(mvctx.stack) > 1:
+        pred = mvctx.stack[1][0]
+    if pred == (0, 0):
+        sb4 = d.sb_mi  # superblock size in mi units
+        if r - sb4 < d.mi_row0:  # first superblock row of the tile
+            pred = (0, -(sb4 * 4 + 256) * 8)  # INTRABC_DELAY_PX = 256
+        else:
+            pred = (-(sb4 * 4 * 8), 0)
+    mv = _read_mv(d, pred, nmv=d.cdf.dv)
+    if abs(mv[0]) >= (1 << 14) or abs(mv[1]) >= (1 << 14):
+        raise AvifError(Result.BMFF_PARSE_FAILED, "dv out of range")
+
+    d.block = dict(
+        r=r, c=c, bsize=bsize, skip=skip, is_inter=True, use_intrabc=True,
+        skip_mode=0, y_mode=0, uv_mode=0, seg_id=seg_id,  # DC_PRED
+        ref_frames=rf, mvs=[mv, (0, 0)], ref_mv_idx=0,
+        interintra=0, interintra_mode=0, wedge_interintra=0,
+        ii_wedge_index=0, motion_mode=SIMPLE, warp_samples=None,
+        comp_group_idx=0, compound_idx=1, compound_type=COMPOUND_AVERAGE,
+        wedge_index=0, wedge_sign=0, mask_type=0,
+        filters=[3, 3],  # BILINEAR both directions
+        avail_u=avail_u, avail_l=avail_l, has_chroma=has_chroma,
+        angle_y=0, angle_uv=0, use_filter_intra=False, fi_mode=0,
+        cfl_u=0, cfl_v=0, pal_sz_y=0, pal_sz_uv=0,
+        pal_y=None, pal_u=None, pal_v=None, map_y=None, map_uv=None,
+        qindex=d._seg_qindex(seg_id),
+    )
+    d.record_inter_mi(r, c, bsize, seg_id)
+    bw4, bh4 = B.w4(bsize), B.h4(bsize)
+    r1 = min(r + bh4, hdr.mi_rows)
+    c1 = min(c + bw4, hdr.mi_cols)
+    d.intrabc_mi[r:r1, c:c1] = True
     d.read_block_tx_sizes(r, c, bsize, skip)
     d._residual()
 

@@ -20,6 +20,11 @@ from . import refs as R
 
 
 def _ref_plane(d, ref: int, plane: int) -> np.ndarray:
+    if ref == R.INTRA_FRAME:
+        # intrabc: the current frame's in-progress reconstruction is the
+        # reference (§7.11.4; DV legality keeps reads inside the decoded
+        # region on conformant streams)
+        return d.planes[plane]
     slot = d.ref_planes[ref]
     if slot is None:
         raise AvifError(Result.BMFF_PARSE_FAILED, "missing reference frame")
@@ -88,6 +93,8 @@ def predict_inter_block(d, plane, px, py, pw, ph):
     some_intra = False
     for i in range(steps_r):
         for j in range(steps_c):
+            # NB: intrabc blocks record INTRA_FRAME, so in intra frames
+            # this is always True and chroma uses the current block's DV
             if int(d.ref_frames_mi[cand_r + i, cand_c + j, 0]) == R.INTRA_FRAME:
                 some_intra = True
     if some_intra:

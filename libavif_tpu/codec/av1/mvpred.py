@@ -242,7 +242,11 @@ class _StackBuilder:
 
     def add_candidate(self, mv_row: int, mv_col: int, weight: int):
         d = self.d
-        if int(d.ref_frames_mi[mv_row, mv_col, 0]) <= R.INTRA_FRAME:
+        # is_inter_block() gate: intrabc blocks record INTRA_FRAME but
+        # carry DVs and ARE candidates (for the intrabc DV scan)
+        if int(d.ref_frames_mi[mv_row, mv_col, 0]) <= R.INTRA_FRAME and not bool(
+            d.intrabc_mi[mv_row, mv_col]
+        ):
             return
         if not self.comp:
             for j in range(2):
@@ -602,3 +606,4 @@ def find_mv_stack(d, r, c, bsize, ref_frames, is_compound) -> MvContext:
     out.global_mvs = sb.global_mvs
     out.num_nearest = num_nearest
     return out
+
