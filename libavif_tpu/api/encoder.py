@@ -78,6 +78,12 @@ class Encoder:
         self.tile_cols_log2 = 0
         self.auto_tiling = False
         self.max_threads = 8
+        # codec key-value knobs (set_codec_specific_option); None = auto
+        self.cdef: Optional[bool] = None
+        self.deblock: Optional[bool] = None
+        self.mode_breadth: Optional[int] = None
+        self.tx_breadth: Optional[int] = None
+        self.cq_level: Optional[int] = None
         # 16-bit bit-depth extension (avifEncoder::sampleTransformRecipe)
         from ..hdr.sampletransform import Recipe
 
@@ -99,7 +105,13 @@ class Encoder:
           tile-rows / tile-columns        log2 tile counts for the spec
                                           codec (aom key names,
                                           codec_aom.c:465-470)
-          color:tx-size / alpha:tx-size   scoped variants (codec_aom.c:312
+          enable-cdef / enable-deblocking 0|1 loop-filter forcing (aom
+                                          key names)
+          cq-level         direct quantizer 0-63 (aom scale; overrides
+                                          the quality->qindex mapping)
+          mode-breadth     native codec intra-mode search breadth 1-13
+          tx-breadth       native codec transform search breadth 1-5
+          color:/alpha: prefixes         scoped variants (codec_aom.c:312
                                           scoping convention)
 
         Unknown keys are stored and ignored, like the reference's behavior
@@ -121,6 +133,35 @@ class Encoder:
                     self.tile_rows_log2 = v
                 else:
                     self.tile_cols_log2 = v
+        elif scoped == "enable-cdef":
+            # aom key (codec_aom.c passthrough): 0 disables the CDEF
+            # search/signaling, 1 forces it on
+            if not key.startswith("alpha:"):
+                self.cdef = bool(int(value))
+        elif scoped == "enable-deblocking":
+            if not key.startswith("alpha:"):
+                self.deblock = bool(int(value))
+        elif scoped == "cq-level":
+            # aom quantizer scale 0-63 -> direct qindex override
+            v = int(value)
+            if not 0 <= v <= 63:
+                raise AvifError(Result.INVALID_ARGUMENT, f"cq-level {value}")
+            if not key.startswith("alpha:"):
+                self.cq_level = v
+        elif scoped == "mode-breadth":
+            # native codec: intra-mode search breadth (1-13 modes)
+            v = int(value)
+            if not 1 <= v <= 13:
+                raise AvifError(Result.INVALID_ARGUMENT, f"mode-breadth {value}")
+            if not key.startswith("alpha:"):
+                self.mode_breadth = v
+        elif scoped == "tx-breadth":
+            # native codec: transform search breadth (1-5 transforms)
+            v = int(value)
+            if not 1 <= v <= 5:
+                raise AvifError(Result.INVALID_ARGUMENT, f"tx-breadth {value}")
+            if not key.startswith("alpha:"):
+                self.tx_breadth = v
 
     # ------------------------------------------------------------- internals
 
@@ -132,6 +173,9 @@ class Encoder:
             tile_cols_log2=self.tile_cols_log2,
             auto_tiling=self.auto_tiling,
             max_threads=self.max_threads,
+            cdef=self.cdef, deblock=self.deblock,
+            mode_breadth=self.mode_breadth, tx_breadth=self.tx_breadth,
+            cq_level=self.cq_level,
         )
 
     def _alpha_image(self, image: Image) -> Image:
@@ -828,11 +872,13 @@ def _grid_descriptor(rows: int, columns: int, out_w: int, out_h: int) -> bytes:
     return bytes(b)
 
 
-def encode(image: Image, quality: int = 60, speed: int = 6) -> bytes:
+def encode(image: Image, quality: int = 60, speed: int = 6,
+           codec: str = "auto") -> bytes:
     """Convenience one-liner."""
     enc = Encoder()
     enc.quality = quality
     enc.speed = speed
+    enc.codec_choice = codec
     return enc.write(image)
 
 

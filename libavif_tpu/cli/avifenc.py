@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clli", help="content light level: MaxCLL,MaxPALL")
     p.add_argument("--tx-size", type=int, default=16, choices=(4, 8, 16, 32))
     p.add_argument(
+        "-a", "--advanced", action="append", default=[], metavar="KEY=VALUE",
+        help="codec-specific option (avifenc -a; e.g. -a enable-cdef=0, "
+        "-a cq-level=32, -a mode-breadth=5, -a color:tx-breadth=2)",
+    )
+    p.add_argument(
         "-c", "--codec", choices=("auto", "spec", "native"), default="auto",
         help="auto: spec AV1 for lossless, TPU codec for lossy; "
         "spec: spec-conformant AV1 everywhere (decodes in any AVIF viewer)",
@@ -203,6 +208,12 @@ def main(argv=None) -> int:
     enc.keyframe_interval = args.keyframe
     enc.tx_size = args.tx_size
     enc.codec_choice = args.codec
+    for kv in args.advanced:
+        if "=" not in kv:
+            print(f"bad -a option (need KEY=VALUE): {kv}", file=sys.stderr)
+            return 1
+        k, v = kv.split("=", 1)
+        enc.set_codec_specific_option(k.strip(), v.strip())
 
     if args.grid:
         try:

@@ -80,9 +80,17 @@ class FrameParams:
     tile_cols_log2: int = 0
     auto_tiling: bool = False
     max_threads: int = 8  # avifEncoder maxThreads (write.c:1844 uses 8)
+    # codec key-value knobs (set_codec_specific_option): search breadth
+    # overrides for the native codec (mode-breadth 1-13, tx-breadth 1-5)
+    # and a direct quantizer override (aom cq-level, 0-63)
+    mode_breadth: int | None = None
+    tx_breadth: int | None = None
+    cq_level: int | None = None
 
     @property
     def qindex(self) -> int:
+        if self.cq_level is not None:
+            return max(0, min(255, int(self.cq_level) * 4))
         return quality_to_qindex(self.quality)
 
     @property
@@ -268,6 +276,7 @@ def encode_frames_pipelined(
         out = encode_packed_frames_sharded(
             batch, dc, ac, geoms=geoms0, n=n, depth=depth0,
             lossless=lossless, speed=params.speed, mesh=mesh,
+            search=(params.mode_breadth, params.tx_breadth),
         )
         host = np.asarray(out)  # one packed fetch for the whole batch
         results = [host[i] for i in range(len(staged))]
@@ -280,6 +289,7 @@ def encode_frames_pipelined(
                     packed, np.int32(dc), np.int32(ac),
                     geoms=geoms, n=n, depth=depth, lossless=lossless,
                     speed=params.speed,
+                    search=(params.mode_breadth, params.tx_breadth),
                 )
             )
         for result in results:

@@ -58,10 +58,18 @@ TX_SET_ALL = (DCT_DCT, ADST_DCT, DCT_ADST, ADST_ADST, IDTX)
 N_TX = len(TX_SET_ALL)
 
 
-def tx_search_set(speed: int, n: int) -> tuple:
+def tx_search_set(speed: int, n: int, breadth: int | None = None) -> tuple:
     """Speed ladder -> transform search breadth (the codec_aom.c:695-726
     speed-to-effort role). The bitstream alphabet is always TX_SET_ALL;
-    speed only limits the encoder's search. ADST bases exist for n<=16."""
+    speed only limits the encoder's search. ADST bases exist for n<=16.
+    `breadth` (1-5, the tx-breadth codec option) overrides the ladder
+    with the first k of (DCT, IDTX, ADST_ADST, ADST_DCT, DCT_ADST)."""
+    if breadth is not None:
+        order = (DCT_DCT, IDTX, ADST_ADST, ADST_DCT, DCT_ADST)
+        sel = order[: max(1, min(5, int(breadth)))]
+        if n > 16:
+            sel = tuple(t for t in sel if t in (DCT_DCT, IDTX)) or (DCT_DCT,)
+        return sel
     if n > 16:
         return (DCT_DCT, IDTX)
     if speed >= 6:
@@ -71,7 +79,7 @@ def tx_search_set(speed: int, n: int) -> tuple:
     return TX_SET_ALL
 
 
-def mode_search_set(speed: int) -> tuple:
+def mode_search_set(speed: int, breadth: int | None = None) -> tuple:
     """Speed ladder -> intra-mode search breadth (indices into
     ops.intra.MODE_SET). Shrinking the candidate tensor shrinks every
     downstream transform/SSE tensor on device — real wall-clock, not just
@@ -81,6 +89,14 @@ def mode_search_set(speed: int) -> tuple:
         D45_PRED, D135_PRED, N_MODES,
     )
 
+    if breadth is not None:
+        order = (DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED,
+                 D45_PRED, D135_PRED) + tuple(
+            m for m in range(N_MODES)
+            if m not in (DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED,
+                         D45_PRED, D135_PRED)
+        )
+        return order[: max(1, min(N_MODES, int(breadth)))]
     if speed >= 9:
         return (DC_PRED, V_PRED, H_PRED)
     if speed >= 8:
@@ -230,8 +246,9 @@ def decode_plane(levels, modes, dc_step, ac_step, tx_types=None, *, n: int, dept
 # ------------------------------------------------------------------ encode
 
 
-@functools.partial(jax.jit, static_argnames=("n", "depth", "lossless", "speed"))
-def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool, speed: int = 6):
+@functools.partial(jax.jit, static_argnames=("n", "depth", "lossless", "speed", "search"))
+def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool, speed: int = 6,
+                 search: tuple = (None, None)):
     """Exhaustive-parallel mode × transform search over a padded plane.
 
     src: (Rb*n, Cb*n) int32 (already padded). Returns (modes (Rb,Cb) int32,
@@ -244,10 +261,10 @@ def encode_plane(src, dc_step, ac_step, *, n: int, depth: int, lossless: bool, s
     rb, cb = hp // n, wp // n
     maxv = (1 << depth) - 1
     mid = 1 << (depth - 1)
-    txs = (WHT_WHT,) if lossless else tx_search_set(speed, n)
+    txs = (WHT_WHT,) if lossless else tx_search_set(speed, n, search[1])
     tx_syms = tuple(TX_SET_ALL.index(t) if t in TX_SET_ALL else 0 for t in txs)
     T = len(txs)
-    mode_set = tuple(range(N_MODES)) if lossless else mode_search_set(speed)
+    mode_set = tuple(range(N_MODES)) if lossless else mode_search_set(speed, search[0])
     steps = _steps_mat(n, dc_step, ac_step)
     # Integer lambda for SSE (8-bit-scaled) + lam·bits cost. acs8 is the AC
     # step in 8-bit pixel units; transform gain is 2^3 over orthonormal, so
@@ -359,9 +376,10 @@ def pack_dtype(lossless: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("geoms", "n", "depth", "lossless", "speed")
+    jax.jit, static_argnames=("geoms", "n", "depth", "lossless", "speed", "search")
 )
-def encode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, lossless: bool, speed: int = 6):
+def encode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, lossless: bool, speed: int = 6,
+                        search: tuple = (None, None)):
     """packed: 1-D uint8/uint16 concat of padded planes (per `geoms`
     (rb, cb) entries). Returns a single 1-D int16/int32 result buffer.
 
@@ -391,7 +409,7 @@ def encode_frame_device(packed, dc_step, ac_step, *, geoms, n: int, depth: int, 
             ]
         )
         enc = jax.vmap(
-            lambda p: _encode_impl(p, dc_step, ac_step, n, depth, lossless, speed)
+            lambda p: _encode_impl(p, dc_step, ac_step, n, depth, lossless, speed, search)
         )
         modes, levels, _, txs = enc(planes)
         for k, i in enumerate(idxs):
@@ -471,9 +489,10 @@ def decode_frame_device(
     return jnp.concatenate(results)
 
 
-def _encode_impl(src, dc_step, ac_step, n, depth, lossless, speed=6):
+def _encode_impl(src, dc_step, ac_step, n, depth, lossless, speed=6, search=(None, None)):
     return encode_plane.__wrapped__(
-        src, dc_step, ac_step, n=n, depth=depth, lossless=lossless, speed=speed
+        src, dc_step, ac_step, n=n, depth=depth, lossless=lossless, speed=speed,
+        search=search,
     )
 
 

@@ -79,19 +79,22 @@ def set_default_codec_mesh(mesh: Optional[Mesh]) -> None:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("geoms", "n", "depth", "lossless", "speed", "mesh"),
+    static_argnames=("geoms", "n", "depth", "lossless", "speed", "mesh", "search"),
 )
-def _encode_packed_batch(packed, dc, ac, *, geoms, n, depth, lossless, speed, mesh):
+def _encode_packed_batch(packed, dc, ac, *, geoms, n, depth, lossless, speed, mesh,
+                         search=(None, None)):
     spec = NamedSharding(mesh, P(CODEC_MESH_AXES))  # frame axis over all chips
     packed = jax.lax.with_sharding_constraint(packed, spec)
     fn = lambda p: recon.encode_frame_device(  # noqa: E731
-        p, dc, ac, geoms=geoms, n=n, depth=depth, lossless=lossless, speed=speed
+        p, dc, ac, geoms=geoms, n=n, depth=depth, lossless=lossless, speed=speed,
+        search=search,
     )
     return jax.lax.with_sharding_constraint(jax.vmap(fn)(packed), spec)
 
 
 def encode_packed_frames_sharded(
-    packed_batch, dc, ac, *, geoms, n, depth, lossless, speed, mesh
+    packed_batch, dc, ac, *, geoms, n, depth, lossless, speed, mesh,
+    search=(None, None),
 ):
     """(F, L) packed plane batch -> (F, out_L) packed results, frame axis
     sharded over the whole mesh. Frames are independent bitstreams: zero
@@ -101,6 +104,7 @@ def encode_packed_frames_sharded(
     return _encode_packed_batch(
         packed_batch, _jnp.int32(dc), _jnp.int32(ac),
         geoms=geoms, n=n, depth=depth, lossless=lossless, speed=speed, mesh=mesh,
+        search=search,
     )
 
 

@@ -278,3 +278,61 @@ class TestCodecChoice:
         data = enc.write(img)
         out = decode(data)  # own decoder handles it
         assert (out.width, out.height) == (48, 32)
+
+
+class TestCodecOptions:
+    """set_codec_specific_option key surface (avifEncoderSetCodecSpecificOption,
+    avif.h:1694; aom key names per codec_aom.c:312-580)."""
+
+    def test_cq_level_overrides_quality(self):
+        img = make_image(96, 64, seed=41)
+        enc = Encoder()
+        enc.quality = 90  # would be a low qindex...
+        enc.set_codec_specific_option("cq-level", "55")  # ...forced coarse
+        coarse = enc.write(img)
+        enc2 = Encoder()
+        enc2.quality = 90
+        fine = enc2.write(img)
+        assert len(coarse) < len(fine)  # qindex 220 must beat quality-90 rate
+
+    def test_mode_and_tx_breadth_shrink_search(self):
+        img = make_image(96, 64, seed=42)
+        enc = Encoder()
+        enc.quality = 70
+        enc.set_codec_specific_option("mode-breadth", "1")
+        enc.set_codec_specific_option("tx-breadth", "1")
+        narrow = enc.write(img)
+        enc2 = Encoder()
+        enc2.quality = 70
+        full = enc2.write(img)
+        # narrower search can only do worse-or-equal RD: never smaller
+        # at identical quantizer unless the searches coincide
+        assert len(narrow) >= len(full)
+        # both decode
+        d = Decoder(); d.parse(narrow); d.next_image()
+        assert d.image.width == 96
+
+    def test_enable_cdef_off_spec_lossy(self):
+        img = make_image(96, 64, seed=43)
+        enc = Encoder()
+        enc.quality = 60
+        enc.codec_choice = "spec"
+        enc.set_codec_specific_option("enable-cdef", "0")
+        off = enc.write(img)
+        d = Decoder(); d.parse(off); d.next_image()  # decodes cleanly
+
+    def test_invalid_values_raise(self):
+        enc = Encoder()
+        with pytest.raises(AvifError):
+            enc.set_codec_specific_option("cq-level", "64")
+        with pytest.raises(AvifError):
+            enc.set_codec_specific_option("mode-breadth", "0")
+        with pytest.raises(AvifError):
+            enc.set_codec_specific_option("tx-breadth", "9")
+        # unknown keys are stored, not rejected (reference behavior)
+        enc.set_codec_specific_option("some-unknown-key", "7")
+
+    def test_alpha_scope_does_not_touch_color(self):
+        enc = Encoder()
+        enc.set_codec_specific_option("alpha:cq-level", "20")
+        assert enc.cq_level is None
