@@ -94,6 +94,93 @@ def bench_ours(imgs):
     return (len(imgs) * W * H / 1e6) / best
 
 
+def bench_breakdown(imgs):
+    """Device-vs-host decomposition of the pipelined encode: times the
+    device program (dispatch + block_until_ready + fetch) and the host
+    entropy drain separately, so the bottleneck is visible in the
+    artifact. Returns (device_s, host_s, util) for one batch."""
+    from libavif_tpu.codec import recon
+    from libavif_tpu.codec.frame import (
+        FrameParams,
+        _coded_planes,
+        encode_frames_pipelined,
+        step_sizes,
+    )
+
+    params = FrameParams(quality=QUALITY, speed=SPEED)
+    n = params.tx_size
+    staged = []
+    for image in imgs:
+        planes = [image.yuv_planes[c] for c in range(_coded_planes(image))]
+        padded = [recon.pad_to_blocks(p, n).astype(np.uint8) for p in planes]
+        geoms = tuple((p.shape[0] // n, p.shape[1] // n) for p in padded)
+        packed = np.concatenate([p.reshape(-1) for p in padded])
+        staged.append((geoms, packed))
+    dc, ac = step_sizes(params.qindex, 8)
+
+    def run_device():
+        outs = [
+            recon.encode_frame_device(
+                packed, np.int32(dc), np.int32(ac), geoms=geoms, n=n,
+                depth=8, lossless=False, speed=params.speed,
+            )
+            for geoms, packed in staged
+        ]
+        return [np.asarray(o) for o in outs]
+
+    hosts = run_device()  # warm-up + host copies for the entropy stage
+    t0 = time.perf_counter()
+    run_device()
+    device_s = time.perf_counter() - t0
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from libavif_tpu.codec.frame import _submit_plane_encode
+
+    def run_host():
+        workers = max(2, min(16, (os.cpu_count() or 4)))
+        with ThreadPoolExecutor(workers) as pool:
+            futs = []
+            for (geoms, _), result in zip(staged, hosts):
+                off = 0
+                for rb, cb in geoms:
+                    nb = rb * cb
+                    modes = result[off : off + nb].astype(np.int32).reshape(rb, cb)
+                    off += nb
+                    txs = result[off : off + nb].astype(np.int32).reshape(rb, cb)
+                    off += nb
+                    levels = (
+                        result[off : off + nb * n * n]
+                        .astype(np.int32)
+                        .reshape(rb, cb, n, n)
+                    )
+                    off += nb * n * n
+                    futs.append(_submit_plane_encode(pool, levels, modes, txs, n))
+            for f in futs:
+                _drain_future(f)
+
+    run_host()  # warm-up
+    t0 = time.perf_counter()
+    run_host()
+    host_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    encode_frames_pipelined(imgs, params)
+    total_s = time.perf_counter() - t0
+    util = max(device_s, host_s) / total_s if total_s else 0.0
+    return device_s, host_s, total_s, util
+
+
+def _drain_future(f):
+    """Resolve whatever _submit_plane_encode returned (future / list)."""
+    if hasattr(f, "result"):
+        f.result()
+        return
+    if isinstance(f, (list, tuple)):
+        for x in f:
+            _drain_future(x)
+
+
 def bench_cpu_baseline(imgs):
     """CPU reference: real libaom (through the libavif oracle) fed the
     same native YUV planes, quality 75, speed 6, all host cores."""
@@ -124,6 +211,17 @@ def main():
     ours = bench_ours(imgs)
     baseline = bench_cpu_baseline(imgs)
     vs = (ours / baseline) if baseline else 0.0
+    try:
+        device_s, host_s, total_s, util = bench_breakdown(imgs)
+        extra = {
+            "device_s": round(device_s, 4),
+            "host_entropy_s": round(host_s, 4),
+            "pipelined_s": round(total_s, 4),
+            "overlap_utilization": round(util, 4),
+            "bottleneck": "host-entropy" if host_s > device_s else "device",
+        }
+    except Exception as e:  # breakdown must never sink the headline metric
+        extra = {"breakdown_error": str(e)[:120]}
     print(
         json.dumps(
             {
@@ -131,6 +229,7 @@ def main():
                 "value": round(ours, 4),
                 "unit": "MP/s",
                 "vs_baseline": round(vs, 4),
+                **extra,
             }
         )
     )

@@ -465,11 +465,58 @@ def _txfm_1d(kind, vec, n):
     return iidentity(vec, n)
 
 
+_KIND_ID = {"dct": 0, "adst": 1, "id": 2}
+_native_tx = None  # lazily resolved: False = unavailable
+
+
+def _native_tx_lib():
+    global _native_tx
+    if _native_tx is None:
+        try:
+            from ...native import load
+
+            lib = load()
+            if lib is not None and hasattr(lib, "avt_inverse_transform"):
+                import ctypes
+
+                cos = np.array(_cospi(), dtype=np.int64)
+                sin = np.array(_SINPI, dtype=np.int64)
+                lib.avt_tx_init(
+                    cos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    sin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                )
+                _native_tx = lib
+            else:
+                _native_tx = False
+        except Exception:
+            _native_tx = False
+    return _native_tx or None
+
+
 def inverse_transform(dq: np.ndarray, txw: int, txh: int, tx_type: int,
                       bd: int) -> np.ndarray:
     """2D inverse transform of the dequantized (ch x cw) coefficient array
     (coded size caps at 32; larger transforms zero-fill). Returns
-    (txh x txw) residual."""
+    (txh x txw) residual. Hot path is the C++ port (native/msac.cc
+    avt_inverse_transform, bit-identical; this Python body is the
+    reference the parity test holds it to)."""
+    lib = _native_tx_lib()
+    if lib is not None:
+        import ctypes
+
+        row_kind, col_kind, flip_lr, flip_ud = _TX_KINDS[tx_type]
+        row_shift, col_shift = _SHIFTS[(txw, txh)]
+        cw, ch = min(txw, 32), min(txh, 32)
+        src = np.ascontiguousarray(dq[:ch, :cw], dtype=np.int32)
+        out = np.empty((txh, txw), dtype=np.int32)
+        rect = int(abs(int(math.log2(txw)) - int(math.log2(txh))) == 1)
+        lib.avt_inverse_transform(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            txw, txh, _KIND_ID[row_kind], _KIND_ID[col_kind],
+            int(flip_lr), int(flip_ud), row_shift, col_shift, rect, bd,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
     row_kind, col_kind, flip_lr, flip_ud = _TX_KINDS[tx_type]
     row_shift, col_shift = _SHIFTS[(txw, txh)]
     cw = min(txw, 32)
@@ -483,17 +530,19 @@ def inverse_transform(dq: np.ndarray, txw: int, txh: int, tx_type: int,
     # intermediate (between-pass) clamp: dav1d keeps 8bpc row outputs in
     # int16, i.e. +-2^(bd+7); conformant streams depend on this saturation
     rng = 1 << (bd + 7)
-    out = np.zeros((txh, txw), dtype=np.int64)
-    for i in range(txh):
-        row = [int(v) for v in full[i]]
-        row = _txfm_1d(row_kind, row, txw)
-        out[i] = [_rnd(v, row_shift) if row_shift else v for v in row]
+    # Both passes run the scalar butterfly chains on numpy column vectors
+    # (each x[k] is the k-th lane across all rows/cols) — one vectorized
+    # 1-D transform per pass instead of one per row/column.
+    row_in = [full[:, k] for k in range(txw)]  # length-txw list of (txh,)
+    row_out = _txfm_1d(row_kind, row_in, txw)
+    out = np.stack(row_out, axis=1)  # (txh, txw)
+    if row_shift:
+        out = (out + (1 << (row_shift - 1))) >> row_shift
     np.clip(out, -rng, rng - 1, out=out)
-    res = np.zeros((txh, txw), dtype=np.int64)
-    for j in range(txw):
-        col = [int(v) for v in out[:, j]]
-        col = _txfm_1d(col_kind, col, txh)
-        res[:, j] = [_rnd(v, col_shift) for v in col]
+    col_in = [out[k, :] for k in range(txh)]  # length-txh list of (txw,)
+    col_out = _txfm_1d(col_kind, col_in, txh)
+    res = np.stack(col_out, axis=0)  # (txh, txw)
+    res = (res + (1 << (col_shift - 1))) >> col_shift
     if flip_lr:
         res = res[:, ::-1]
     if flip_ud:

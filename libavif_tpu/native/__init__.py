@@ -82,6 +82,17 @@ def load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
             ]
+            lib.avt_tx_init.restype = None
+            lib.avt_tx_init.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.avt_inverse_transform.restype = None
+            lib.avt_inverse_transform.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
             _lib = lib
         except Exception:
             _lib = None

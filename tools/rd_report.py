@@ -1,16 +1,18 @@
 """Rate-distortion report: this framework vs real libaom, YUV-native.
 
-Methodology (fixes VERDICT.md round-1 "What's weak" #1):
-  - Both codecs are fed the SAME native YUV 4:2:0 planes from the
-    reference corpus y4m files. No RGB conversion anywhere: libaom is
-    driven through the libavif oracle (interop/libavif_oracle.py) at the
-    plane level, and distortion is Y-plane PSNR measured in YUV domain
-    on both sides.
-  - Table rows are nominal-quality sweeps; the summary line reports the
-    dB delta at matched rate (libaom's PSNR log-interpolated at our
-    byte sizes), which is the comparable figure.
+Methodology (VERDICT round-2 "What's weak" #2: BD-rate, >=5 images,
+>=5 rate points, BOTH codecs):
+  - >=6 photographic sources (kodim y4m + corpus photos converted once
+    to YUV 4:2:0 BT.601; both codecs get the SAME planes, so the
+    conversion cannot bias the comparison).
+  - 6 nominal-quality points per codec per image.
+  - Distortion is Y-plane PSNR in YUV domain against the source planes.
+  - Summary metric is BD-rate (Bjontegaard delta rate, piecewise-cubic
+    integration over the overlapping PSNR interval) and BD-PSNR, ours
+    vs libaom speed 6, for (a) the own-format TPU codec and (b) the
+    spec-AV1 encoder (-c spec).
 
-Run on CPU:  python tools/rd_report.py [out.md]
+Run on CPU:  python tools/rd_report.py [out.md] [--skip-spec]
 """
 
 import os
@@ -20,103 +22,271 @@ import numpy as np
 
 
 def psnr(a, b):
-    mse = np.mean((np.asarray(a).astype(np.int64) - np.asarray(b).astype(np.int64)) ** 2)
+    mse = np.mean(
+        (np.asarray(a).astype(np.int64) - np.asarray(b).astype(np.int64)) ** 2
+    )
     return 10 * np.log10(255**2 / max(mse, 1e-9))
 
 
-def interp_db_at_rate(rates, dbs, target_rate):
-    """Piecewise-linear interpolation of PSNR vs log(bytes)."""
-    lr = np.log(np.asarray(rates, dtype=np.float64))
-    dbs = np.asarray(dbs, dtype=np.float64)
-    order = np.argsort(lr)
-    return float(np.interp(np.log(target_rate), lr[order], dbs[order]))
+def _pchip(x, y):
+    """Monotone piecewise-cubic interpolant (Fritsch-Carlson), the
+    standard choice for BD metrics. Returns coeff arrays for segments."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    h = np.diff(x)
+    m = np.diff(y) / h
+    d = np.zeros_like(y)
+    d[0] = m[0]
+    d[-1] = m[-1]
+    for i in range(1, len(x) - 1):
+        if m[i - 1] * m[i] <= 0:
+            d[i] = 0.0
+        else:
+            w1 = 2 * h[i] + h[i - 1]
+            w2 = h[i] + 2 * h[i - 1]
+            d[i] = (w1 + w2) / (w1 / m[i - 1] + w2 / m[i])
+    return x, y, d
 
 
-def main(out_path=None):
+def _pchip_integrate(x, y, d, a, b):
+    """Integral of the pchip over [a, b]."""
+    total = 0.0
+    for i in range(len(x) - 1):
+        x0, x1 = x[i], x[i + 1]
+        lo, hi = max(a, x0), min(b, x1)
+        if lo >= hi:
+            continue
+        h = x1 - x0
+        y0, y1, d0, d1 = y[i], y[i + 1], d[i], d[i + 1]
+        # Hermite basis integral on [t0, t1] in local t = (u - x0)/h
+        t0, t1 = (lo - x0) / h, (hi - x0) / h
+
+        def F(t):
+            # integrals of the Hermite bases h00,h10,h01,h11
+            ih00 = t**4 / 2.0 - t**3 + t
+            ih10 = t**4 / 4.0 - 2.0 * t**3 / 3.0 + t**2 / 2.0
+            ih01 = -(t**4) / 2.0 + t**3
+            ih11 = t**4 / 4.0 - t**3 / 3.0
+            return (
+                y0 * ih00 + h * d0 * ih10 + y1 * ih01 + h * d1 * ih11
+            )
+
+        total += h * (F(t1) - F(t0))
+    return total
+
+
+def bd_rate(rate_a, psnr_a, rate_b, psnr_b):
+    """BD-rate of B vs A in percent (negative: B needs fewer bits)."""
+    la = np.log10(np.asarray(rate_a, dtype=np.float64))
+    lb = np.log10(np.asarray(rate_b, dtype=np.float64))
+    pa, pb = np.asarray(psnr_a, float), np.asarray(psnr_b, float)
+    ia, ib = np.argsort(pa), np.argsort(pb)
+    xa, ya, da = _pchip(pa[ia], la[ia])
+    xb, yb, db_ = _pchip(pb[ib], lb[ib])
+    lo = max(xa[0], xb[0])
+    hi = min(xa[-1], xb[-1])
+    if hi <= lo:
+        return None
+    va = _pchip_integrate(xa, ya, da, lo, hi) / (hi - lo)
+    vb = _pchip_integrate(xb, yb, db_, lo, hi) / (hi - lo)
+    return (10 ** (vb - va) - 1.0) * 100.0
+
+
+def bd_psnr(rate_a, psnr_a, rate_b, psnr_b):
+    """BD-PSNR of B vs A in dB (positive: B better at equal rate)."""
+    la = np.log10(np.asarray(rate_a, dtype=np.float64))
+    lb = np.log10(np.asarray(rate_b, dtype=np.float64))
+    pa, pb = np.asarray(psnr_a, float), np.asarray(psnr_b, float)
+    ia, ib = np.argsort(la), np.argsort(lb)
+    xa, ya, da = _pchip(la[ia], pa[ia])
+    xb, yb, db_ = _pchip(lb[ib], pb[ib])
+    lo = max(xa[0], xb[0])
+    hi = min(xa[-1], xb[-1])
+    if hi <= lo:
+        return None
+    va = _pchip_integrate(xa, ya, da, lo, hi) / (hi - lo)
+    vb = _pchip_integrate(xb, yb, db_, lo, hi) / (hi - lo)
+    return vb - va
+
+
+def _rgb_to_yuv420(arr):
+    """Full-range BT.601 RGB->YUV420 (box downsample). Both encoders get
+    these same planes, so the conversion choice cancels out of the
+    comparison."""
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = (b - y) * 0.564 + 128
+    v = (r - y) * 0.713 + 128
+    h, w = y.shape
+    h2, w2 = h - (h & 1), w - (w & 1)
+    y = y[:h2, :w2]
+    u = u[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+    v = v[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+    to8 = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)
+    return [to8(y), to8(u), to8(v)]
+
+
+def load_sources():
+    """6 distinct photographic YUV420 sources from the reference corpus.
+    Large photos are box-downsampled to <=~1 MP so the spec encoder's
+    sweep stays tractable; tiny test patterns are excluded."""
+    from libavif_tpu.io_formats.y4m import read_y4m
+
+    out = []
+    for p in (
+        "/root/reference/tests/data/kodim03_yuv420_8bpc.y4m",
+        "/root/reference/tests/data/kodim23_yuv420_8bpc.y4m",
+    ):
+        if os.path.exists(p):
+            img = read_y4m(p)
+            out.append((os.path.basename(p),
+                        [img.yuv_planes[0], img.yuv_planes[1], img.yuv_planes[2]]))
+    p = "/root/reference/tests/data/cosmos1650_yuv444_10bpc_p3pq.y4m"
+    if os.path.exists(p):
+        img = read_y4m(p)
+        # 10-bit 4:4:4 -> 8-bit 4:2:0 (round + box) for a uniform sweep
+        y = np.clip((img.yuv_planes[0].astype(np.int64) + 2) >> 2, 0, 255)
+        h, w = y.shape
+        h2, w2 = h & ~1, w & ~1
+        def down(pl):
+            pl = np.clip((pl.astype(np.float64)) / 4.0, 0, 255)[:h2, :w2]
+            return np.clip(
+                np.round(pl.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))),
+                0, 255).astype(np.uint8)
+        out.append(("cosmos1650(as 420 8b)",
+                    [y[:h2, :w2].astype(np.uint8),
+                     down(img.yuv_planes[1]), down(img.yuv_planes[2])]))
+    try:
+        import PIL.Image
+
+        for p, maxdim in (
+            ("/root/reference/tests/data/paris_exif_xmp_icc.jpg", 4096),
+            ("/root/reference/tests/data/dog_exif_extended_xmp_icc.jpg", 1024),
+            ("/root/reference/tests/data/apple_gainmap_new.jpg", 4096),
+        ):
+            if os.path.exists(p):
+                im = PIL.Image.open(p).convert("RGB")
+                if max(im.size) > maxdim:
+                    s = maxdim / max(im.size)
+                    im = im.resize((int(im.width * s) & ~1,
+                                    int(im.height * s) & ~1),
+                                   PIL.Image.LANCZOS)
+                arr = np.asarray(im)
+                out.append((os.path.basename(p), _rgb_to_yuv420(arr)))
+    except Exception:
+        pass
+    return out
+
+
+def main(out_path=None, skip_spec=False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, ".")
+    from libavif_tpu.constants import PixelFormat
+    from libavif_tpu.image import Image
     from libavif_tpu.api import decode, encode
     from libavif_tpu.interop import libavif_oracle as oracle
-    from libavif_tpu.io_formats.y4m import read_y4m
 
     if not oracle.available():
         print("libavif oracle unavailable; no defensible baseline — aborting")
         return 1
-
-    sources = [
-        p
-        for p in (
-            "/root/reference/tests/data/kodim03_yuv420_8bpc.y4m",
-            "/root/reference/tests/data/kodim23_yuv420_8bpc.y4m",
-        )
-        if os.path.exists(p)
-    ]
-    if not sources:
-        print("kodim corpus unavailable")
+    sources = load_sources()
+    if len(sources) < 5:
+        print(f"only {len(sources)} sources found")
         return 1
 
-    qualities = (50, 65, 75, 85, 95)
+    def to_image(planes):
+        h, w = planes[0].shape
+        img = Image(w, h, 8, PixelFormat.YUV420)
+        img.allocate_planes("yuv")
+        for c in range(3):
+            img.yuv_planes[c][:] = planes[c]
+        return img
+
+    qualities = (45, 55, 65, 75, 85, 92)
+    # the spec encoder's quality->qindex map is the reference formula, not
+    # the own codec's calibrated curve; sweep it lower so its rate range
+    # overlaps libaom's for the BD integration
+    spec_qualities = (25, 40, 55, 70, 82, 92)
     lines = [
         "# Rate-distortion vs libaom (YUV-native, Y-PSNR in YUV domain)",
         "",
         f"Baseline: {oracle.versions()} via libavif oracle, speed 6, native",
-        "YUV 4:2:0 input (no RGB conversion on either side). Distortion is",
-        "Y-plane PSNR against the original y4m. Quality values are each",
-        "codec's own nominal scale; compare at matched rate (summary below).",
+        "YUV 4:2:0 planes identical on all sides. Distortion is Y-plane",
+        "PSNR vs the source planes. Summary = BD-rate / BD-PSNR",
+        "(Bjontegaard, monotone-cubic) per image and averaged.",
         "",
     ]
-    deltas = []
-    for src in sources:
-        img = read_y4m(src)
-        name = os.path.basename(src)
-        y0 = img.yuv_planes[0]
-        planes = [img.yuv_planes[0], img.yuv_planes[1], img.yuv_planes[2]]
+    bd_own_r, bd_own_p, bd_spec_r, bd_spec_p = [], [], [], []
+    for name, planes in sources:
+        img = to_image(planes)
+        y0 = planes[0]
+        h, w = y0.shape
         lines += [
-            f"## {name} ({img.width}x{img.height})",
+            f"## {name} ({w}x{h})",
             "",
-            "| q | ours bytes | ours Y dB | libaom bytes | libaom Y dB |",
-            "|---|---|---|---|---|",
+            "| q | own bytes | own Y dB | spec bytes | spec Y dB | aom bytes | aom Y dB |",
+            "|---|---|---|---|---|---|---|",
         ]
-        ours_pts, aom_pts = [], []
+        own_pts, spec_pts, aom_pts = [], [], []
         for q in qualities:
             ours = encode(img, quality=q)
             out = decode(ours)
-            odb = psnr(out.yuv_planes[0], y0)
-            ours_pts.append((len(ours), odb))
+            own_pts.append((len(ours), psnr(out.yuv_planes[0], y0)))
+            srow = ("-", "-")
+            if not skip_spec:
+                sq = spec_qualities[qualities.index(q)]
+                sp = encode(img, quality=sq, codec="spec")
+                sout = decode(sp)
+                spec_pts.append((len(sp), psnr(sout.yuv_planes[0], y0)))
+                srow = (f"{len(sp)} (q{sq})", f"{spec_pts[-1][1]:.2f}")
             data = oracle.encode(
                 planes, quality=q, speed=6, max_threads=os.cpu_count() or 1
             )
             dec = oracle.decode(data)
-            adb = psnr(dec.planes[0], y0)
-            aom_pts.append((len(data), adb))
-            lines.append(f"| {q} | {len(ours)} | {odb:.2f} | {len(data)} | {adb:.2f} |")
-        rates_a = [r for r, _ in aom_pts]
-        dbs_a = [d for _, d in aom_pts]
-        lo, hi = min(rates_a), max(rates_a)
-        per_img = []
-        for r, d in ours_pts:
-            if lo <= r <= hi:  # only compare inside libaom's measured range
-                per_img.append(d - interp_db_at_rate(rates_a, dbs_a, r))
-        if per_img:
-            deltas += per_img
-            lines += [
-                "",
-                f"Matched-rate Y-PSNR delta (ours - libaom) over {len(per_img)} "
-                f"in-range points: **{np.mean(per_img):+.2f} dB** "
-                f"(min {min(per_img):+.2f}, max {max(per_img):+.2f})",
-                "",
-            ]
-    if deltas:
-        lines += [
-            "## Summary",
-            "",
-            f"Mean matched-rate Y-PSNR delta vs libaom speed 6: "
-            f"**{np.mean(deltas):+.2f} dB** across {len(deltas)} points. "
-            "Negative means libaom is ahead at equal bytes.",
-            "",
-        ]
+            aom_pts.append((len(data), psnr(dec.planes[0], y0)))
+            lines.append(
+                f"| {q} | {own_pts[-1][0]} | {own_pts[-1][1]:.2f} "
+                f"| {srow[0]} | {srow[1]} "
+                f"| {aom_pts[-1][0]} | {aom_pts[-1][1]:.2f} |"
+            )
+        ra, pa = zip(*aom_pts)
+        ro, po = zip(*own_pts)
+        br = bd_rate(ra, pa, ro, po)
+        bp = bd_psnr(ra, pa, ro, po)
+        summ = f"\nown codec: BD-rate **{br:+.1f}%**, BD-PSNR **{bp:+.2f} dB**"
+        if br is not None:
+            bd_own_r.append(br)
+            bd_own_p.append(bp)
+        if spec_pts:
+            rs, ps = zip(*spec_pts)
+            brs = bd_rate(ra, pa, rs, ps)
+            bps = bd_psnr(ra, pa, rs, ps)
+            if brs is not None:
+                bd_spec_r.append(brs)
+                bd_spec_p.append(bps)
+                summ += f" · spec codec: BD-rate **{brs:+.1f}%**, BD-PSNR **{bps:+.2f} dB**"
+        lines += [summ, ""]
+    lines += ["## Summary", ""]
+    if bd_own_r:
+        lines.append(
+            f"Own-format codec vs libaom s6: mean BD-rate **{np.mean(bd_own_r):+.1f}%**, "
+            f"mean BD-PSNR **{np.mean(bd_own_p):+.2f} dB** over {len(bd_own_r)} images "
+            f"x {len(qualities)} rate points."
+        )
+    if bd_spec_r:
+        lines.append(
+            f"Spec-AV1 encoder (-c spec s6) vs libaom s6: mean BD-rate "
+            f"**{np.mean(bd_spec_r):+.1f}%**, mean BD-PSNR **{np.mean(bd_spec_p):+.2f} dB** "
+            f"over {len(bd_spec_r)} images."
+        )
+    lines.append(
+        "\nPositive BD-rate = more bytes than libaom at equal quality; "
+        "negative BD-PSNR = lower quality at equal bytes."
+    )
     text = "\n".join(lines) + "\n"
     if out_path:
         with open(out_path, "w") as f:
@@ -126,4 +296,5 @@ def main(out_path=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else None))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sys.exit(main(args[0] if args else None, skip_spec="--skip-spec" in sys.argv))
