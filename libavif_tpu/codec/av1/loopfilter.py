@@ -124,18 +124,21 @@ def _flat_size6(p, q, F):
     )
 
 
-def loop_filter_frame(dec) -> None:
-    """Apply the deblocking filter to all planes of a decoded frame."""
+def loop_filter_frame(dec, *, scalar: bool = False) -> None:
+    """Apply the deblocking filter to all planes of a decoded frame.
+
+    The vectorized path is the product path; ``scalar=True`` runs the
+    readable per-edge reference loop (kept for differential testing,
+    tests/test_loopfilter.py)."""
     hdr = dec.hdr
     lf = hdr.lf
     if hdr.coded_lossless or hdr.allow_intrabc:
         return
     if not any(lf.levels):
         return
-    ctx = dec.ctx
     bd = dec.bd
+    impl = _filter_plane_scalar if scalar else _filter_plane
     for plane in range(dec.n_planes):
-        lvl_idx = (0, 2, 3)[plane]  # vertical-pass level index per plane
         for direction in (0, 1):  # 0 = vertical edges, 1 = horizontal
             if plane == 0:
                 base_lvl = lf.levels[direction]
@@ -143,10 +146,270 @@ def loop_filter_frame(dec) -> None:
                 base_lvl = lf.levels[2 if plane == 1 else 3]
             if base_lvl == 0 and not lf.delta_enabled:
                 continue
-            _filter_plane(dec, plane, direction, base_lvl, bd)
+            impl(dec, plane, direction, base_lvl, bd)
+
+
+def _levels_grid(dec, plane, direction, base_lvl, mr, mc):
+    """Vectorized level_at: per-(edge,side) filter level from the base
+    level, delta-lf map, segmentation ALT_LF features and ref/mode
+    deltas (§7.14.4 adjusted level). `mr`, `mc` are same-shape index
+    arrays into the mi grid."""
+    hdr = dec.hdr
+    lf = hdr.lf
+    ctx = dec.ctx
+    lf_idx = direction if plane == 0 else plane + 1
+    seg_feature = (1 + direction) if plane == 0 else (plane + 3)
+    lvl = np.full(mr.shape, base_lvl, np.int32)
+    if hdr.delta_lf_present:
+        d = ctx.delta_lf_of[mr, mc, lf_idx if hdr.delta_lf_multi else 0]
+        lvl = np.clip(lvl + d.astype(np.int32), 0, MAX_LOOP_FILTER)
+    if hdr.segmentation_enabled:
+        sid = ctx.seg_of[mr, mc].astype(np.int32)
+        feat_on = np.array(
+            [bool(hdr.seg_feature_enabled[s][seg_feature]) for s in range(8)], bool
+        )[sid]
+        feat_d = np.array(
+            [int(hdr.seg_feature_data[s][seg_feature]) for s in range(8)], np.int32
+        )[sid]
+        lvl = np.where(
+            feat_on, np.clip(lvl + feat_d, 0, MAX_LOOP_FILTER), lvl
+        )
+    if lf.delta_enabled:
+        ref = dec.ref_frames_mi[mr, mc, 0].astype(np.int32)
+        shift = lvl >> 5
+        ref_d = np.array(lf.ref_deltas, np.int32)[np.maximum(ref, 0)]
+        mode = ctx.y_modes[mr, mc].astype(np.int32)
+        mtype = np.where((mode == 15) | (mode == 23), 0, 1)
+        mode_d = np.array(lf.mode_deltas, np.int32)[mtype]
+        delta = np.where(
+            ref <= 0,
+            np.int32(lf.ref_deltas[0]) << shift,
+            (ref_d + mode_d) << shift,
+        )
+        lvl = lvl + delta
+    return np.clip(lvl, 0, MAX_LOOP_FILTER)
+
+
+def _filter_lines(lines, size, limit, blimit, thresh, bd):
+    """Vectorized _filter_edge over N lines of 14 samples each
+    ([p6..p0,q0..q6] as int32). `size`/`limit`/`blimit`/`thresh` are
+    per-line arrays. Returns (out_lines, n_mod) where n_mod is 0 for
+    lines whose filter mask failed."""
+    F = 1 << (bd - 8)
+    p = lines[:, 6::-1]  # p[:,k] = p_k
+    q = lines[:, 7:]
+    ap = np.abs
+    fm = (
+        (ap(p[:, 1] - p[:, 0]) <= limit)
+        & (ap(q[:, 1] - q[:, 0]) <= limit)
+        & (ap(p[:, 0] - q[:, 0]) * 2 + (ap(p[:, 1] - q[:, 1]) >> 1) <= blimit)
+    )
+    big = size > 4
+    fm &= ~big | ((ap(p[:, 2] - p[:, 1]) <= limit) & (ap(q[:, 2] - q[:, 1]) <= limit))
+    s8 = size >= 8
+    fm &= ~s8 | ((ap(p[:, 3] - p[:, 2]) <= limit) & (ap(q[:, 3] - q[:, 2]) <= limit))
+
+    flat8 = (
+        (ap(p[:, 1] - p[:, 0]) <= F) & (ap(q[:, 1] - q[:, 0]) <= F)
+        & (ap(p[:, 2] - p[:, 0]) <= F) & (ap(q[:, 2] - q[:, 0]) <= F)
+    ) & (size >= 6)
+    flat8 &= ~s8 | ((ap(p[:, 3] - p[:, 0]) <= F) & (ap(q[:, 3] - q[:, 0]) <= F))
+    flat_outer = (
+        (ap(p[:, 6] - p[:, 0]) <= F) & (ap(q[:, 6] - q[:, 0]) <= F)
+        & (ap(p[:, 5] - p[:, 0]) <= F) & (ap(q[:, 5] - q[:, 0]) <= F)
+        & (ap(p[:, 4] - p[:, 0]) <= F) & (ap(q[:, 4] - q[:, 0]) <= F)
+    ) & (size == 14)
+
+    w14 = fm & flat8 & flat_outer
+    w8 = fm & flat8 & s8 & ~w14
+    w6 = fm & flat8 & (size == 6)
+    narrow = fm & ~w14 & ~w8 & ~w6
+
+    out_p = p.copy()
+    out_q = q.copy()
+    p0, p1, p2, p3 = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    p4, p5, p6 = p[:, 4], p[:, 5], p[:, 6]
+    q0, q1, q2, q3 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    q4, q5, q6 = q[:, 4], q[:, 5], q[:, 6]
+
+    def sel(m, col_arr, val):
+        col_arr[:] = np.where(m, val, col_arr)
+
+    if w14.any():
+        sel(w14, out_p[:, 5], (p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0 + 8) >> 4)
+        sel(w14, out_p[:, 4], (p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 + q1 + 8) >> 4)
+        sel(w14, out_p[:, 3], (p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0 + q0 + q1 + q2 + 8) >> 4)
+        sel(w14, out_p[:, 2], (p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0 + q0 + q1 + q2 + q3 + 8) >> 4)
+        sel(w14, out_p[:, 1], (p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 * 2 + q0 + q1 + q2 + q3 + q4 + 8) >> 4)
+        sel(w14, out_p[:, 0], (p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1 + q2 + q3 + q4 + q5 + 8) >> 4)
+        sel(w14, out_q[:, 0], (p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2 + q3 + q4 + q5 + q6 + 8) >> 4)
+        sel(w14, out_q[:, 1], (p4 + p3 + p2 + p1 + p0 + q0 * 2 + q1 * 2 + q2 * 2 + q3 + q4 + q5 + q6 * 2 + 8) >> 4)
+        sel(w14, out_q[:, 2], (p3 + p2 + p1 + p0 + q0 + q1 * 2 + q2 * 2 + q3 * 2 + q4 + q5 + q6 * 3 + 8) >> 4)
+        sel(w14, out_q[:, 3], (p2 + p1 + p0 + q0 + q1 + q2 * 2 + q3 * 2 + q4 * 2 + q5 + q6 * 4 + 8) >> 4)
+        sel(w14, out_q[:, 4], (p1 + p0 + q0 + q1 + q2 + q3 * 2 + q4 * 2 + q5 * 2 + q6 * 5 + 8) >> 4)
+        sel(w14, out_q[:, 5], (p0 + q0 + q1 + q2 + q3 + q4 * 2 + q5 * 2 + q6 * 7 + 8) >> 4)
+    if w8.any():
+        sel(w8, out_p[:, 2], (p3 * 3 + p2 * 2 + p1 + p0 + q0 + 4) >> 3)
+        sel(w8, out_p[:, 1], (p3 * 2 + p2 + p1 * 2 + p0 + q0 + q1 + 4) >> 3)
+        sel(w8, out_p[:, 0], (p3 + p2 + p1 + p0 * 2 + q0 + q1 + q2 + 4) >> 3)
+        sel(w8, out_q[:, 0], (p2 + p1 + p0 + q0 * 2 + q1 + q2 + q3 + 4) >> 3)
+        sel(w8, out_q[:, 1], (p1 + p0 + q0 + q1 * 2 + q2 + q3 * 2 + 4) >> 3)
+        sel(w8, out_q[:, 2], (p0 + q0 + q1 + q2 * 2 + q3 * 3 + 4) >> 3)
+    if w6.any():
+        sel(w6, out_p[:, 1], (p2 * 3 + p1 * 2 + p0 * 2 + q0 + 4) >> 3)
+        sel(w6, out_p[:, 0], (p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1 + 4) >> 3)
+        sel(w6, out_q[:, 0], (p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2 + 4) >> 3)
+        sel(w6, out_q[:, 1], (p0 + q0 * 2 + q1 * 2 + q2 * 3 + 4) >> 3)
+    if narrow.any():
+        base = np.int32(0x80 << (bd - 8))
+        lo = np.int32(-(1 << (bd - 1)))
+        hi = np.int32((1 << (bd - 1)) - 1)
+        maxv = np.int32((1 << bd) - 1)
+        ps1, ps0 = p1 - base, p0 - base
+        qs0, qs1 = q0 - base, q1 - base
+        hev = (ap(p1 - p0) > thresh) | (ap(q1 - q0) > thresh)
+        f = np.where(hev, np.clip(ps1 - qs1, lo, hi), 0)
+        f = np.clip(f + 3 * (qs0 - ps0), lo, hi)
+        f1 = np.clip(f + 4, lo, hi) >> 3
+        f2 = np.clip(f + 3, lo, hi) >> 3
+        sel(narrow, out_q[:, 0], np.clip(qs0 - f1 + base, 0, maxv))
+        sel(narrow, out_p[:, 0], np.clip(ps0 + f2 + base, 0, maxv))
+        f3 = (f1 + 1) >> 1
+        nh = narrow & ~hev
+        sel(nh, out_q[:, 1], np.clip(qs1 - f3 + base, 0, maxv))
+        sel(nh, out_p[:, 1], np.clip(ps1 + f3 + base, 0, maxv))
+
+    out = np.concatenate([out_p[:, ::-1], out_q], axis=1)
+    n_mod_tab = np.where(size == 14, 6, np.where(size == 8, 3, 2))
+    n_mod = np.where(fm, n_mod_tab, 0)
+    return out, n_mod
 
 
 def _filter_plane(dec, plane, direction, base_lvl, bd):
+    """Vectorized deblock pass: one gather/filter/scatter over every
+    active edge line of the plane. Safe because AV1 caps the filter
+    extent by the tx dims on both sides of an edge, so reads and writes
+    of distinct edges in the same pass never overlap (aom parallelizes
+    this loop the same way)."""
+    hdr = dec.hdr
+    lf = hdr.lf
+    ctx = dec.ctx
+    sx = dec.ss_x if plane else 0
+    sy = dec.ss_y if plane else 0
+    frame = dec.planes[plane]
+    if direction == 1:
+        frame = frame.T  # filter columns of the transposed plane
+    pw = dec.cw[plane] if direction == 0 else dec.ch[plane]
+    ph = dec.ch[plane] if direction == 0 else dec.cw[plane]
+    vis_w = dec.pw[plane] if direction == 0 else dec.ph[plane]
+    if direction == 0:
+        tx_e = ctx.tx_w if plane == 0 else ctx.uvtx_w
+        blk_0 = ctx.blk_c0
+        s_along, s_across = sy, sx  # along the edge (rows), across it (cols)
+    else:
+        tx_e = (ctx.tx_h if plane == 0 else ctx.uvtx_h).T
+        blk_0 = ctx.blk_r0.T
+        s_along, s_across = sx, sy
+    mi_rows = hdr.mi_rows if direction == 0 else hdr.mi_cols
+    mi_cols = hdr.mi_cols if direction == 0 else hdr.mi_rows
+    skip_of = ctx.skip_of if direction == 0 else ctx.skip_of.T
+    sharp = lf.sharpness
+
+    ys = np.arange(0, ph, 4, np.int32)
+    xs = np.arange(4, min(pw, vis_w), 4, np.int32)
+    if len(ys) == 0 or len(xs) == 0:
+        return
+    mr1 = (ys << s_along) >> 2
+    mc1 = (xs << s_across) >> 2
+    mcp1 = ((xs - 1) << s_across) >> 2
+    row_ok = mr1 < mi_rows
+    col_ok = mc1 < mi_cols
+    ys, mr1 = ys[row_ok], mr1[row_ok]
+    xs, mc1, mcp1 = xs[col_ok], mc1[col_ok], mcp1[col_ok]
+    if len(ys) == 0 or len(xs) == 0:
+        return
+    MR = mr1[:, None]
+    MC = mc1[None, :]
+    MCP = mcp1[None, :]
+    XE = xs[None, :]
+    shape = (len(ys), len(xs))
+
+    txw_cur = tx_e[MR, MC].astype(np.int32)
+    active = txw_cur != 0
+    txw_safe = np.maximum(txw_cur, 1)
+    bx0 = (blk_0[MR, MC].astype(np.int32) << 2) >> s_across
+    active &= ((XE - bx0) % txw_safe) == 0
+    txw_prev = tx_e[MR, MCP].astype(np.int32)
+    txw_prev = np.where(txw_prev == 0, txw_cur, txw_prev)
+    is_block_edge = blk_0[MR, MC] != blk_0[MR, MCP]
+    if direction == 0:
+        ref_mi = dec.ref_frames_mi[:, :, 0]
+    else:
+        ref_mi = dec.ref_frames_mi[:, :, 0].T
+    skip_cur = (skip_of[MR, MC] != 0) & (ref_mi[MR, MC] > 0)
+    skip_prev = (skip_of[MR, MCP] != 0) & (ref_mi[MR, MCP] > 0)
+    active &= is_block_edge | ~(skip_cur & skip_prev)
+    if not active.any():
+        return
+
+    if direction == 0:
+        lvl_cur = _levels_grid(dec, plane, direction, base_lvl, np.broadcast_to(MR, shape), np.broadcast_to(MC, shape))
+        lvl_prev = _levels_grid(dec, plane, direction, base_lvl, np.broadcast_to(MR, shape), np.broadcast_to(MCP, shape))
+    else:
+        # transposed plane: mi coords swap back for the level lookup
+        lvl_cur = _levels_grid(dec, plane, direction, base_lvl, np.broadcast_to(MC, shape), np.broadcast_to(MR, shape))
+        lvl_prev = _levels_grid(dec, plane, direction, base_lvl, np.broadcast_to(MCP, shape), np.broadcast_to(MR, shape))
+    lvl = np.where(lvl_cur > 0, lvl_cur, lvl_prev)
+    active &= lvl > 0
+    if not active.any():
+        return
+
+    m = np.minimum(txw_cur, txw_prev)
+    if plane == 0:
+        size = np.where(m >= 16, 14, np.where(m >= 8, 8, 4)).astype(np.int32)
+    else:
+        size = np.where(m >= 8, 6, 4).astype(np.int32)
+
+    # thresholds (vectorized _thresholds)
+    shift = 2 if sharp > 4 else (1 if sharp > 0 else 0)
+    if sharp > 0:
+        limit = np.maximum(1, np.minimum(np.maximum(1, lvl >> shift), 9 - sharp))
+    else:
+        limit = np.maximum(1, lvl)
+    blimit = 2 * (lvl + 2) + limit
+    thresh = lvl >> 4
+    s = bd - 8
+    limit, blimit, thresh = limit << s, blimit << s, thresh << s
+
+    # expand each active edge cell to its <=4 pixel lines
+    eg_y, eg_x = np.nonzero(active)
+    yy = (ys[eg_y][:, None] + np.arange(4, dtype=np.int32)[None, :]).reshape(-1)
+    keep = yy < ph
+    rep = lambda a: np.repeat(a[eg_y, eg_x], 4)[keep]
+    xx = np.repeat(xs[eg_x], 4)[keep]
+    yy = yy[keep]
+    l_size = rep(size)
+    l_limit = rep(limit)
+    l_blimit = rep(blimit)
+    l_thresh = rep(thresh)
+
+    cols = np.clip(xx[:, None] + np.arange(-7, 7, dtype=np.int32)[None, :], 0, pw - 1)
+    lines = frame[yy[:, None], cols].astype(np.int32)
+    out, n_mod = _filter_lines(lines, l_size, l_limit, l_blimit, l_thresh, bd)
+    dt = frame.dtype
+    for k in range(6):
+        wmask = n_mod > k
+        if not wmask.any():
+            continue
+        xp = xx - 1 - k
+        mp = wmask & (xp >= 0)
+        frame[yy[mp], xp[mp]] = out[mp, 6 - k].astype(dt)
+        xq = xx + k
+        mq = wmask & (xq < pw)
+        frame[yy[mq], xq[mq]] = out[mq, 7 + k].astype(dt)
+
+
+def _filter_plane_scalar(dec, plane, direction, base_lvl, bd):
     hdr = dec.hdr
     lf = hdr.lf
     ctx = dec.ctx

@@ -49,3 +49,40 @@ def test_decode_with_deblocking_bit_exact(w, h, seed, quality):
     assert any(hdr.lf.levels), "stream should exercise the loop filter"
     for ours, want in zip(out, ref.planes):
         assert np.array_equal(ours.astype(np.uint8), want)
+
+def test_filter_lines_matches_scalar_reference():
+    """The vectorized _filter_lines core must match the per-line scalar
+    _filter_edge reference for every size/bd/threshold combination."""
+    from libavif_tpu.codec.av1.loopfilter import (
+        _filter_edge,
+        _filter_lines,
+        _thresholds,
+    )
+
+    rng = np.random.RandomState(3)
+    for bd in (8, 10, 12):
+        maxv = (1 << bd) - 1
+        for size_pool in ((4, 8, 14), (4, 6)):  # luma / chroma size sets
+            n = 512
+            # mix of smooth lines (trigger flat/wide paths) and noisy ones
+            base = rng.randint(0, maxv + 1, (n, 1))
+            noise_amp = rng.choice([1, 3, 16, maxv // 2], (n, 1))
+            lines = np.clip(
+                base + rng.randint(-1, 2, (n, 14)) * noise_amp, 0, maxv
+            ).astype(np.int32)
+            size = rng.choice(size_pool, n).astype(np.int32)
+            lvl = rng.randint(1, 64, n)
+            sharp = int(rng.randint(0, 8))
+            th = np.array([_thresholds(int(l), sharp, bd) for l in lvl], np.int64).T
+            limit, blimit, thresh = (a.astype(np.int32) for a in th)
+            out, n_mod = _filter_lines(lines, size, limit, blimit, thresh, bd)
+            for i in range(n):
+                ref = _filter_edge(
+                    list(lines[i]), int(limit[i]), int(blimit[i]),
+                    int(thresh[i]), int(size[i]), bd,
+                )
+                if ref is None:
+                    assert n_mod[i] == 0, i
+                else:
+                    assert n_mod[i] > 0, i
+                    assert list(out[i]) == list(ref), (i, int(size[i]), bd)
