@@ -13,6 +13,9 @@ and film grain raise NOT_IMPLEMENTED cleanly.
 
 from __future__ import annotations
 
+import functools
+import math
+
 import numpy as np
 
 from ...constants import AvifError, Result
@@ -75,6 +78,47 @@ def tx_class_of(tx_type: int) -> int:
     if tx_type in (TXF.H_DCT, TXF.H_ADST, TXF.H_FLIPADST):
         return TX_CLASS_HORIZ
     return TX_CLASS_2D
+
+
+# ---- fused native transform-block support (avt_spec_txb) ----
+
+_fused = None  # lazily resolved: False = unavailable
+
+
+def _fused_lib():
+    """Native lib with avt_spec_txb, tx tables initialized (via
+    transforms._native_tx_lib so COSPI/SINPI are injected exactly once)."""
+    global _fused
+    if _fused is None:
+        from .transforms import _native_tx_lib
+
+        lib = _native_tx_lib()
+        _fused = lib if (lib is not None and hasattr(lib, "avt_spec_txb")) else False
+    return _fused or None
+
+
+_dc_q = functools.lru_cache(maxsize=None)(T.dc_q)
+_ac_q = functools.lru_cache(maxsize=None)(T.ac_q)
+
+
+@functools.lru_cache(maxsize=None)
+def _itx_params(txw, txh, tx_type):
+    """(row_kind, col_kind, flip_lr, flip_ud, row_shift, col_shift, rect)
+    dispatch tuple for avt_inverse_transform, mirroring the Python
+    inverse_transform entry."""
+    from .transforms import _KIND_ID, _SHIFTS, _TX_KINDS
+
+    rk, ck, flr, fud = _TX_KINDS[tx_type]
+    rs, cs = _SHIFTS[(txw, txh)]
+    rect = int(abs(int(math.log2(txw)) - int(math.log2(txh))) == 1)
+    return (_KIND_ID[rk], _KIND_ID[ck], int(flr), int(fud), rs, cs, rect)
+
+
+@functools.lru_cache(maxsize=None)
+def _qm_i32(level, plane_type, txw, txh):
+    """Contiguous int32 quantizer matrix for the fused call (or None)."""
+    m = T.qm_matrix(level, plane_type, txw, txh)
+    return None if m is None else np.ascontiguousarray(m, dtype=np.int32)
 
 INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 SKIP_CONTEXTS_TABLE = [
@@ -1386,7 +1430,7 @@ class FrameDecoder:
             planner.begin_txb(plane, x, y, txw, txh, pred)
         if b["skip"]:
             frame[y : y + txh, x : x + txw] = pred
-        else:
+        elif not self._txb_fused(plane, x, y, txw, txh, pred):
             coeffs, eob, tx_type = self._coeffs(plane, x, y, txw, txh)
             if eob == 0:
                 frame[y : y + txh, x : x + txw] = pred
@@ -1628,6 +1672,113 @@ class FrameDecoder:
         return np.clip(dc + scaled, 0, (1 << bd) - 1).astype(np.int32)
 
     # ---------------------------------------------------------- coeffs
+
+    def _txb_fused(self, plane, x, y, txw, txh, pred):
+        """Fully-native transform block (native/msac.cc avt_spec_txb):
+        one C++ call covers coefficient reads + dequant + inverse
+        transform + recon add. Bit-identical to the _coeffs +
+        _dequant_block + inverse_transform chain below (corpus sweep +
+        tests/test_native_entropy.py parity enforce it). Returns False
+        to take the Python reference path instead (lossless frames, no
+        native lib)."""
+        if self.hdr.coded_lossless:
+            return False
+        dec = self.dec
+        if not hasattr(dec, "data"):
+            return False
+        lib = _fused_lib()
+        if lib is None:
+            return False
+        import ctypes as C
+
+        cdf = self.cdf
+        ptype = 1 if plane else 0
+        tctx = B.txs_ctx(txw, txh)
+        cw = min(txw, 32)
+        ch = min(txh, 32)
+        n_coeff = cw * ch
+        skip_ctx = self._txb_skip_ctx(plane, x, y, txw, txh)
+        all_zero = dec.decode_symbol(
+            cdf.txb_skip[tctx][skip_ctx], 2, adapt=self.adapt, what="coef"
+        )
+        frame = self.planes[plane]
+        if all_zero:
+            self._set_coef_ctx(plane, x, y, txw, txh, 0)
+            frame[y : y + txh, x : x + txw] = pred
+            return True
+        tx_type = self._tx_type(plane, txw, txh, x, y)
+        if plane == 0 and self.block.get("is_inter", False):
+            self.txtype_mi[y >> 2 : (y + txh) >> 2, x >> 2 : (x + txw) >> 2] = tx_type
+        tx_class = tx_class_of(tx_type)
+        if tx_class == TX_CLASS_2D:
+            scan = T.default_scan(cw, ch)
+        elif tx_class == TX_CLASS_VERT:
+            scan = T.mrow_scan(cw, ch)
+        else:
+            scan = T.mcol_scan(cw, ch)
+        c_class = 0 if tx_class == TX_CLASS_2D else (1 if tx_class == TX_CLASS_VERT else 2)
+
+        size_key = n_coeff
+        eob_cdf = cdf.eob_pt[size_key][ptype][0 if tx_class == TX_CLASS_2D else 1]
+        nsym = {16: 5, 32: 6, 64: 7, 128: 8, 256: 9, 512: 10, 1024: 11}[size_key]
+        eob_extra = cdf.eob_extra[tctx][ptype]
+        base_eob = cdf.coeff_base_eob[tctx][ptype]
+        base = cdf.coeff_base[tctx][ptype]
+        br = cdf.coeff_br[min(tctx, 3)][ptype]
+        sctx = self._dc_sign_ctx(plane, x, y, txw, txh)
+        dc_sign = cdf.dc_sign[ptype][sctx]
+
+        # dequant parameters (§7.12.3)
+        qd = self.hdr.quant
+        depth = self.bd
+        qbase = self.block.get("qindex", qd.base_q_idx)
+        dcq = _dc_q(qbase + (qd.delta_q_y_dc if plane == 0 else (qd.delta_q_u_dc if plane == 1 else qd.delta_q_v_dc)), depth)
+        acq = _ac_q(qbase + (0 if plane == 0 else (qd.delta_q_u_ac if plane == 1 else qd.delta_q_v_ac)), depth)
+        pels = txw * txh
+        dq_shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
+        cmax = (1 << (depth + 7)) - 1
+        qmat = None
+        if qd.using_qmatrix and tx_type < TXF.IDTX:
+            level = qd.qm_y if plane == 0 else (qd.qm_u if plane == 1 else qd.qm_v)
+            qmat = _qm_i32(level, 1 if plane else 0, txw, txh)
+        rk, ck, flr, fud, rs, cs, rect = _itx_params(txw, txh, tx_type)
+
+        npdata = getattr(dec, "_np_data", None)
+        if npdata is None:
+            npdata = np.frombuffer(dec.data, dtype=np.uint8) if dec.data else np.zeros(1, np.uint8)
+            dec._np_data = npdata
+        state = np.array([dec.rng, dec.dif, dec.bitpos], dtype=np.int64)
+        out = np.zeros(2, dtype=np.int32)
+        pred = np.ascontiguousarray(pred, dtype=np.int32)
+        i32p = lambda a: a.ctypes.data_as(C.POINTER(C.c_int32))  # noqa: E731
+        u16p = lambda a: a.ctypes.data_as(C.POINTER(C.c_uint16))  # noqa: E731
+        fstride = frame.shape[1]
+        fptr = C.cast(frame.ctypes.data + (y * fstride + x) * 4, C.POINTER(C.c_int32))
+        eob = lib.avt_spec_txb(
+            npdata.ctypes.data_as(C.POINTER(C.c_uint8)), dec.nbits,
+            state.ctypes.data_as(C.POINTER(C.c_int64)), 1 if self.adapt else 0,
+            u16p(eob_cdf), nsym,
+            u16p(eob_extra), eob_extra.shape[1],
+            u16p(base_eob), base_eob.shape[1],
+            u16p(base), base.shape[1],
+            u16p(br), br.shape[1],
+            u16p(dc_sign),
+            i32p(scan), n_coeff, cw, ch,
+            cw.bit_length() - 1, txw, txh, c_class,
+            dcq, acq, dq_shift, cmax,
+            i32p(qmat) if qmat is not None else None,
+            txw if qmat is not None else 0,
+            rk, ck, flr, fud, rs, cs, rect, depth,
+            i32p(pred), fptr, fstride,
+            out.ctypes.data_as(C.POINTER(C.c_int32)),
+        )
+        if eob < 0:
+            raise AvifError(Result.BMFF_PARSE_FAILED, "golomb overflow")
+        dec.rng = int(state[0])
+        dec.dif = int(state[1])
+        dec.bitpos = int(state[2])
+        self._set_coef_ctx(plane, x, y, txw, txh, int(out[0]))
+        return True
 
     def _coeffs(self, plane, x, y, txw, txh):
         dec = self.dec

@@ -154,7 +154,7 @@ class MsacEncoder:
 
 
 class MsacDecoder:
-    __slots__ = ("data", "rng", "dif", "bitpos", "nbits")
+    __slots__ = ("data", "rng", "dif", "bitpos", "nbits", "_np_data")
 
     def __init__(self, data: bytes):
         self.data = data

@@ -634,15 +634,11 @@ inline int spec_br_ctx(const int32_t* lev, int lstride, int row, int col,
   return mag + (col == 0 ? 7 : 14);
 }
 
-}  // namespace
-
-extern "C" {
-
-// Returns eob (>0), or <0 on malformed stream (golomb overflow).
-// state: int64[3] = {rng, dif, bitpos}, updated in place.
-// out_flags: int32[2] = {cul | dc-sign bits, dc_sign_neg}.
-long avt_spec_coeffs(
-    const uint8_t* data, long nbits, int64_t* state, int adapt,
+// Shared coefficient-read loop (the body of avt_spec_coeffs; also the
+// front half of the fused avt_spec_txb). Returns eob (>0) or <0 on a
+// malformed stream.
+static long spec_coeffs_impl(
+    SpecDec* sdp, int adapt,
     uint16_t* eob_cdf, int eob_nsym,
     uint16_t* eob_extra, long eob_extra_stride,
     uint16_t* base_eob, long base_eob_stride,
@@ -652,12 +648,7 @@ long avt_spec_coeffs(
     const int32_t* scan, int n_coeff, int cw, int ch, int bwl,
     int txw, int txh, int tx_class,
     int64_t* quant, int32_t* out_flags) {
-  SpecDec sd;
-  sd.data = data;
-  sd.nbits = nbits;
-  sd.rng = uint32_t(state[0]);
-  sd.dif = uint32_t(state[1]);
-  sd.bitpos = state[2];
+  SpecDec& sd = *sdp;
 
   int eob_pt = spec_symbol(&sd, eob_cdf, eob_nsym, adapt) + 1;
   int eob = eob_pt < 3 ? eob_pt : (1 << (eob_pt - 2)) + 1;
@@ -723,7 +714,39 @@ long avt_spec_coeffs(
   if (quant[0] != 0) cul |= dc_sign_neg ? 64 : 128;
   out_flags[0] = cul;
   out_flags[1] = dc_sign_neg;
+  return eob;
+}
 
+}  // namespace
+
+extern "C" {
+
+// Returns eob (>0), or <0 on malformed stream (golomb overflow).
+// state: int64[3] = {rng, dif, bitpos}, updated in place.
+// out_flags: int32[2] = {cul | dc-sign bits, dc_sign_neg}.
+long avt_spec_coeffs(
+    const uint8_t* data, long nbits, int64_t* state, int adapt,
+    uint16_t* eob_cdf, int eob_nsym,
+    uint16_t* eob_extra, long eob_extra_stride,
+    uint16_t* base_eob, long base_eob_stride,
+    uint16_t* base, long base_stride,
+    uint16_t* br, long br_stride,
+    uint16_t* dc_sign_row,
+    const int32_t* scan, int n_coeff, int cw, int ch, int bwl,
+    int txw, int txh, int tx_class,
+    int64_t* quant, int32_t* out_flags) {
+  SpecDec sd;
+  sd.data = data;
+  sd.nbits = nbits;
+  sd.rng = uint32_t(state[0]);
+  sd.dif = uint32_t(state[1]);
+  sd.bitpos = state[2];
+  long eob = spec_coeffs_impl(
+      &sd, adapt, eob_cdf, eob_nsym, eob_extra, eob_extra_stride,
+      base_eob, base_eob_stride, base, base_stride, br, br_stride,
+      dc_sign_row, scan, n_coeff, cw, ch, bwl, txw, txh, tx_class,
+      quant, out_flags);
+  if (eob < 0) return eob;
   state[0] = sd.rng;
   state[1] = sd.dif;
   state[2] = sd.bitpos;
@@ -1153,6 +1176,83 @@ void avt_inverse_transform(const int32_t* dq, int txw, int txh,
       out[oi * txw + oj] = (int32_t)rnd(rout[i], col_shift);
     }
   }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Fused transform-block decode (decode.py _transform_block non-skip
+// path after the all_zero/tx_type syntax): coefficient reads + dequant
+// (§7.12.3, optional quantizer matrix) + inverse transform (§7.13) +
+// clip-add of the prediction into the int32 frame plane. One ctypes
+// crossing per transform block instead of three plus numpy glue.
+// Returns eob (>0) or <0 on a malformed stream; state updated in place.
+long avt_spec_txb(
+    const uint8_t* data, long nbits, int64_t* state, int adapt,
+    uint16_t* eob_cdf, int eob_nsym,
+    uint16_t* eob_extra, long eob_extra_stride,
+    uint16_t* base_eob, long base_eob_stride,
+    uint16_t* base, long base_stride,
+    uint16_t* br, long br_stride,
+    uint16_t* dc_sign_row,
+    const int32_t* scan, int n_coeff, int cw, int ch, int bwl,
+    int txw, int txh, int tx_class,
+    int dcq, int acq, int dq_shift, int cmax,
+    const int32_t* qmat, long qm_stride,
+    int row_kind, int col_kind, int flip_lr, int flip_ud,
+    int row_shift, int col_shift, int rect_scale, int bd,
+    const int32_t* pred,
+    int32_t* frame, long fstride,
+    int32_t* out_flags) {
+  SpecDec sd;
+  sd.data = data;
+  sd.nbits = nbits;
+  sd.rng = uint32_t(state[0]);
+  sd.dif = uint32_t(state[1]);
+  sd.bitpos = state[2];
+
+  static thread_local int64_t quant[32 * 32];
+  for (int i = 0; i < n_coeff; ++i) quant[i] = 0;
+  long eob = spec_coeffs_impl(
+      &sd, adapt, eob_cdf, eob_nsym, eob_extra, eob_extra_stride,
+      base_eob, base_eob_stride, base, base_stride, br, br_stride,
+      dc_sign_row, scan, n_coeff, cw, ch, bwl, txw, txh, tx_class,
+      quant, out_flags);
+  if (eob < 0) return eob;
+  state[0] = sd.rng;
+  state[1] = sd.dif;
+  state[2] = sd.bitpos;
+
+  static thread_local int32_t dq[32 * 32];
+  for (int i = 0; i < ch * cw; ++i) dq[i] = 0;
+  for (int si = 0; si < eob; ++si) {
+    int pos = scan[si];
+    int64_t v = quant[pos];
+    if (!v) continue;
+    int row = pos >> bwl, col = pos & (cw - 1);
+    int64_t qv = pos == 0 ? dcq : acq;
+    if (qmat) qv = (qv * qmat[row * qm_stride + col] + 16) >> 5;
+    int64_t a = v < 0 ? -v : v;
+    int64_t mag = ((a * qv) & 0xFFFFFF) >> dq_shift;
+    if (mag > cmax) mag = cmax;
+    dq[row * cw + col] = int32_t(v < 0 ? -mag : mag);
+  }
+
+  static thread_local int32_t res[64 * 64];
+  avt_inverse_transform(dq, txw, txh, row_kind, col_kind, flip_lr, flip_ud,
+                        row_shift, col_shift, rect_scale, bd, res);
+  const int32_t maxv = (1 << bd) - 1;
+  for (int i = 0; i < txh; ++i) {
+    int32_t* fr = frame + (long)i * fstride;
+    const int32_t* pr = pred + (long)i * txw;
+    const int32_t* rr = res + (long)i * txw;
+    for (int j = 0; j < txw; ++j) {
+      int32_t v = pr[j] + rr[j];
+      fr[j] = v < 0 ? 0 : (v > maxv ? maxv : v);
+    }
+  }
+  return eob;
 }
 
 }  // extern "C"
