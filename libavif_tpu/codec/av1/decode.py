@@ -100,18 +100,44 @@ def _fused_lib():
 _dc_q = functools.lru_cache(maxsize=None)(T.dc_q)
 _ac_q = functools.lru_cache(maxsize=None)(T.ac_q)
 
+_EOB_NSYM = {16: 5, 32: 6, 64: 7, 128: 8, 256: 9, 512: 10, 1024: 11}
+_NULL_I32 = np.zeros(1, dtype=np.int32)
+
+
+def _build_itx_tab():
+    """int32[16*5] dispatch table for avt_spec_txb: per tx type
+    {row_kind, col_kind, flip_lr, flip_ud, tx_class}."""
+    from .transforms import _KIND_ID, _TX_KINDS
+
+    tab = np.zeros((16, 5), dtype=np.int32)
+    for t in range(16):
+        rk, ck, flr, fud = _TX_KINDS[t]
+        cls = tx_class_of(t)
+        c_cls = 0 if cls == TX_CLASS_2D else (1 if cls == TX_CLASS_VERT else 2)
+        tab[t] = (_KIND_ID[rk], _KIND_ID[ck], int(flr), int(fud), c_cls)
+    return np.ascontiguousarray(tab.reshape(-1))
+
+
+_ITX_TAB = _build_itx_tab()
+
 
 @functools.lru_cache(maxsize=None)
-def _itx_params(txw, txh, tx_type):
-    """(row_kind, col_kind, flip_lr, flip_ud, row_shift, col_shift, rect)
-    dispatch tuple for avt_inverse_transform, mirroring the Python
-    inverse_transform entry."""
-    from .transforms import _KIND_ID, _SHIFTS, _TX_KINDS
+def _shifts_rect(txw, txh):
+    from .transforms import _SHIFTS
 
-    rk, ck, flr, fud = _TX_KINDS[tx_type]
     rs, cs = _SHIFTS[(txw, txh)]
     rect = int(abs(int(math.log2(txw)) - int(math.log2(txh))) == 1)
-    return (_KIND_ID[rk], _KIND_ID[ck], int(flr), int(fud), rs, cs, rect)
+    return (rs, cs, rect)
+
+
+@functools.lru_cache(maxsize=None)
+def _intra_inv_arr(tx_set):
+    return np.array(EXT_TX_INV[tx_set], dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _inter_inv_arr(tx_set):
+    return np.array(INTER_EXT_TX_INV[tx_set], dtype=np.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -119,6 +145,44 @@ def _qm_i32(level, plane_type, txw, txh):
     """Contiguous int32 quantizer matrix for the fused call (or None)."""
     m = T.qm_matrix(level, plane_type, txw, txh)
     return None if m is None else np.ascontiguousarray(m, dtype=np.int32)
+
+
+class _FusedBufs:
+    """Reusable per-decoder scratch for avt_spec_txb calls (avoids
+    per-call numpy allocations and ctypes type construction)."""
+
+    def __init__(self):
+        import ctypes as C
+
+        self.state = np.zeros(3, dtype=np.int64)
+        self.params = np.zeros(24, dtype=np.int32)
+        self.strides = np.zeros(4, dtype=np.int64)
+        self.out = np.zeros(3, dtype=np.int32)
+        self.U8P = C.POINTER(C.c_uint8)
+        self.U16P = C.POINTER(C.c_uint16)
+        self.I32P = C.POINTER(C.c_int32)
+        self.I64P = C.POINTER(C.c_int64)
+        self.null_u16 = C.cast(None, self.U16P)
+        self.null_i32 = C.cast(None, self.I32P)
+        i32p_t, u16p_t = self.I32P, self.U16P
+
+        def i32p(a, _t=i32p_t):
+            return a.ctypes.data_as(_t)
+
+        def u16p(a, _t=u16p_t):
+            return a.ctypes.data_as(_t)
+
+        self.i32p = i32p
+        self.u16p = u16p
+
+
+def i32p_strides(fx, eob_extra, base_eob, base, br):
+    s = fx.strides
+    s[0] = eob_extra.shape[1]
+    s[1] = base_eob.shape[1]
+    s[2] = base.shape[1]
+    s[3] = br.shape[1]
+    return s.ctypes.data_as(fx.I64P)
 
 INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 SKIP_CONTEXTS_TABLE = [
@@ -1675,12 +1739,12 @@ class FrameDecoder:
 
     def _txb_fused(self, plane, x, y, txw, txh, pred):
         """Fully-native transform block (native/msac.cc avt_spec_txb):
-        one C++ call covers coefficient reads + dequant + inverse
-        transform + recon add. Bit-identical to the _coeffs +
-        _dequant_block + inverse_transform chain below (corpus sweep +
-        tests/test_native_entropy.py parity enforce it). Returns False
-        to take the Python reference path instead (lossless frames, no
-        native lib)."""
+        one C++ call covers the txb_skip + tx-type symbols, coefficient
+        reads, dequant, inverse transform and recon add. Bit-identical
+        to the _coeffs + _dequant_block + inverse_transform chain below
+        (corpus sweep + tests/test_native_entropy.py parity enforce
+        it). Returns False to take the Python reference path instead
+        (lossless frames, no native lib)."""
         if self.hdr.coded_lossless:
             return False
         dec = self.dec
@@ -1692,91 +1756,146 @@ class FrameDecoder:
         import ctypes as C
 
         cdf = self.cdf
+        b = self.block
+        is_inter = b.get("is_inter", False)
         ptype = 1 if plane else 0
         tctx = B.txs_ctx(txw, txh)
-        cw = min(txw, 32)
-        ch = min(txh, 32)
+        cw = txw if txw < 32 else 32
+        ch = txh if txh < 32 else 32
         n_coeff = cw * ch
-        skip_ctx = self._txb_skip_ctx(plane, x, y, txw, txh)
-        all_zero = dec.decode_symbol(
-            cdf.txb_skip[tctx][skip_ctx], 2, adapt=self.adapt, what="coef"
-        )
-        frame = self.planes[plane]
-        if all_zero:
-            self._set_coef_ctx(plane, x, y, txw, txh, 0)
-            frame[y : y + txh, x : x + txw] = pred
-            return True
-        tx_type = self._tx_type(plane, txw, txh, x, y)
-        if plane == 0 and self.block.get("is_inter", False):
-            self.txtype_mi[y >> 2 : (y + txh) >> 2, x >> 2 : (x + txw) >> 2] = tx_type
-        tx_class = tx_class_of(tx_type)
-        if tx_class == TX_CLASS_2D:
-            scan = T.default_scan(cw, ch)
-        elif tx_class == TX_CLASS_VERT:
-            scan = T.mrow_scan(cw, ch)
-        else:
-            scan = T.mcol_scan(cw, ch)
-        c_class = 0 if tx_class == TX_CLASS_2D else (1 if tx_class == TX_CLASS_VERT else 2)
 
-        size_key = n_coeff
-        eob_cdf = cdf.eob_pt[size_key][ptype][0 if tx_class == TX_CLASS_2D else 1]
-        nsym = {16: 5, 32: 6, 64: 7, 128: 8, 256: 9, 512: 10, 1024: 11}[size_key]
+        # ---- tx-type CDF selection (§5.11.47 transform_type +
+        # compute_tx_type); the symbol itself is read in C++.
+        txtype_cdf = None
+        txtype_inv = _NULL_I32
+        txtype_nsym = 0
+        fixed_tx_type = TXF.DCT_DCT
+        sqr_up = min(max(txw, txh), 64)
+        sqr = min(txw, txh)
+        if is_inter:
+            if sqr_up <= 32:
+                if self.hdr.reduced_tx_set or sqr_up == 32:
+                    tx_set = 3
+                elif sqr == 16:
+                    tx_set = 2
+                else:
+                    tx_set = 1
+                if plane == 0:
+                    if b["qindex"] > 0:
+                        cat = min(sqr.bit_length() - 3, 3)
+                        txtype_nsym = (0, 16, 12, 2)[tx_set]
+                        txtype_cdf = cdf.inter_ext_tx[tx_set][cat]
+                        txtype_inv = _inter_inv_arr(tx_set)
+                else:
+                    mr = max(b["r"], (y << self.ss_y) >> 2)
+                    mc = max(b["c"], (x << self.ss_x) >> 2)
+                    t = int(self.txtype_mi[min(mr, self.hdr.mi_rows - 1),
+                                           min(mc, self.hdr.mi_cols - 1)])
+                    fixed_tx_type = t if t in INTER_EXT_TX_INV[tx_set] else TXF.DCT_DCT
+        elif sqr_up < 32:
+            tx_set = 2 if (self.hdr.reduced_tx_set or sqr == 16) else 1
+            if plane == 0:
+                mode = b["y_mode"]
+                if b["use_filter_intra"]:
+                    mode = FIMODE_TO_MODE[b["fi_mode"]]
+                cat = sqr.bit_length() - 3
+                txtype_nsym = 7 if tx_set == 1 else 5
+                txtype_cdf = cdf.intra_ext_tx[tx_set][cat][mode]
+                txtype_inv = _intra_inv_arr(tx_set)
+            else:
+                t = MODE_TO_TXFM[b["uv_mode"]]
+                fixed_tx_type = t if t in EXT_TX_INV[tx_set] else TXF.DCT_DCT
+
+        skip_ctx = self._txb_skip_ctx(plane, x, y, txw, txh)
+        txb_skip = cdf.txb_skip[tctx][skip_ctx]
+        eob_pt = cdf.eob_pt[n_coeff][ptype]
         eob_extra = cdf.eob_extra[tctx][ptype]
         base_eob = cdf.coeff_base_eob[tctx][ptype]
         base = cdf.coeff_base[tctx][ptype]
-        br = cdf.coeff_br[min(tctx, 3)][ptype]
+        br = cdf.coeff_br[tctx if tctx < 3 else 3][ptype]
         sctx = self._dc_sign_ctx(plane, x, y, txw, txh)
         dc_sign = cdf.dc_sign[ptype][sctx]
 
-        # dequant parameters (§7.12.3)
+        # ---- dequant parameters (§7.12.3)
         qd = self.hdr.quant
         depth = self.bd
-        qbase = self.block.get("qindex", qd.base_q_idx)
+        qbase = b.get("qindex", qd.base_q_idx)
         dcq = _dc_q(qbase + (qd.delta_q_y_dc if plane == 0 else (qd.delta_q_u_dc if plane == 1 else qd.delta_q_v_dc)), depth)
         acq = _ac_q(qbase + (0 if plane == 0 else (qd.delta_q_u_ac if plane == 1 else qd.delta_q_v_ac)), depth)
         pels = txw * txh
-        dq_shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
-        cmax = (1 << (depth + 7)) - 1
         qmat = None
-        if qd.using_qmatrix and tx_type < TXF.IDTX:
+        if qd.using_qmatrix:
             level = qd.qm_y if plane == 0 else (qd.qm_u if plane == 1 else qd.qm_v)
-            qmat = _qm_i32(level, 1 if plane else 0, txw, txh)
-        rk, ck, flr, fud, rs, cs, rect = _itx_params(txw, txh, tx_type)
+            qmat = _qm_i32(level, ptype, txw, txh)
+        rs, cs, rect = _shifts_rect(txw, txh)
 
         npdata = getattr(dec, "_np_data", None)
         if npdata is None:
             npdata = np.frombuffer(dec.data, dtype=np.uint8) if dec.data else np.zeros(1, np.uint8)
             dec._np_data = npdata
-        state = np.array([dec.rng, dec.dif, dec.bitpos], dtype=np.int64)
-        out = np.zeros(2, dtype=np.int32)
-        pred = np.ascontiguousarray(pred, dtype=np.int32)
-        i32p = lambda a: a.ctypes.data_as(C.POINTER(C.c_int32))  # noqa: E731
-        u16p = lambda a: a.ctypes.data_as(C.POINTER(C.c_uint16))  # noqa: E731
+        fx = getattr(self, "_fx", None)
+        if fx is None:
+            fx = self._fx = _FusedBufs()
+        state = fx.state
+        state[0] = dec.rng
+        state[1] = dec.dif
+        state[2] = dec.bitpos
+        params = fx.params
+        frame = self.planes[plane]
         fstride = frame.shape[1]
-        fptr = C.cast(frame.ctypes.data + (y * fstride + x) * 4, C.POINTER(C.c_int32))
+        params[0] = 1 if self.adapt else 0
+        params[1] = _EOB_NSYM[n_coeff]
+        params[2] = n_coeff
+        params[3] = cw
+        params[4] = ch
+        params[5] = cw.bit_length() - 1
+        params[6] = txw
+        params[7] = txh
+        params[8] = dcq
+        params[9] = acq
+        params[10] = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
+        params[11] = (1 << (depth + 7)) - 1
+        params[12] = txw if qmat is not None else 0
+        params[13] = rs
+        params[14] = cs
+        params[15] = rect
+        params[16] = depth
+        params[17] = fstride
+        params[18] = txtype_nsym
+        params[19] = fixed_tx_type
+        params[20] = TXF.IDTX if qmat is not None else 0
+        pred = np.ascontiguousarray(pred, dtype=np.int32)
+        i32p = fx.i32p
+        u16p = fx.u16p
+        fptr = C.cast(frame.ctypes.data + (y * fstride + x) * 4, fx.I32P)
+        out = fx.out
         eob = lib.avt_spec_txb(
-            npdata.ctypes.data_as(C.POINTER(C.c_uint8)), dec.nbits,
-            state.ctypes.data_as(C.POINTER(C.c_int64)), 1 if self.adapt else 0,
-            u16p(eob_cdf), nsym,
-            u16p(eob_extra), eob_extra.shape[1],
-            u16p(base_eob), base_eob.shape[1],
-            u16p(base), base.shape[1],
-            u16p(br), br.shape[1],
+            npdata.ctypes.data_as(fx.U8P), dec.nbits,
+            state.ctypes.data_as(fx.I64P), i32p(params),
+            i32p_strides(fx, eob_extra, base_eob, base, br),
+            u16p(txb_skip),
+            u16p(txtype_cdf) if txtype_cdf is not None else fx.null_u16,
+            i32p(txtype_inv),
+            u16p(eob_pt[0]), u16p(eob_pt[1]),
+            u16p(eob_extra), u16p(base_eob), u16p(base), u16p(br),
             u16p(dc_sign),
-            i32p(scan), n_coeff, cw, ch,
-            cw.bit_length() - 1, txw, txh, c_class,
-            dcq, acq, dq_shift, cmax,
-            i32p(qmat) if qmat is not None else None,
-            txw if qmat is not None else 0,
-            rk, ck, flr, fud, rs, cs, rect, depth,
-            i32p(pred), fptr, fstride,
-            out.ctypes.data_as(C.POINTER(C.c_int32)),
+            i32p(T.default_scan(cw, ch)), i32p(T.mrow_scan(cw, ch)),
+            i32p(T.mcol_scan(cw, ch)),
+            i32p(_ITX_TAB),
+            i32p(qmat) if qmat is not None else fx.null_i32,
+            i32p(pred), fptr,
+            i32p(out),
         )
         if eob < 0:
             raise AvifError(Result.BMFF_PARSE_FAILED, "golomb overflow")
         dec.rng = int(state[0])
         dec.dif = int(state[1])
         dec.bitpos = int(state[2])
+        if eob == 0:
+            self._set_coef_ctx(plane, x, y, txw, txh, 0)
+            return True
+        if plane == 0 and is_inter:
+            self.txtype_mi[y >> 2 : (y + txh) >> 2, x >> 2 : (x + txw) >> 2] = int(out[1])
         self._set_coef_ctx(plane, x, y, txw, txh, int(out[0]))
         return True
 

@@ -70,27 +70,16 @@ def load():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ]
+            _u16p = ctypes.POINTER(ctypes.c_uint16)
+            _i32p = ctypes.POINTER(ctypes.c_int32)
             lib.avt_spec_txb.restype = ctypes.c_long
-            lib.avt_spec_txb.argtypes = [
-                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-                ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
-                ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
-                ctypes.POINTER(ctypes.c_uint16), ctypes.c_long,
-                ctypes.POINTER(ctypes.c_uint16), ctypes.c_long,
-                ctypes.POINTER(ctypes.c_uint16), ctypes.c_long,
-                ctypes.POINTER(ctypes.c_uint16), ctypes.c_long,
-                ctypes.POINTER(ctypes.c_uint16),
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
-                ctypes.POINTER(ctypes.c_int32),
-            ]
+            lib.avt_spec_txb.argtypes = (
+                [ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                 ctypes.POINTER(ctypes.c_int64), _i32p,
+                 ctypes.POINTER(ctypes.c_int64)]
+                + [_u16p] * 2 + [_i32p] + [_u16p] * 7
+                + [_i32p] * 8
+            )
             lib.avt_decode_tile.restype = ctypes.c_int
             lib.avt_decode_tile.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,

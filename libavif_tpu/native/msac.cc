@@ -1183,28 +1183,49 @@ void avt_inverse_transform(const int32_t* dq, int txw, int txh,
 extern "C" {
 
 // Fused transform-block decode (decode.py _transform_block non-skip
-// path after the all_zero/tx_type syntax): coefficient reads + dequant
-// (§7.12.3, optional quantizer matrix) + inverse transform (§7.13) +
-// clip-add of the prediction into the int32 frame plane. One ctypes
-// crossing per transform block instead of three plus numpy glue.
-// Returns eob (>0) or <0 on a malformed stream; state updated in place.
+// path): txb_skip + optional tx-type symbol + coefficient reads +
+// dequant (§7.12.3, optional quantizer matrix) + inverse transform
+// (§7.13) + clip-add of the prediction into the int32 frame plane.
+// One ctypes crossing per transform block.
+//
+// params (int32[24]):
+//  [0] adapt       [1] eob_nsym   [2] n_coeff    [3] cw
+//  [4] ch          [5] bwl        [6] txw        [7] txh
+//  [8] dcq         [9] acq       [10] dq_shift  [11] cmax
+// [12] qm_stride  [13] row_shift [14] col_shift [15] rect_scale
+// [16] bd         [17] fstride   [18] txtype_nsym (0 => fixed type)
+// [19] fixed_tx_type             [20] qm_max_txtype (qm if type < this)
+// [21] eob_extra_stride [22] base_eob_stride [23] base_stride+ (see call)
+// strides[4] (int64): eob_extra, base_eob, base, br.
+// itx_tab: int32[ntypes*5] = {row_kind, col_kind, flip_lr, flip_ud,
+// tx_class} per tx type. out_flags: {cul, tx_type, eob}.
+// Returns eob (0 = all_zero, frame <- pred), <0 on malformed stream.
 long avt_spec_txb(
-    const uint8_t* data, long nbits, int64_t* state, int adapt,
-    uint16_t* eob_cdf, int eob_nsym,
-    uint16_t* eob_extra, long eob_extra_stride,
-    uint16_t* base_eob, long base_eob_stride,
-    uint16_t* base, long base_stride,
-    uint16_t* br, long br_stride,
+    const uint8_t* data, long nbits, int64_t* state,
+    const int32_t* params, const int64_t* strides,
+    uint16_t* txb_skip_cdf,
+    uint16_t* txtype_cdf, const int32_t* txtype_inv,
+    uint16_t* eob_cdf_2d, uint16_t* eob_cdf_1d,
+    uint16_t* eob_extra, uint16_t* base_eob, uint16_t* base, uint16_t* br,
     uint16_t* dc_sign_row,
-    const int32_t* scan, int n_coeff, int cw, int ch, int bwl,
-    int txw, int txh, int tx_class,
-    int dcq, int acq, int dq_shift, int cmax,
-    const int32_t* qmat, long qm_stride,
-    int row_kind, int col_kind, int flip_lr, int flip_ud,
-    int row_shift, int col_shift, int rect_scale, int bd,
+    const int32_t* scan_2d, const int32_t* scan_mrow, const int32_t* scan_mcol,
+    const int32_t* itx_tab,
+    const int32_t* qmat,
     const int32_t* pred,
-    int32_t* frame, long fstride,
+    int32_t* frame,
     int32_t* out_flags) {
+  const int adapt = params[0], eob_nsym = params[1], n_coeff = params[2];
+  const int cw = params[3], ch = params[4], bwl = params[5];
+  const int txw = params[6], txh = params[7];
+  const int dcq = params[8], acq = params[9];
+  const int dq_shift = params[10], cmax = params[11];
+  const int qm_stride = params[12];
+  const int row_shift = params[13], col_shift = params[14];
+  const int rect_scale = params[15], bd = params[16];
+  const long fstride = params[17];
+  const int txtype_nsym = params[18], fixed_tx_type = params[19];
+  const int qm_max_txtype = params[20];
+
   SpecDec sd;
   sd.data = data;
   sd.nbits = nbits;
@@ -1212,18 +1233,51 @@ long avt_spec_txb(
   sd.dif = uint32_t(state[1]);
   sd.bitpos = state[2];
 
+  const int32_t maxv = (1 << bd) - 1;
+  int all_zero = spec_symbol(&sd, txb_skip_cdf, 2, adapt);
+  if (all_zero) {
+    for (int i = 0; i < txh; ++i) {
+      int32_t* fr = frame + (long)i * fstride;
+      const int32_t* pr = pred + (long)i * txw;
+      for (int j = 0; j < txw; ++j) fr[j] = pr[j];
+    }
+    state[0] = sd.rng;
+    state[1] = sd.dif;
+    state[2] = sd.bitpos;
+    out_flags[0] = 0;
+    out_flags[1] = fixed_tx_type;
+    out_flags[2] = 0;
+    return 0;
+  }
+
+  int tx_type = fixed_tx_type;
+  if (txtype_nsym > 0) {
+    int sym = spec_symbol(&sd, txtype_cdf, txtype_nsym, adapt);
+    tx_type = txtype_inv[sym];
+  }
+  const int32_t* it = itx_tab + tx_type * 5;
+  const int row_kind = it[0], col_kind = it[1];
+  const int flip_lr = it[2], flip_ud = it[3], tx_class = it[4];
+  const int32_t* scan =
+      tx_class == SPEC_TX_2D ? scan_2d
+                             : (tx_class == SPEC_TX_VERT ? scan_mrow : scan_mcol);
+  uint16_t* eob_cdf = tx_class == SPEC_TX_2D ? eob_cdf_2d : eob_cdf_1d;
+
   static thread_local int64_t quant[32 * 32];
   for (int i = 0; i < n_coeff; ++i) quant[i] = 0;
   long eob = spec_coeffs_impl(
-      &sd, adapt, eob_cdf, eob_nsym, eob_extra, eob_extra_stride,
-      base_eob, base_eob_stride, base, base_stride, br, br_stride,
+      &sd, adapt, eob_cdf, eob_nsym, eob_extra, strides[0],
+      base_eob, strides[1], base, strides[2], br, strides[3],
       dc_sign_row, scan, n_coeff, cw, ch, bwl, txw, txh, tx_class,
       quant, out_flags);
   if (eob < 0) return eob;
   state[0] = sd.rng;
   state[1] = sd.dif;
   state[2] = sd.bitpos;
+  out_flags[1] = tx_type;
+  out_flags[2] = int32_t(eob);
 
+  const int32_t* qm = (qmat && tx_type < qm_max_txtype) ? qmat : nullptr;
   static thread_local int32_t dq[32 * 32];
   for (int i = 0; i < ch * cw; ++i) dq[i] = 0;
   for (int si = 0; si < eob; ++si) {
@@ -1232,7 +1286,7 @@ long avt_spec_txb(
     if (!v) continue;
     int row = pos >> bwl, col = pos & (cw - 1);
     int64_t qv = pos == 0 ? dcq : acq;
-    if (qmat) qv = (qv * qmat[row * qm_stride + col] + 16) >> 5;
+    if (qm) qv = (qv * qm[row * qm_stride + col] + 16) >> 5;
     int64_t a = v < 0 ? -v : v;
     int64_t mag = ((a * qv) & 0xFFFFFF) >> dq_shift;
     if (mag > cmax) mag = cmax;
@@ -1242,7 +1296,6 @@ long avt_spec_txb(
   static thread_local int32_t res[64 * 64];
   avt_inverse_transform(dq, txw, txh, row_kind, col_kind, flip_lr, flip_ud,
                         row_shift, col_shift, rect_scale, bd, res);
-  const int32_t maxv = (1 << bd) - 1;
   for (int i = 0; i < txh; ++i) {
     int32_t* fr = frame + (long)i * fstride;
     const int32_t* pr = pred + (long)i * txw;
