@@ -251,10 +251,10 @@ def apply_cdef(dec, _dir_cache=None) -> None:
     blk_mi_r = brs[bi]
     blk_mi_c = bcs[bj]
     uidx = idx[bi, bj].astype(np.int64)
-    y_pri0 = np.asarray(c.y_pri, dtype=np.int64)[uidx] << (bd - 8)
-    y_sec0 = np.asarray(c.y_sec, dtype=np.int64)[uidx] << (bd - 8)
-    uv_pri0 = np.asarray(c.uv_pri, dtype=np.int64)[uidx] << (bd - 8)
-    uv_sec0 = np.asarray(c.uv_sec, dtype=np.int64)[uidx] << (bd - 8)
+    y_pri0 = np.asarray(c.y_pri, dtype=np.int32)[uidx] << (bd - 8)
+    y_sec0 = np.asarray(c.y_sec, dtype=np.int32)[uidx] << (bd - 8)
+    uv_pri0 = np.asarray(c.uv_pri, dtype=np.int32)[uidx] << (bd - 8)
+    uv_sec0 = np.asarray(c.uv_sec, dtype=np.int32)[uidx] << (bd - 8)
 
     sources = [p.copy() for p in dec.planes]
     # direction/variance from pre-CDEF luma, one batched pass
@@ -305,18 +305,30 @@ def apply_cdef(dec, _dir_cache=None) -> None:
         dir_a = pdir[a]
         w = 8 >> sx
         h = 8 >> sy
-        x0 = (blk_mi_c[a] * 4) >> sx
-        y0 = (blk_mi_r[a] * 4) >> sy
-        ph, pw = dec.ch[plane], dec.cw[plane]
-        src = sources[plane]
-        ah, aw = src.shape  # mi-padded array may exceed the crop (ph, pw)
-        # taps outside the CROP are excluded (scalar bounds semantics);
-        # center pixels still read/write the full mi-padded array
-        padded = np.full((ah + 4, aw + 4), CDEF_VERY_LARGE, dtype=np.int64)
-        padded[2 : 2 + ph, 2 : 2 + pw] = src[:ph, :pw]
-        yy = y0[:, None, None] + np.arange(h).reshape(1, h, 1) + 2
-        xx = x0[:, None, None] + np.arange(w).reshape(1, 1, w) + 2
-        px = src[yy - 2, xx - 2].astype(np.int64)
+        # gather geometry depends only on the frame, not the strengths —
+        # cache it across the encoder's strength-search trials
+        gkey = ("gather", plane)
+        if _dir_cache is not None and gkey in _dir_cache:
+            padded, px_all, yy_all, xx_all = _dir_cache[gkey]
+        else:
+            x0_all = (blk_mi_c * 4) >> sx
+            y0_all = (blk_mi_r * 4) >> sy
+            ph, pw = dec.ch[plane], dec.cw[plane]
+            src = sources[plane]
+            ah, aw = src.shape  # mi-padded array may exceed the crop
+            # taps outside the CROP are excluded (scalar bounds
+            # semantics); center pixels still read/write the full
+            # mi-padded array
+            padded = np.full((ah + 4, aw + 4), CDEF_VERY_LARGE, dtype=np.int32)
+            padded[2 : 2 + ph, 2 : 2 + pw] = src[:ph, :pw]
+            yy_all = y0_all[:, None, None] + np.arange(h).reshape(1, h, 1) + 2
+            xx_all = x0_all[:, None, None] + np.arange(w).reshape(1, 1, w) + 2
+            px_all = src[yy_all - 2, xx_all - 2].astype(np.int32)
+            if _dir_cache is not None:
+                _dir_cache[gkey] = (padded, px_all, yy_all, xx_all)
+        yy = yy_all[a]
+        xx = xx_all[a]
+        px = px_all[a]
         s = np.zeros_like(px)
         mn = px.copy()
         mx = px.copy()
@@ -344,7 +356,7 @@ def apply_cdef(dec, _dir_cache=None) -> None:
             mn = np.where(ok, np.minimum(mn, p), mn)
             mx = np.where(ok, np.maximum(mx, p), mx)
 
-        zero = np.zeros(len(a), dtype=np.int64)
+        zero = np.zeros(len(a), dtype=np.int32)
         for k in range(2):
             dy = _DIR_DY[dir_a, k]
             dx = _DIR_DX[dir_a, k]
@@ -360,7 +372,7 @@ def apply_cdef(dec, _dir_cache=None) -> None:
                 dx = _DIR_DX[sd, k]
                 for sgn in (1, -1):
                     tap(sgn * dy, sgn * dx, wgt, sec_a, sec_shift)
-        v = px + ((8 + s - (s < 0).astype(np.int64)) >> 4)
+        v = px + ((8 + s - (s < 0).astype(np.int32)) >> 4)
         out = np.clip(v, mn, mx)
         dst = dec.planes[plane]
         yy0 = yy - 2

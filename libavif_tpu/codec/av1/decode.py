@@ -164,7 +164,7 @@ class _FusedBufs:
         self.I64P = C.POINTER(C.c_int64)
         self.null_u16 = C.cast(None, self.U16P)
         self.null_i32 = C.cast(None, self.I32P)
-        i32p_t, u16p_t = self.I32P, self.U16P
+        i32p_t, u16p_t, i64p_t = self.I32P, self.U16P, self.I64P
 
         def i32p(a, _t=i32p_t):
             return a.ctypes.data_as(_t)
@@ -172,8 +172,12 @@ class _FusedBufs:
         def u16p(a, _t=u16p_t):
             return a.ctypes.data_as(_t)
 
+        def i64p(a, _t=i64p_t):
+            return a.ctypes.data_as(_t)
+
         self.i32p = i32p
         self.u16p = u16p
+        self.i64p = i64p
 
 
 def i32p_strides(fx, eob_extra, base_eob, base, br):
@@ -1494,6 +1498,10 @@ class FrameDecoder:
             planner.begin_txb(plane, x, y, txw, txh, pred)
         if b["skip"]:
             frame[y : y + txh, x : x + txw] = pred
+        elif planner is not None and self._txb_fused_enc(
+            plane, x, y, txw, txh, pred, planner
+        ):
+            pass
         elif not self._txb_fused(plane, x, y, txw, txh, pred):
             coeffs, eob, tx_type = self._coeffs(plane, x, y, txw, txh)
             if eob == 0:
@@ -1737,22 +1745,12 @@ class FrameDecoder:
 
     # ---------------------------------------------------------- coeffs
 
-    def _txb_fused(self, plane, x, y, txw, txh, pred):
-        """Fully-native transform block (native/msac.cc avt_spec_txb):
-        one C++ call covers the txb_skip + tx-type symbols, coefficient
-        reads, dequant, inverse transform and recon add. Bit-identical
-        to the _coeffs + _dequant_block + inverse_transform chain below
-        (corpus sweep + tests/test_native_entropy.py parity enforce
-        it). Returns False to take the Python reference path instead
-        (lossless frames, no native lib)."""
-        if self.hdr.coded_lossless:
-            return False
-        dec = self.dec
-        if not hasattr(dec, "data"):
-            return False
-        lib = _fused_lib()
-        if lib is None:
-            return False
+    def _txb_args(self, plane, x, y, txw, txh, pred):
+        """Shared CDF selection + packed params for the fused native
+        transform-block calls (decode: avt_spec_txb, encode:
+        avt_spec_txb_enc). Returns (fx, params, txtype_inv,
+        common_args, fptr) where common_args is the argument tail both
+        entry points share."""
         import ctypes as C
 
         cdf = self.cdf
@@ -1765,7 +1763,7 @@ class FrameDecoder:
         n_coeff = cw * ch
 
         # ---- tx-type CDF selection (§5.11.47 transform_type +
-        # compute_tx_type); the symbol itself is read in C++.
+        # compute_tx_type); the symbol itself is read/written in C++.
         txtype_cdf = None
         txtype_inv = _NULL_I32
         txtype_nsym = 0
@@ -1829,17 +1827,9 @@ class FrameDecoder:
             qmat = _qm_i32(level, ptype, txw, txh)
         rs, cs, rect = _shifts_rect(txw, txh)
 
-        npdata = getattr(dec, "_np_data", None)
-        if npdata is None:
-            npdata = np.frombuffer(dec.data, dtype=np.uint8) if dec.data else np.zeros(1, np.uint8)
-            dec._np_data = npdata
         fx = getattr(self, "_fx", None)
         if fx is None:
             fx = self._fx = _FusedBufs()
-        state = fx.state
-        state[0] = dec.rng
-        state[1] = dec.dif
-        state[2] = dec.bitpos
         params = fx.params
         frame = self.planes[plane]
         fstride = frame.shape[1]
@@ -1868,14 +1858,13 @@ class FrameDecoder:
         i32p = fx.i32p
         u16p = fx.u16p
         fptr = C.cast(frame.ctypes.data + (y * fstride + x) * 4, fx.I32P)
-        out = fx.out
-        eob = lib.avt_spec_txb(
-            npdata.ctypes.data_as(fx.U8P), dec.nbits,
-            state.ctypes.data_as(fx.I64P), i32p(params),
+        common = (
+            i32p(params),
             i32p_strides(fx, eob_extra, base_eob, base, br),
             u16p(txb_skip),
             u16p(txtype_cdf) if txtype_cdf is not None else fx.null_u16,
-            i32p(txtype_inv),
+        )
+        tail = (
             u16p(eob_pt[0]), u16p(eob_pt[1]),
             u16p(eob_extra), u16p(base_eob), u16p(base), u16p(br),
             u16p(dc_sign),
@@ -1883,8 +1872,46 @@ class FrameDecoder:
             i32p(T.mcol_scan(cw, ch)),
             i32p(_ITX_TAB),
             i32p(qmat) if qmat is not None else fx.null_i32,
-            i32p(pred), fptr,
-            i32p(out),
+        )
+        return fx, params, txtype_inv, common, tail, i32p(pred), fptr
+
+    def _txb_fused(self, plane, x, y, txw, txh, pred):
+        """Fully-native transform block (native/msac.cc avt_spec_txb):
+        one C++ call covers the txb_skip + tx-type symbols, coefficient
+        reads, dequant, inverse transform and recon add. Bit-identical
+        to the _coeffs + _dequant_block + inverse_transform chain below
+        (corpus sweep + tests/test_native_entropy.py parity enforce
+        it). Returns False to take the Python reference path instead
+        (lossless frames, no native lib)."""
+        if self.hdr.coded_lossless:
+            return False
+        dec = self.dec
+        if not hasattr(dec, "data"):
+            return False
+        lib = _fused_lib()
+        if lib is None:
+            return False
+
+        fx, params, txtype_inv, common, tail, predp, fptr = self._txb_args(
+            plane, x, y, txw, txh, pred
+        )
+        npdata = getattr(dec, "_np_data", None)
+        if npdata is None:
+            npdata = np.frombuffer(dec.data, dtype=np.uint8) if dec.data else np.zeros(1, np.uint8)
+            dec._np_data = npdata
+        state = fx.state
+        state[0] = dec.rng
+        state[1] = dec.dif
+        state[2] = dec.bitpos
+        out = fx.out
+        eob = lib.avt_spec_txb(
+            npdata.ctypes.data_as(fx.U8P), dec.nbits,
+            state.ctypes.data_as(fx.I64P),
+            *common,
+            fx.i32p(txtype_inv),
+            *tail,
+            predp, fptr,
+            fx.i32p(out),
         )
         if eob < 0:
             raise AvifError(Result.BMFF_PARSE_FAILED, "golomb overflow")
@@ -1894,9 +1921,50 @@ class FrameDecoder:
         if eob == 0:
             self._set_coef_ctx(plane, x, y, txw, txh, 0)
             return True
-        if plane == 0 and is_inter:
+        if plane == 0 and self.block.get("is_inter", False):
             self.txtype_mi[y >> 2 : (y + txh) >> 2, x >> 2 : (x + txw) >> 2] = int(out[1])
         self._set_coef_ctx(plane, x, y, txw, txh, int(out[0]))
+        return True
+
+    def _txb_fused_enc(self, plane, x, y, txw, txh, pred, planner):
+        """Encode-side fused transform block (avt_spec_txb_enc): writes
+        the whole txb syntax for the planner's quantized levels to the
+        native msac encoder and reconstructs in place. Returns False to
+        take the scripted MirrorCoder path instead."""
+        if self.hdr.coded_lossless:
+            return False
+        levels = getattr(planner, "last_levels", None)
+        if levels is None:
+            return False
+        enc = getattr(self.dec, "enc", None)
+        handle = getattr(enc, "handle", None)
+        if handle is None:
+            return False
+        lib = _fused_lib()
+        if lib is None or not hasattr(lib, "avt_spec_txb_enc"):
+            return False
+
+        fx, params, txtype_inv, common, tail, predp, fptr = self._txb_args(
+            plane, x, y, txw, txh, pred
+        )
+        if params[18] > 0:
+            # luma writes a tx-type symbol: the planner's chosen type
+            # (currently always DCT_DCT). Chroma/no-symbol cases keep
+            # _txb_args' derived fixed type so the recon matches what a
+            # conformant decoder computes from the coded uv mode.
+            tx_type = getattr(planner, "last_tx_type", TXF.DCT_DCT)
+            params[19] = tx_type
+            params[21] = txtype_inv.tolist().index(tx_type)
+        out = fx.out
+        eob = lib.avt_spec_txb_enc(
+            handle,
+            *common,
+            *tail,
+            fx.i64p(levels), predp, fptr,
+            fx.i32p(out),
+        )
+        planner.last_levels = None
+        self._set_coef_ctx(plane, x, y, txw, txh, int(out[0]) if eob else 0)
         return True
 
     def _coeffs(self, plane, x, y, txw, txh):

@@ -20,6 +20,8 @@ scripted per transform block by the planner.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ...constants import AvifError, Result
@@ -103,6 +105,70 @@ class MirrorCoder:
         v = self.planner.next_golomb()
         self.enc.encode_golomb(v)
         return v
+
+
+class NativeMsacEncoder:
+    """MsacEncoder interface over the C++ Encoder (native/msac.cc
+    avt_enc_*) — byte-identical output to the Python MsacEncoder
+    (tests/test_native_entropy.py enforces the shared finalize); lets
+    the fused avt_spec_txb_enc write coefficient syntax without
+    crossing back into Python per symbol."""
+
+    __slots__ = ("handle", "_lib", "_u16p", "_u8p")
+
+    def __init__(self, lib):
+        import ctypes as C
+
+        self._lib = lib
+        self._u16p = C.POINTER(C.c_uint16)
+        self._u8p = C.POINTER(C.c_uint8)
+        self.handle = lib.avt_enc_new()
+
+    def encode_symbol(self, s, icdf, n, adapt=True):
+        self._lib.avt_enc_symbol(
+            self.handle, icdf.ctypes.data_as(self._u16p), n, int(s),
+            1 if adapt else 0,
+        )
+
+    def encode_bit(self, bit):
+        self._lib.avt_enc_bit(self.handle, int(bit))
+
+    def encode_literal(self, value, bits):
+        self._lib.avt_enc_literal(self.handle, int(value), bits)
+
+    def encode_golomb(self, level):
+        self._lib.avt_enc_golomb(self.handle, int(level))
+
+    def finish(self, strip=True):
+        cap = 1 << 16
+        while True:
+            buf = np.empty(cap, dtype=np.uint8)
+            n = self._lib.avt_enc_finish(
+                self.handle, buf.ctypes.data_as(self._u8p), cap,
+                1 if strip else 0,
+            )
+            if n <= cap:
+                return bytes(buf[:n])
+            cap = int(n)
+
+    def __del__(self):
+        try:
+            if self.handle:
+                self._lib.avt_enc_free(self.handle)
+                self.handle = None
+        except Exception:
+            pass
+
+
+def _make_tile_encoder():
+    """Native msac encoder when available, Python reference otherwise
+    (LIBAVIF_TPU_NATIVE=0 forces the fallback; outputs are identical)."""
+    from ... import native as _native
+
+    lib = _native.load()
+    if lib is not None and hasattr(lib, "avt_enc_new"):
+        return NativeMsacEncoder(lib)
+    return MsacEncoder()
 
 
 class LosslessPlanner:
@@ -212,6 +278,7 @@ class LosslessPlanner:
 _FWD_GAIN = {}
 
 
+@functools.lru_cache(maxsize=None)
 def _dct_mat(n: int) -> np.ndarray:
     k = np.arange(n).reshape(-1, 1)
     i = np.arange(n).reshape(1, -1)
@@ -261,6 +328,11 @@ class LossyPlanner(LosslessPlanner):
         self.block_px = block_px
         self.tx_depth = tx_depth
         self.sb_px = 128 if seq.use_128x128_superblock else 64
+        # native fused-txb handoff (decode.py _txb_fused_enc): when set,
+        # begin_txb stores quantized levels instead of scripting symbols
+        self.native_txb = False
+        self.last_levels = None
+        self.last_tx_type = 0  # DCT_DCT
 
     def next_symbol(self, n, what=None):
         if what == "coef":
@@ -292,6 +364,13 @@ class LossyPlanner(LosslessPlanner):
         pels = txw * txh
         dq_shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
         levels = forward_dct_levels(res, txw, txh, dcq, acq, dq_shift)
+        if self.native_txb:
+            self.last_levels = np.ascontiguousarray(
+                levels.reshape(-1), dtype=np.int64
+            )
+            self.script = []
+            self.pos = 0
+            return
         sqr_up = min(max(txw, txh), 64)
         tx_set = 0 if sqr_up >= 32 else (2 if (self.hdr.reduced_tx_set or min(txw, txh) == 16) else 1)
         self.script = self._script_txb_sized(levels, txw, txh, plane, tx_set)
@@ -806,7 +885,11 @@ def _encode_still(
             dec.current_qindex = hdr.quant.base_q_idx
             dec.delta_lf = [0, 0, 0, 0]
             dec.read_deltas = False
-            enc = MsacEncoder()
+            enc = _make_tile_encoder()
+            planner.native_txb = (
+                isinstance(enc, NativeMsacEncoder)
+                and isinstance(planner, LossyPlanner)
+            )
             dec.dec = MirrorCoder(enc, planner)
             reset_lr_refs(dec)
             for r in range(dec.mi_row0, dec.mi_row1, dec.sb_mi):

@@ -61,11 +61,12 @@ def satd(res: np.ndarray) -> np.ndarray:
     h, w = res.shape[-2], res.shape[-1]
     t = min(8, h, w)
     H = _H8 if t == 8 else _H4
-    r = res.astype(np.int64)
-    # tile into (..., h//t, t, w//t, t)
-    r = r.reshape(*res.shape[:-2], h // t, t, w // t, t)
-    tr = np.einsum("ij,...ajbk,lk->...aibl", H, r, H)
-    return np.abs(tr).sum(axis=(-4, -3, -2, -1)) // (t * 2)
+    r = res.astype(np.int32)
+    # tile into (..., h//t, w//t, t, t); H @ r @ H.T batches over tiles
+    # (same exact integers as the einsum formulation, ~6x faster)
+    r = r.reshape(*res.shape[:-2], h // t, t, w // t, t).swapaxes(-3, -2)
+    tr = H.astype(np.int32) @ r @ H.astype(np.int32).T
+    return np.abs(tr).sum(axis=(-4, -3, -2, -1), dtype=np.int64) // (t * 2)
 
 
 # --------------------------------------------------- vectorized predictors

@@ -80,6 +80,35 @@ def load():
                 + [_u16p] * 2 + [_i32p] + [_u16p] * 7
                 + [_i32p] * 8
             )
+            lib.avt_enc_new.restype = ctypes.c_void_p
+            lib.avt_enc_new.argtypes = []
+            lib.avt_enc_free.restype = None
+            lib.avt_enc_free.argtypes = [ctypes.c_void_p]
+            lib.avt_enc_symbol.restype = None
+            lib.avt_enc_symbol.argtypes = [
+                ctypes.c_void_p, _u16p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.avt_enc_bit.restype = None
+            lib.avt_enc_bit.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.avt_enc_literal.restype = None
+            lib.avt_enc_literal.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint32, ctypes.c_int,
+            ]
+            lib.avt_enc_golomb.restype = None
+            lib.avt_enc_golomb.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+            lib.avt_enc_finish.restype = ctypes.c_long
+            lib.avt_enc_finish.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_long, ctypes.c_int,
+            ]
+            lib.avt_spec_txb_enc.restype = ctypes.c_long
+            lib.avt_spec_txb_enc.argtypes = (
+                [ctypes.c_void_p, _i32p, ctypes.POINTER(ctypes.c_int64)]
+                + [_u16p] * 9
+                + [_i32p] * 5
+                + [ctypes.POINTER(ctypes.c_int64)]
+                + [_i32p] * 3
+            )
             lib.avt_decode_tile.restype = ctypes.c_int
             lib.avt_decode_tile.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,

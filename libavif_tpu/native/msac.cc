@@ -92,8 +92,13 @@ class Encoder {
     for (int i = length - 1; i >= 0; --i) bit((x >> i) & 1);
   }
 
-  // Serialize: shortest code in [low, low+rng), MSB-first, zero-stripped.
-  std::vector<uint8_t> finish() { return finalize_bigint(total_shift_ + 15); }
+  // Serialize: shortest code in [low, low+rng), MSB-first. strip=true
+  // drops trailing zero bytes (own-format convention: the decoder
+  // zero-pads); strip=false keeps the full code (spec payloads — dav1d
+  // treats running out of bytes mid-tile as corruption).
+  std::vector<uint8_t> finish(bool strip = true) {
+    return finalize_bigint(total_shift_ + 15, strip);
+  }
 
   int64_t total_shift() const { return total_shift_; }
 
@@ -103,7 +108,7 @@ class Encoder {
   // of zeroable low bits, zero them, strip trailing zero bytes.
   // O(nbytes) with a single output buffer (the invariant low + rng <=
   // 2^(15+total_shift) guarantees no overflow past the top byte).
-  std::vector<uint8_t> finalize_bigint(int64_t nbits) {
+  std::vector<uint8_t> finalize_bigint(int64_t nbits, bool strip = true) {
     const int wb = wbits_;
     const size_t nbytes = static_cast<size_t>((nbits + 7) / 8);
     const int pad = static_cast<int>(nbytes * 8 - nbits);  // 0..7 low zeros
@@ -148,8 +153,10 @@ class Encoder {
     size_t full = k >> 3;
     for (size_t i = 0; i < full; ++i) out[nbytes - 1 - i] = 0;
     if (k & 7) out[nbytes - 1 - full] &= static_cast<uint8_t>(0xFF << (k & 7));
-    // strip trailing zero bytes; decoder zero-pads
-    while (out.size() > 1 && out.back() == 0) out.pop_back();
+    if (strip) {
+      // strip trailing zero bytes; decoder zero-pads
+      while (out.size() > 1 && out.back() == 0) out.pop_back();
+    }
     if (out.empty()) out.push_back(0);
     return out;
   }
@@ -1295,6 +1302,206 @@ long avt_spec_txb(
 
   static thread_local int32_t res[64 * 64];
   avt_inverse_transform(dq, txw, txh, row_kind, col_kind, flip_lr, flip_ud,
+                        row_shift, col_shift, rect_scale, bd, res);
+  for (int i = 0; i < txh; ++i) {
+    int32_t* fr = frame + (long)i * fstride;
+    const int32_t* pr = pred + (long)i * txw;
+    const int32_t* rr = res + (long)i * txw;
+    for (int j = 0; j < txw; ++j) {
+      int32_t v = pr[j] + rr[j];
+      fr[j] = v < 0 ? 0 : (v > maxv ? maxv : v);
+    }
+  }
+  return eob;
+}
+
+}  // extern "C"
+
+// ===================================================================
+// Native msac encoder handle (spec-AV1 encode path): the same Encoder
+// class the own-format tile coder uses (bit-identical to the Python
+// MsacEncoder — tests/test_native_entropy.py), exposed per-symbol for
+// mode syntax plus a fused per-transform-block call for coefficients.
+// ===================================================================
+
+extern "C" {
+
+void* avt_enc_new() { return new Encoder(); }
+
+void avt_enc_free(void* h) { delete static_cast<Encoder*>(h); }
+
+void avt_enc_symbol(void* h, uint16_t* icdf, int n, int s, int adapt) {
+  static_cast<Encoder*>(h)->symbol(s, icdf, n, adapt != 0);
+}
+
+void avt_enc_bit(void* h, int b) { static_cast<Encoder*>(h)->bit(b); }
+
+void avt_enc_literal(void* h, uint32_t value, int bits) {
+  static_cast<Encoder*>(h)->literal(value, bits);
+}
+
+void avt_enc_golomb(void* h, uint32_t level) {
+  static_cast<Encoder*>(h)->golomb(level);
+}
+
+// Returns the payload size; writes up to `cap` bytes into out. When the
+// buffer is too small nothing is written (call again with the returned
+// size). strip: see Encoder::finish.
+long avt_enc_finish(void* h, uint8_t* out, long cap, int strip) {
+  std::vector<uint8_t> v = static_cast<Encoder*>(h)->finish(strip != 0);
+  if ((long)v.size() <= cap) std::memcpy(out, v.data(), v.size());
+  return (long)v.size();
+}
+
+// Fused encode-side transform block: writes txb_skip + optional tx-type
+// + the whole coefficient syntax (eob, base levels, br, signs, golomb
+// tails) with the same CDF adaptation the decoder applies, then runs
+// dequant + inverse transform + clip-add so the encoder's recon equals
+// the decoder's bit-exactly. `levels` are signed quantized
+// coefficients in position order (levels[pos], pos as in scan).
+// params layout matches avt_spec_txb, with params[18] = txtype_nsym,
+// params[19] = fixed (actual) tx type, params[21] = txtype symbol
+// value to write when txtype_nsym > 0.
+// out_flags: {cul | dc-sign bits}. Returns eob (0 = all-zero block).
+long avt_spec_txb_enc(
+    void* h,
+    const int32_t* params, const int64_t* strides,
+    uint16_t* txb_skip_cdf,
+    uint16_t* txtype_cdf,
+    uint16_t* eob_cdf_2d, uint16_t* eob_cdf_1d,
+    uint16_t* eob_extra, uint16_t* base_eob, uint16_t* base, uint16_t* br,
+    uint16_t* dc_sign_row,
+    const int32_t* scan_2d, const int32_t* scan_mrow, const int32_t* scan_mcol,
+    const int32_t* itx_tab,
+    const int32_t* qmat,
+    const int64_t* levels,
+    const int32_t* pred,
+    int32_t* frame,
+    int32_t* out_flags) {
+  Encoder& enc = *static_cast<Encoder*>(h);
+  const int adapt = params[0], eob_nsym = params[1], n_coeff = params[2];
+  const int cw = params[3], ch = params[4], bwl = params[5];
+  const int txw = params[6], txh = params[7];
+  const int dcq = params[8], acq = params[9];
+  const int dq_shift = params[10], cmax = params[11];
+  const int qm_stride = params[12];
+  const int row_shift = params[13], col_shift = params[14];
+  const int rect_scale = params[15], bd = params[16];
+  const long fstride = params[17];
+  const int txtype_nsym = params[18], tx_type = params[19];
+  const int qm_max_txtype = params[20];
+  const int txtype_sym = params[21];
+  const bool ad = adapt != 0;
+
+  const int32_t* it = itx_tab + tx_type * 5;
+  const int tx_class = it[4];
+  const int32_t* scan =
+      tx_class == SPEC_TX_2D ? scan_2d
+                             : (tx_class == SPEC_TX_VERT ? scan_mrow : scan_mcol);
+
+  int eob = 0;
+  for (int si = n_coeff - 1; si >= 0; --si) {
+    if (levels[scan[si]] != 0) {
+      eob = si + 1;
+      break;
+    }
+  }
+  const int32_t maxv = (1 << bd) - 1;
+  enc.symbol(eob == 0 ? 1 : 0, txb_skip_cdf, 2, ad);
+  if (eob == 0) {
+    for (int i = 0; i < txh; ++i) {
+      int32_t* fr = frame + (long)i * fstride;
+      const int32_t* pr = pred + (long)i * txw;
+      for (int j = 0; j < txw; ++j) fr[j] = pr[j];
+    }
+    out_flags[0] = 0;
+    return 0;
+  }
+  if (txtype_nsym > 0) enc.symbol(txtype_sym, txtype_cdf, txtype_nsym, ad);
+
+  // eob_pt + extra bits (§5.11.42 ordering, mirrored from the decoder)
+  int eob_pt = eob <= 2 ? eob : bit_length(uint32_t(eob - 1)) + 1;
+  uint16_t* eob_cdf = tx_class == SPEC_TX_2D ? eob_cdf_2d : eob_cdf_1d;
+  enc.symbol(eob_pt - 1, eob_cdf, eob_nsym, ad);
+  if (eob_pt >= 3) {
+    int rem = eob - ((1 << (eob_pt - 2)) + 1);
+    int eshift = eob_pt - 3;
+    enc.symbol((rem >> eshift) & 1, eob_extra + (eob_pt - 3) * strides[0], 2, ad);
+    for (int i = 1; i < eob_pt - 2; ++i) enc.bit((rem >> (eshift - i)) & 1);
+  }
+
+  // base levels + br, reverse scan, identical ctx model to the decoder
+  const int lstride = cw + 4;
+  static thread_local int32_t lev[36 * 36];
+  for (int i = 0; i < (ch + 4) * lstride; ++i) lev[i] = 0;
+  for (int si = eob - 1; si >= 0; --si) {
+    int pos = scan[si];
+    int row = pos >> bwl, col = pos & (cw - 1);
+    int64_t v = levels[pos];
+    int64_t lv = v < 0 ? -v : v;
+    if (si == eob - 1) {
+      int ctx_e = si == 0 ? 0 : (si <= n_coeff / 8 ? 1 : (si <= n_coeff / 4 ? 2 : 3));
+      enc.symbol(int(lv < 3 ? lv : 3) - 1, base_eob + ctx_e * strides[1], 3, ad);
+    } else {
+      int ctx_b = spec_base_ctx(lev, lstride, row, col, pos, tx_class, txw, txh);
+      enc.symbol(int(lv < 3 ? lv : 3), base + ctx_b * strides[2], 4, ad);
+    }
+    if (lv > 2) {  // NUM_BASE_LEVELS
+      int br_ctx = spec_br_ctx(lev, lstride, row, col, pos, tx_class);
+      int64_t rem = lv - 3;
+      for (int i = 0; i < 4; ++i) {
+        int k = int(rem < 3 ? rem : 3);
+        enc.symbol(k, br + br_ctx * strides[3], 4, ad);
+        rem -= k;
+        if (k < 3) break;
+      }
+    }
+    int64_t decoded = lv < 15 ? lv : 15;  // pre-golomb magnitude
+    lev[row * lstride + col] = int32_t(decoded < 127 ? decoded : 127);
+  }
+
+  // signs (forward) + golomb tails
+  int dc_sign_neg = 0;
+  int64_t culsum = 0;
+  for (int si = 0; si < eob; ++si) {
+    int pos = scan[si];
+    int64_t v = levels[pos];
+    if (v == 0) continue;
+    int64_t lv = v < 0 ? -v : v;
+    int sign = v < 0 ? 1 : 0;
+    if (si == 0) {
+      enc.symbol(sign, dc_sign_row, 2, ad);
+      dc_sign_neg = sign;
+    } else {
+      enc.bit(sign);
+    }
+    if (lv > 14) enc.golomb(uint32_t(lv - 15));
+    culsum += lv;
+  }
+  int32_t cul = culsum < 63 ? int32_t(culsum) : 63;
+  if (levels[0] != 0) cul |= dc_sign_neg ? 64 : 128;
+  out_flags[0] = cul;
+
+  // recon: dequant + inverse transform + clip-add (same integer path
+  // as the fused decoder call, so encoder recon == decoder recon)
+  const int32_t* qm = (qmat && tx_type < qm_max_txtype) ? qmat : nullptr;
+  static thread_local int32_t dq[32 * 32];
+  for (int i = 0; i < ch * cw; ++i) dq[i] = 0;
+  for (int si = 0; si < eob; ++si) {
+    int pos = scan[si];
+    int64_t v = levels[pos];
+    if (!v) continue;
+    int row = pos >> bwl, col = pos & (cw - 1);
+    int64_t qv = pos == 0 ? dcq : acq;
+    if (qm) qv = (qv * qm[row * qm_stride + col] + 16) >> 5;
+    int64_t a = v < 0 ? -v : v;
+    int64_t mag = ((a * qv) & 0xFFFFFF) >> dq_shift;
+    if (mag > cmax) mag = cmax;
+    dq[row * cw + col] = int32_t(v < 0 ? -mag : mag);
+  }
+  const int32_t* itx = itx_tab + tx_type * 5;
+  static thread_local int32_t res[64 * 64];
+  avt_inverse_transform(dq, txw, txh, itx[0], itx[1], itx[2], itx[3],
                         row_shift, col_shift, rect_scale, bd, res);
   for (int i = 0; i < txh; ++i) {
     int32_t* fr = frame + (long)i * fstride;

@@ -96,10 +96,45 @@ def test_spec_coeffs_native_python_parity(monkeypatch):
         )
 
     native_planes = run()
-    # force the pure-Python spec loop
+    # force the pure-Python spec loop (including the cached fused-txb and
+    # native-transform resolvers)
+    from libavif_tpu.codec.av1 import decode as spec_decode
+    from libavif_tpu.codec.av1 import transforms as spec_tx
+
     monkeypatch.setattr(native, "_lib", None)
     monkeypatch.setattr(native, "_tried", True)
+    monkeypatch.setattr(spec_decode, "_fused", False)
+    monkeypatch.setattr(spec_tx, "_native_tx", False)
     py_planes = run()
     assert len(native_planes) == len(py_planes) and len(native_planes) >= 1
     for a, b in zip(native_planes, py_planes):
         np.testing.assert_array_equal(a, b)
+
+
+def test_spec_encoder_native_python_parity(monkeypatch):
+    """The native msac encoder + fused avt_spec_txb_enc must produce a
+    byte-identical spec-AV1 payload to the pure-Python MsacEncoder +
+    scripted MirrorCoder path (CLAUDE.md bit-identity invariant for the
+    encode side)."""
+    from libavif_tpu.codec.av1 import decode as spec_decode
+    from libavif_tpu.codec.av1 import transforms as spec_tx
+    from libavif_tpu.codec.av1.encode import encode_lossy_still
+
+    rng = np.random.RandomState(7)
+    yy, xx = np.mgrid[0:96, 0:128]
+    y = (128 + 70 * np.sin(yy / 7.0) * np.cos(xx / 9.0)
+         + rng.rand(96, 128) * 24 - 12).clip(0, 255).astype(np.uint8)
+    u = (128 + 40 * np.sin(np.mgrid[0:48, 0:64][1] / 5.0)).clip(0, 255).astype(np.uint8)
+    v = (128 + 40 * np.cos(np.mgrid[0:48, 0:64][0] / 6.0)).clip(0, 255).astype(np.uint8)
+
+    def run():
+        return encode_lossy_still([y, u, v], qindex=70, speed=6,
+                                  enable_cdef=True, cdef_search=True)
+
+    native_payload = run()
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    monkeypatch.setattr(spec_decode, "_fused", False)
+    monkeypatch.setattr(spec_tx, "_native_tx", False)
+    py_payload = run()
+    assert native_payload == py_payload
