@@ -84,12 +84,12 @@ def bench_ours(imgs):
     host entropy across frames — the production serving path)."""
     from libavif_tpu.api import encode_batch
 
-    encode_batch(imgs[:1], quality=QUALITY, speed=SPEED)  # warm-up: jit compile
-    encode_batch(imgs, quality=QUALITY, speed=SPEED)  # warm-up: steady-state path
+    encode_batch(imgs[:1], quality=QUALITY, speed=SPEED, codec="native")  # warm-up: jit compile
+    encode_batch(imgs, quality=QUALITY, speed=SPEED, codec="native")  # warm-up: steady-state path
     best = float("inf")
     for _ in range(RUNS):
         t0 = time.perf_counter()
-        encode_batch(imgs, quality=QUALITY, speed=SPEED)
+        encode_batch(imgs, quality=QUALITY, speed=SPEED, codec="native")
         best = min(best, time.perf_counter() - t0)
     return (len(imgs) * W * H / 1e6) / best
 
@@ -107,7 +107,7 @@ def bench_breakdown(imgs):
         step_sizes,
     )
 
-    params = FrameParams(quality=QUALITY, speed=SPEED)
+    params = FrameParams(quality=QUALITY, speed=SPEED, codec="native")
     n = params.tx_size
     staged = []
     for image in imgs:

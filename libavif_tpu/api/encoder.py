@@ -63,9 +63,9 @@ class Encoder:
         self.quality_gain_map = -1  # -1: follow quality
         self.speed = 6
         # "auto" | "spec" | "native" (reference: avifEncoder codecChoice,
-        # avif.h:1545). "spec" emits spec-conformant AV1 for lossy too —
-        # files decode in dav1d/libaom everywhere (host RD, slower);
-        # "auto" uses spec for 8-bit lossless and the TPU codec for lossy.
+        # avif.h:1545). "auto"/"spec" emit spec-conformant AV1 for both
+        # lossless and lossy — files decode in dav1d/libaom everywhere;
+        # "native" opts into the TPU-pipelined own format (fast path).
         self.codec_choice = "auto"
         self.timescale = 1
         self.repetition_count = 0  # 0 = infinite (reference: avif.h repetition)
@@ -882,14 +882,19 @@ def encode(image: Image, quality: int = 60, speed: int = 6,
     return enc.write(image)
 
 
-def encode_batch(images: list[Image], quality: int = 60, speed: int = 6) -> list[bytes]:
+def encode_batch(
+    images: list[Image], quality: int = 60, speed: int = 6,
+    codec: str = "auto",
+) -> list[bytes]:
     """Pipelined batch still encode: device compute for frame k+1 overlaps
     host entropy for frame k (the production serving path — see
     codec.frame.encode_frames_pipelined). Alpha/metadata follow the same
-    item-graph rules as Encoder.write per image."""
+    item-graph rules as Encoder.write per image. codec="native" selects
+    the TPU-pipelined own format (maximum device throughput, bench.py);
+    the default emits spec-conformant AV1 like Encoder.write."""
     from ..codec.frame import FrameParams, encode_frames_pipelined
 
-    params = FrameParams(quality=quality, speed=speed)
+    params = FrameParams(quality=quality, speed=speed, codec=codec)
     color = encode_frames_pipelined(images, params)
     out = []
     for image, (obus, hdr) in zip(images, color):

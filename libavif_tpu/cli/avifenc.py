@@ -57,8 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "-c", "--codec", choices=("auto", "spec", "native"), default="auto",
-        help="auto: spec AV1 for lossless, TPU codec for lossy; "
-        "spec: spec-conformant AV1 everywhere (decodes in any AVIF viewer)",
+        help="auto/spec: spec-conformant AV1 (decodes in any AVIF "
+        "viewer; the default); native: the TPU-pipelined own format "
+        "(fastest, decodes only with this framework)",
     )
     p.add_argument(
         "--sharpyuv", action="store_true",

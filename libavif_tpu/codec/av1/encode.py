@@ -493,6 +493,49 @@ def _write_frame_header_lossless(seq: SequenceHeader) -> bytes:
     return _write_frame_header(seq, base_q_idx=0)
 
 
+def _search_lf(dec, srcs, base_q_idx: int):
+    """Loop-filter level pick (role of aom av1_pick_filter_level): start
+    from the LPF_PICK_FROM_Q q-based guess, evaluate a small candidate
+    ladder by reconstruction SSE, return (y, u, v) levels."""
+    from .loopfilter import loop_filter_frame
+
+    bd = dec.seq.bit_depth
+    q = T.ac_q(base_q_idx, bd)
+    if bd == 8:
+        guess = (q * 20723 + 1015158) >> 18
+    elif bd == 10:
+        guess = (q * 20723 + 4060632) >> 20
+    else:
+        guess = (q * 20723 + 16242526) >> 22
+    guess = max(0, min(63, guess))
+    if guess == 0:
+        return (0, 0, 0)
+    lf = dec.hdr.lf
+    base_planes = [p.copy() for p in dec.planes]
+
+    def sse_all():
+        tot = 0
+        for pi in range(dec.n_planes):
+            src = srcs[pi]
+            h, w = src.shape
+            d = dec.planes[pi][:h, :w].astype(np.int64) - src
+            tot += int((d * d).sum())
+        return tot
+
+    best = (sse_all(), 0)
+    saved_levels = lf.levels
+    for ly in sorted({max(1, guess >> 1), guess, min(63, guess + (guess >> 2))}):
+        lf.levels = (ly, ly, ly >> 1, ly >> 1)
+        loop_filter_frame(dec)
+        v = sse_all()
+        dec.planes = [p.copy() for p in base_planes]
+        if v < best[0]:
+            best = (v, ly)
+    lf.levels = saved_levels
+    ly = best[1]
+    return (ly, ly >> 1, ly >> 1)
+
+
 def _search_cdef(dec, srcs, base_q_idx: int, speed: int):
     """Encoder-side CDEF strength pick: the tile payload is invariant to
     the frame-header strengths (cdef_bits 0, no per-block syntax), so the
@@ -561,7 +604,8 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
                         tile_cols_log2: int = 0,
                         tile_rows_log2: int = 0,
                         cdef_strengths=None,
-                        film_grain=None) -> bytes:
+                        film_grain=None,
+                        lf_levels=None) -> bytes:
     """Reduced-still-picture uncompressed header (mirror of
     headers.parse_frame_header for the configurations we emit: lossless
     or lossy with loop filters off and TX_MODE_SELECT)."""
@@ -650,9 +694,14 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
         w(0, 1)  # segmentation_enabled
     if base_q_idx > 0:
         w(0, 1)  # delta_q_present
-        # loop filter: levels 0/0 (no deblocking), sharpness 0, no deltas
-        w(0, 6)
-        w(0, 6)
+        # loop filter (§5.9.11): encoder-picked levels (or 0/0 = off),
+        # sharpness 0, no deltas
+        ly, lu, lv_ = lf_levels if lf_levels is not None else (0, 0, 0)
+        w(ly, 6)
+        w(ly, 6)
+        if not seq.monochrome and ly:
+            w(lu, 6)
+            w(lv_, 6)
         w(0, 3)
         w(0, 1)  # loop_filter_delta_enabled
         if enable_cdef:
@@ -781,6 +830,7 @@ def _encode_still(
     enable_lr: bool = False,
     enable_cdef: bool = False,
     cdef_search: bool = False,
+    enable_deblock: bool = True,
     tile_cols_log2: int = 0,
     tile_rows_log2: int = 0,
     film_grain=None,
@@ -899,13 +949,31 @@ def _encode_still(
                     dec._decode_partition(r, c, B.block_size(dec.sb_px, dec.sb_px))
             assert planner.pos == len(planner.script), "unconsumed txb script"
             tile_payloads.append(enc.finish(strip=False))
+    lf_levels = (0, 0, 0)
+    if enable_deblock and base_q_idx > 0:
+        # deblock level pick + apply BEFORE the CDEF search: a decoder
+        # runs deblock -> CDEF, so the strength search must see
+        # deblocked planes
+        lf_levels = _search_lf(dec, srcs, base_q_idx)
+        if any(lf_levels):
+            hdr_payload = _write_frame_header(
+                seq, base_q_idx, segmentation=segmentation, allow_scc=allow_scc,
+                enable_lr=enable_lr, enable_cdef=enable_cdef,
+                tile_cols_log2=tile_cols_log2, tile_rows_log2=tile_rows_log2,
+                film_grain=film_grain, lf_levels=lf_levels,
+            )
+            hdr2 = parse_frame_header(hdr_payload, seq)
+            dec.hdr.lf = hdr2.lf
+            from .loopfilter import loop_filter_frame
+
+            loop_filter_frame(dec)
     if enable_cdef and cdef_search and base_q_idx > 0:
         chosen = _search_cdef(dec, srcs, base_q_idx, speed if speed is not None else 6)
         hdr_payload = _write_frame_header(
             seq, base_q_idx, segmentation=segmentation, allow_scc=allow_scc,
             enable_lr=enable_lr, enable_cdef=True,
             tile_cols_log2=tile_cols_log2, tile_rows_log2=tile_rows_log2,
-            cdef_strengths=chosen, film_grain=film_grain,
+            cdef_strengths=chosen, film_grain=film_grain, lf_levels=lf_levels,
         )
         hdr2 = parse_frame_header(hdr_payload, seq)
         dec.hdr.cdef = hdr2.cdef

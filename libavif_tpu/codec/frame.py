@@ -70,9 +70,11 @@ class FrameParams:
     tx_size: int = DEFAULT_TX_SIZE
     deblock: bool | None = None  # None: auto (on at quality <= 50)
     cdef: bool | None = None  # None: auto (on for lossy; free ~+0.3 dB)
-    # "auto": spec-AV1 for 8-bit lossless, native TPU codec otherwise.
-    # "spec": always emit spec-conformant AV1 (decodes in dav1d/libaom;
-    # host-side RD search, slower). "native": always the TPU codec.
+    # "auto"/"spec": spec-conformant AV1 for both lossless and lossy
+    # (decodes in dav1d/libaom/every AVIF viewer; native-accelerated
+    # host RD loop). "native": the TPU-pipelined own format — the
+    # opt-in fast path for device-throughput serving (bench.py).
+    # LIBAVIF_TPU_SPEC_AV1=0 reverts "auto" to the native codec.
     codec: str = "auto"
     # AV1 tile grid for the spec codec (avifEncoder tileRowsLog2/
     # tileColsLog2/autoTiling, avif.h:1568-1576)
@@ -228,13 +230,15 @@ def encode_frames_pipelined(
     This is the production serving path; per-frame latency is unchanged
     but sustained MP/s is bounded by max(device, host) instead of sum.
     """
-    if params.codec == "spec" and not params.lossless:
+    spec_on = params.codec == "spec" or (
+        params.codec == "auto" and _spec_av1_enabled()
+    )
+    if spec_on and not params.lossless:
+        # spec-conformant AV1 is the default lossy output (matching the
+        # reference, whose only encoder is libaom: write.c:2104-2114);
+        # codec="native" opts into the TPU-pipelined own format below.
         return [_encode_frame_spec_lossy(im, params) for im in images]
-    if (
-        params.lossless
-        and images
-        and (params.codec == "spec" or (params.codec == "auto" and _spec_av1_enabled()))
-    ):
+    if params.lossless and images and spec_on:
         return [_encode_frame_spec_lossless(im, params) for im in images]
     staged = []
     n = params.tx_size
@@ -450,6 +454,8 @@ def _encode_frame_spec_lossy(image: Image, params: FrameParams) -> tuple[bytes, 
     planes = [image.yuv_planes[c] for c in range(_coded_planes(image))]
     quantizer = ((100 - params.quality) * 63 + 50) // 100
     qindex = max(1, min(255, quantizer * 4))
+    if params.cq_level is not None:  # codec option "cq-level" (aom scale)
+        qindex = max(1, min(255, int(params.cq_level) * 4))
     tcl, trl = _tile_config(params, image.width, image.height)
     # encoder-side CDEF (role of libaom's always-on pickcdef behind
     # codec_aom.c): post-encode strength search, skipped only at the
@@ -458,6 +464,7 @@ def _encode_frame_spec_lossy(image: Image, params: FrameParams) -> tuple[bytes, 
     payload = encode_lossy_still(
         planes, qindex, speed=params.speed,
         enable_cdef=cdef_on, cdef_search=cdef_on,
+        enable_deblock=params.deblock is not False,
         tile_cols_log2=tcl,
         tile_rows_log2=trl,
         monochrome=info.monochrome,
@@ -478,12 +485,15 @@ def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHead
     """Encode one still frame. Returns (obu_bytes, sequence_header)."""
     if image.depth not in (8, 10, 12):
         raise AvifError(Result.UNSUPPORTED_DEPTH, f"depth {image.depth}")
-    if params.codec == "spec" and not params.lossless:
+    spec_on = params.codec == "spec" or (
+        params.codec == "auto" and _spec_av1_enabled()
+    )
+    if spec_on and not params.lossless:
+        # default lossy output is spec-conformant AV1 (the reference's
+        # only encoder is libaom, write.c:2104-2114); codec="native"
+        # opts into the TPU-pipelined own format
         return _encode_frame_spec_lossy(image, params)
-    if (
-        params.lossless
-        and (params.codec == "spec" or (params.codec == "auto" and _spec_av1_enabled()))
-    ):
+    if params.lossless and spec_on:
         # lossless rides the spec-conformant AV1 path at every depth so
         # the files interoperate with every AVIF decoder
         return _encode_frame_spec_lossless(image, params)

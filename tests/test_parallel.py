@@ -159,8 +159,11 @@ class TestProductWiring:
             for p in img.yuv_planes:
                 p[:] = rng.integers(0, 256, p.shape).astype(np.uint8)
             cells.append(img)
+        # the mesh-sharded batch paths are the NATIVE codec's product
+        # wiring (spec-AV1, the interop default, encodes host-side)
         enc = Encoder()
         enc.quality = 80
+        enc.codec_choice = "native"
         data = enc.write_grid(cells, columns=2, rows=2)
 
         enc_calls, dec_calls = [], []
@@ -176,6 +179,7 @@ class TestProductWiring:
         )
         enc2 = Encoder()
         enc2.quality = 80
+        enc2.codec_choice = "native"
         enc2.write_grid(cells, columns=2, rows=2)
         assert enc_calls  # encode batch went through the mesh entry
 
