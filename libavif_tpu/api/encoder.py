@@ -48,6 +48,11 @@ class _PendingFrame:
     keyframe: bool
     obus: Optional[bytes] = None
     alpha_obus: Optional[bytes] = None
+    # settings snapshot taken at add_image time (reference semantics:
+    # avifEncoderAddImage reads the encoder's CURRENT settings, so
+    # callers may retune quality etc. between frames — avifenc `:u`)
+    params: object = None
+    params_alpha: object = None
 
 
 class Encoder:
@@ -393,7 +398,11 @@ class Encoder:
         # Frames are queued and encoded in ONE pipelined batch at finish().
         if self._first_image is None:
             self._first_image = image.copy("none")
-        self._frames.append(_PendingFrame(image.copy("all"), duration, keyframe))
+        qa = self.quality if self.quality_alpha < 0 else self.quality_alpha
+        self._frames.append(_PendingFrame(
+            image.copy("all"), duration, keyframe,
+            params=self._params(self.quality), params_alpha=self._params(qa),
+        ))
         if flags & ADD_IMAGE_FLAG_SINGLE:
             self._single = True
 
@@ -405,24 +414,40 @@ class Encoder:
         todo = [f for f in self._frames if f.obus is None]
         if not todo:
             return
-        color = encode_frames_pipelined(
-            [f.image for f in todo], self._params(self.quality)
-        )
-        if self._first_hdr is None:
-            self._first_hdr = color[0][1]
-        alpha_imgs = []
-        alpha_slots = []
+        # batch consecutive frames with identical settings snapshots
+        # (frames keep their add-time settings — avifenc `:u` semantics)
+        groups: list[list[_PendingFrame]] = []
+        for f in todo:
+            if f.params is None:
+                f.params = self._params(self.quality)
+            if groups and groups[-1][0].params == f.params:
+                groups[-1].append(f)
+            else:
+                groups.append([f])
+        for grp in groups:
+            color = encode_frames_pipelined([f.image for f in grp], grp[0].params)
+            if self._first_hdr is None:
+                self._first_hdr = color[0][1]
+            for f, (obus, _) in zip(grp, color):
+                f.obus = obus
         qa = self.quality if self.quality_alpha < 0 else self.quality_alpha
-        for f, (obus, _) in zip(todo, color):
-            f.obus = obus
-            if f.image.alpha_plane is not None and not f.image.is_opaque():
-                alpha_imgs.append(self._alpha_image(f.image))
-                alpha_slots.append(f)
-        if alpha_imgs:
-            alpha = encode_frames_pipelined(alpha_imgs, self._params(qa))
+        alpha_groups: list[list[_PendingFrame]] = []
+        for f in todo:
+            if f.image.alpha_plane is None or f.image.is_opaque():
+                continue
+            if f.params_alpha is None:
+                f.params_alpha = self._params(qa)
+            if alpha_groups and alpha_groups[-1][0].params_alpha == f.params_alpha:
+                alpha_groups[-1].append(f)
+            else:
+                alpha_groups.append([f])
+        for grp in alpha_groups:
+            alpha = encode_frames_pipelined(
+                [self._alpha_image(f.image) for f in grp], grp[0].params_alpha
+            )
             if self._first_alpha_hdr is None:
                 self._first_alpha_hdr = alpha[0][1]
-            for f, (aobus, _) in zip(alpha_slots, alpha):
+            for f, (aobus, _) in zip(grp, alpha):
                 f.alpha_obus = aobus
 
     def finish(self) -> bytes:

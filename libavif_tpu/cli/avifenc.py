@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="codec-specific option (avifenc -a; e.g. -a enable-cdef=0, "
         "-a cq-level=32, -a mode-breadth=5, -a color:tx-breadth=2)",
     )
+    p.add_argument("--tilerowslog2", type=int, default=0, help="log2 tile rows 0-6 (manual tiling)")
+    p.add_argument("--tilecolslog2", type=int, default=0, help="log2 tile cols 0-6 (manual tiling)")
+    p.add_argument("--autotiling", action="store_true", help="pick the tile grid automatically")
     p.add_argument(
         "-c", "--codec", choices=("auto", "spec", "native"), default="auto",
         help="auto/spec: spec-conformant AV1 (decodes in any AVIF "
@@ -107,6 +110,90 @@ def _target_size_search(image, args, proto_encoder):
     return best
 
 
+# Options that accept the avifenc `:u` / `:update` suffix (reference
+# apps/avifenc.c:278-328, parseOptionSuffix): suffixed occurrences apply
+# only to input files appearing after them; unsuffixed ones apply to all
+# inputs (with a warning when that is ambiguous). --duration always
+# behaves as if suffixed. Values are the option arities.
+_UPDATABLE = {
+    "-q": 1, "--qcolor": 1, "--qalpha": 1, "--duration": 1,
+    "-a": 1, "--advanced": 1,
+    "--tilerowslog2": 1, "--tilecolslog2": 1, "--autotiling": 0,
+}
+
+
+def _split_updatable(argv, parser):
+    """Pre-parse `:u`-suffixed options out of argv.
+
+    Returns (cleaned_argv_for_argparse, per_input) where per_input[i] is
+    the {flag: value(s)} snapshot in effect for the i-th positional
+    (inputs AND the trailing output; the caller drops the last one)."""
+    arity = {}
+    for action in parser._actions:
+        for opt in action.option_strings:
+            arity[opt] = 0 if action.nargs == 0 else 1
+    opts = []
+    positionals = []
+    events = []  # ("set", flag, value) | ("pos",)
+    seen_input = False
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if tok.startswith("-") and len(tok) > 1 and not tok[1].isdigit():
+            base, suffixed = tok, False
+            if ":" in tok and "=" not in tok.split(":", 1)[0]:
+                head, suf = tok.split(":", 1)
+                if suf in ("u", "update") and head in _UPDATABLE:
+                    base, suffixed = head, True
+                elif suf in ("u", "update"):
+                    raise SystemExit(f"ERROR: {head} does not accept the :{suf} suffix")
+            if base in _UPDATABLE:
+                n = _UPDATABLE[base]
+                val = argv[i + 1] if n else True
+                if suffixed or base == "--duration":
+                    events.append(("set", base, val))
+                else:
+                    if seen_input:
+                        print(
+                            f"WARNING: {base} is applying to all inputs. Use "
+                            f"{base}:u to apply only to inputs after it, or "
+                            "move it before the first input to avoid ambiguity.",
+                            file=sys.stderr,
+                        )
+                    opts.extend(argv[i : i + 1 + n])
+                i += 1 + n
+                continue
+            # non-updatable option: copy it plus its value tokens
+            key = base.split("=", 1)[0]
+            n = 0 if "=" in base else arity.get(key, 0)
+            opts.extend(argv[i : i + 1 + n])
+            i += 1 + n
+            continue
+        # positional (input or output)
+        positionals.append(tok)
+        events.append(("pos",))
+        seen_input = True
+        i += 1
+    # argparse can't take positionals interleaved with options when
+    # `inputs` is nargs='+'; ordering semantics live in `events`.
+    cleaned = opts + positionals
+    per_input = []
+    pending = {}
+    for ev in events:
+        if ev[0] == "pos":
+            per_input.append({k: (list(v) if isinstance(v, list) else v)
+                              for k, v in pending.items()})
+        else:
+            _, flag, val = ev
+            if flag in ("-a", "--advanced"):
+                pending.setdefault("-a", []).append(val)
+            elif flag in ("-q", "--qcolor"):
+                pending["-q"] = val
+            else:
+                pending[flag] = val
+    return cleaned, per_input
+
+
 def _parse_fraction_list(arg, count, flag):
     vals = [int(x) for x in arg.split(",")]
     if len(vals) != count:
@@ -115,7 +202,14 @@ def _parse_fraction_list(arg, count, flag):
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    raw = list(argv) if argv is not None else sys.argv[1:]
+    cleaned, per_pos = _split_updatable(raw, parser)
+    args = parser.parse_args(cleaned)
+    # per_pos covers every positional; the last one is the output path
+    per_input = per_pos[:-1] if len(per_pos) == len(args.inputs) + 1 else [
+        {} for _ in args.inputs
+    ]
 
     if "-" in args.inputs:
         # Materialize stdin once so format sniffing and multi-pass reads work.
@@ -209,12 +303,36 @@ def main(argv=None) -> int:
     enc.keyframe_interval = args.keyframe
     enc.tx_size = args.tx_size
     enc.codec_choice = args.codec
+    enc.tile_rows_log2 = args.tilerowslog2
+    enc.tile_cols_log2 = args.tilecolslog2
+    if args.autotiling:
+        enc.auto_tiling = True
     for kv in args.advanced:
         if "=" not in kv:
             print(f"bad -a option (need KEY=VALUE): {kv}", file=sys.stderr)
             return 1
         k, v = kv.split("=", 1)
         enc.set_codec_specific_option(k.strip(), v.strip())
+
+    def apply_updates(upd) -> int:
+        """Apply one input's `:u` settings snapshot; returns its frame
+        duration (reference: avifInputFileSettings application)."""
+        if "-q" in upd:
+            enc.quality = 100 if args.lossless else int(upd["-q"])
+        if "--qalpha" in upd:
+            enc.quality_alpha = int(upd["--qalpha"])
+        if "--tilerowslog2" in upd:
+            enc.tile_rows_log2 = int(upd["--tilerowslog2"])
+        if "--tilecolslog2" in upd:
+            enc.tile_cols_log2 = int(upd["--tilecolslog2"])
+        if "--autotiling" in upd:
+            enc.auto_tiling = True
+        for kv in upd.get("-a", []):
+            if "=" not in kv:
+                raise SystemExit(f"bad -a option (need KEY=VALUE): {kv}")
+            k, v = kv.split("=", 1)
+            enc.set_codec_specific_option(k.strip(), v.strip())
+        return int(upd.get("--duration", args.duration))
 
     if args.grid:
         try:
@@ -223,6 +341,7 @@ def main(argv=None) -> int:
             raise SystemExit("-g/--grid expects MxN")
         if len(args.inputs) != 1:
             raise SystemExit("grid mode takes exactly one input")
+        apply_updates(per_input[0])
         img = load(args.inputs[0])
         cells = []
         cw = -(-img.width // cols)
@@ -238,27 +357,33 @@ def main(argv=None) -> int:
         data = enc.write_grid(cells, columns=cols, rows=rows)
     else:
         # Animation when multiple inputs or a multi-frame y4m.
-        frames = []
-        for path in args.inputs:
+        frames = []  # (image, per-input settings, duration)
+        for idx, path in enumerate(args.inputs):
+            upd = per_input[idx] if idx < len(per_input) else {}
+            duration = int(upd.get("--duration", args.duration))
             if guess_format(path) == "y4m":
                 n = count_y4m_frames(path)
                 from ..io_formats.y4m import read_y4m
 
                 for i in range(n):
-                    frames.append(read_y4m(path, i))
+                    frames.append((read_y4m(path, i), upd, duration))
             else:
-                frames.append(load(path))
+                frames.append((load(path), upd, duration))
         if len(frames) == 1 and args.progressive:
+            apply_updates(frames[0][1])
             qualities = [int(q) for q in args.progressive.split(",")]
-            data = enc.write_progressive(frames[0], qualities)
+            data = enc.write_progressive(frames[0][0], qualities)
         elif len(frames) == 1 and args.target_size:
-            data = _target_size_search(frames[0], args, enc)
+            apply_updates(frames[0][1])
+            data = _target_size_search(frames[0][0], args, enc)
         elif len(frames) == 1:
-            data = enc.write(frames[0])
+            apply_updates(frames[0][1])
+            data = enc.write(frames[0][0])
         else:
             enc.timescale = args.timescale or int(round(args.fps))
-            for f in frames:
-                enc.add_image(f, duration=args.duration)
+            for f, upd, duration in frames:
+                apply_updates(upd)  # settings captured per frame at add
+                enc.add_image(f, duration=duration)
             data = enc.finish()
 
     pathlib.Path(args.output).write_bytes(data)

@@ -191,3 +191,65 @@ class TestPng16:
 
         data = out.read_bytes()
         assert struct.unpack(">B", data[24:25])[0] == 16  # bit depth field
+
+
+class TestUpdatableArgs:
+    """avifenc `:u` per-input updatable options (reference
+    apps/avifenc.c:278-328 parseOptionSuffix + avifInputFileSettings)."""
+
+    def test_qcolor_update_applies_to_later_inputs(self, tmp_path):
+        from libavif_tpu.api.decoder import Decoder
+
+        paths = []
+        for i in range(2):
+            img = make_image(32, 24, seed=i)
+            p = tmp_path / f"f{i}.y4m"
+            write_y4m(p, [img])
+            paths.append(str(p))
+        avif = tmp_path / "anim.avif"
+        # frame 0 at q85, frame 1 drops to q20 via -q:u
+        rc = avifenc.main(
+            ["-q", "85", paths[0], "-q:u", "20", paths[1], str(avif),
+             "--fps", "10"]
+        )
+        assert rc == 0
+        d = Decoder()
+        d.set_io_file(avif)
+        d.parse()
+        st = d._color_track.sample_table
+        s0, s1 = (st.sample_sizes[i] for i in range(2))
+        assert s1 < s0, (s0, s1)  # q20 frame must be much smaller
+
+    def test_unsuffixed_after_input_warns_and_applies_globally(self, tmp_path, capsys):
+        img = make_image(32, 24, seed=3)
+        p0 = tmp_path / "a.y4m"
+        p1 = tmp_path / "b.y4m"
+        write_y4m(p0, [img])
+        write_y4m(p1, [img])
+        avif = tmp_path / "o.avif"
+        rc = avifenc.main([str(p0), "-q", "50", str(p1), str(avif), "--fps", "10"])
+        assert rc == 0
+        cap = capsys.readouterr()
+        assert "applying to all inputs" in cap.err
+
+    def test_duration_update_per_input(self, tmp_path):
+        from libavif_tpu.api.decoder import Decoder
+
+        paths = []
+        for i in range(2):
+            img = make_image(32, 24, seed=i)
+            p = tmp_path / f"d{i}.y4m"
+            write_y4m(p, [img])
+            paths.append(str(p))
+        avif = tmp_path / "dur.avif"
+        rc = avifenc.main(
+            [paths[0], "--duration", "7", paths[1], str(avif), "--timescale", "30"]
+        )
+        assert rc == 0
+        d = Decoder()
+        d.set_io_file(avif)
+        d.parse()
+        _, dur0 = d.nth_image_timing(0)
+        _, dur1 = d.nth_image_timing(1)
+        assert dur0 == 1  # --duration is always :u
+        assert dur1 == 7
