@@ -485,7 +485,21 @@ class RDPlanner(LossyPlanner):
             r, c, _ = self.dec.block_pos
             return self.uv_plan.get((r - r % 4, c - c % 4), 0)
         if what == "tx_depth":
-            return self.tx_depth
+            r, c, bsize = self.dec.block_pos
+            px = max(B.BLOCK_DIMS[bsize])
+            d = self.plan.tx_depth.get((r, c, px))
+            if d is None:
+                # covering-block fallback (edge gather blocks below the
+                # searched sizes inherit the covering region's depth)
+                for p2 in sorted(self.sizes):
+                    s4 = p2 // 4
+                    d = self.plan.tx_depth.get((r - r % s4, c - c % s4, p2))
+                    if d is not None:
+                        break
+            # clamp to what the tx_size CDF for this block size can code
+            # (8px blocks: 2 symbols; floor is the 4x4 transform)
+            dmax = 1 if px <= 8 else 2
+            return min(int(d or 0), dmax)
         return 0
 
 

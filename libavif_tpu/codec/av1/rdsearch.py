@@ -51,9 +51,16 @@ _MODE_BITS_X16 = {
 _ANGLE_BITS_X16 = 26
 _SPLIT_BITS_X16 = 40  # partition-SPLIT symbol + 3 extra child overheads
 _NONE_BITS_X16 = 12
-# per-size SATD scale (x16) for the NONE branch of the split decision;
-# see the operating-point comment in plan_luma
-_BIG_TX_RATE_X16 = {32: 24, 64: 36}
+# quant-aware RD stage constants (bits x16): per-nonzero-coefficient
+# base cost, per-magnitude-doubling cost, per-transform-block overhead
+# (txb_skip + eob class + sign bookkeeping), per-depth symbol cost, and
+# the SSE-domain lambda scale (lambda = _LAM_RD_C * step^2 per bit).
+# Calibrated by BD-rate sweep on paris/kodim (tools/rd_report.py).
+_COEF_NZ_X16 = 24
+_COEF_MAG_X16 = 32
+_TXB_RATE_X16 = 56
+_DEPTH_RATE_X16 = (8, 24, 40)
+_LAM_RD_C = 0.07
 
 
 def satd(res: np.ndarray) -> np.ndarray:
@@ -219,6 +226,91 @@ def speed_config(speed: int):
     return dict(modes=_FULL, sizes=(64, 32, 16, 8), uv_modes=_FULL[:10])
 
 
+# ------------------------------------------------- quant-aware RD stage
+
+
+def _ortho_dct(n: int) -> np.ndarray:
+    k = np.arange(n).reshape(-1, 1)
+    i = np.arange(n).reshape(1, -1)
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2)
+    return m
+
+
+def _tx_gain(txs: int) -> float:
+    """Gain of the spec inverse transform vs the orthonormal DCT (same
+    measurement the encoder's forward quantizer uses)."""
+    from .encode import _inverse_gain
+
+    return _inverse_gain(txs, txs)
+
+
+def _quant_mode_costs(src: np.ndarray, txs: int, modes, dcq: int, acq: int,
+                      lam_sse_x16: int, bd: int) -> dict:
+    """Quant-aware RD cost of coding every txs-sized region with each
+    candidate mode: real orthonormal DCT of the source-border-predicted
+    residual, real round-to-nearest quantization against the spec dequant
+    step, distortion = SSE of the quantization error (Parseval), rate =
+    a per-coefficient bit model. Returns {mode: (rows, cols) int64}."""
+    blocks, above, left, corner, rows, cols = _borders_for_size(src, txs, bd)
+    n = blocks.shape[0]
+    g = _tx_gain(txs)
+    pels = txs * txs
+    dq_shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
+    cw = min(txs, 32)
+    M = _ortho_dct(txs)
+    # orthonormal-domain quantizer step (matches forward_dct_levels)
+    qs = np.full((cw, cw), float(acq) * g / (1 << dq_shift))
+    qs[0, 0] = float(dcq) * g / (1 << dq_shift)
+    out = {}
+    for m in modes:
+        pred = predict_batch(m, above, left, corner, n, txs, txs, bd)
+        res = (blocks - pred).astype(np.float64)
+        c = M @ res @ M.T
+        if txs > 32:  # spec zeroes coefficients beyond 32 in each dim
+            dropped = (c * c).sum(axis=(1, 2)) - (c[:, :32, :32] ** 2).sum(axis=(1, 2))
+            c = c[:, :32, :32]
+        else:
+            dropped = 0.0
+        lv = np.round(c / qs)
+        err = c - lv * qs
+        dist = (err * err).sum(axis=(1, 2)) + dropped
+        alv = np.abs(lv)
+        rate_x16 = (
+            (alv > 0).sum(axis=(1, 2)) * _COEF_NZ_X16
+            + np.log2(1.0 + alv).sum(axis=(1, 2)) * _COEF_MAG_X16
+            + _TXB_RATE_X16
+        )
+        cost = dist + (lam_sse_x16 * rate_x16) / 256.0
+        out[m] = np.rint(cost).astype(np.int64).reshape(rows, cols)
+    return out
+
+
+def _agg_cost(a: np.ndarray, k: int, rows: int, cols: int) -> np.ndarray:
+    """Sum k x k tiles of a txb-granularity cost array up to block
+    granularity (rows, cols), edge-padding the ragged frame border."""
+    if k == 1:
+        out = a
+    else:
+        need_r, need_c = rows * k, cols * k
+        if a.shape[0] < need_r or a.shape[1] < need_c:
+            a = np.pad(a, ((0, need_r - a.shape[0]), (0, need_c - a.shape[1])),
+                       mode="edge")
+        out = a[:need_r, :need_c].reshape(rows, k, cols, k).sum(axis=(1, 3))
+    if out.shape != (rows, cols):
+        out = np.pad(out, ((0, rows - out.shape[0]), (0, cols - out.shape[1])),
+                     mode="edge")
+    return out
+
+
+def _valid_depths(px: int) -> tuple:
+    """tx depths codable for a square px block (tx_size_cdf nsym: 8px
+    blocks code 2 symbols, larger 3; floor is the 4x4 transform)."""
+    if px <= 8:
+        return (0, 1)
+    return (0, 1, 2)
+
+
 # ------------------------------------------------------------------ search
 
 
@@ -229,6 +321,7 @@ class RDPlan:
     part: dict = field(default_factory=dict)      # (r4, c4, block_px) -> 0|3
     y_mode: dict = field(default_factory=dict)    # (r4, c4) -> mode
     uv_mode: dict = field(default_factory=dict)   # (r4, c4) -> mode
+    tx_depth: dict = field(default_factory=dict)  # (r4, c4, block_px) -> 0|1|2
     block_px: int = 16                            # fallback uniform size
 
 
@@ -239,18 +332,18 @@ def _pad_to(plane: np.ndarray, px: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def _mode_costs_for_size(src: np.ndarray, px: int, modes, lam_x16: int, bd: int):
-    """All px-sized blocks at once: returns (rows, cols) arrays of best
-    mode and its cost (SATD + lam*rate, x16 fixed point folded)."""
+def _borders_for_size(src: np.ndarray, px: int, bd: int):
+    """All px-sized blocks + their source borders at once. Returns
+    (blocks (n,px,px), above (n,2px), left (n,2px), corner (n,),
+    rows, cols). Borders are 2*px wide to include true above-right /
+    below-left runs (the D45/D203 mode families read them); frame edges
+    replicate the base value (decoder uses 2^(bd-1)+/-1 there, close
+    enough for decisions)."""
     p = _pad_to(src, px).astype(np.int64)
     H, W = p.shape
     rows, cols = H // px, W // px
     blocks = p.reshape(rows, px, cols, px).transpose(0, 2, 1, 3).reshape(-1, px, px)
     n = blocks.shape[0]
-    # Source borders, 2*px wide to include true above-right / below-left
-    # runs (the D45/D203 mode families read them); frame edges replicate
-    # the base value (decoder uses 2^(bd-1)+/-1 there, close enough for
-    # decisions).
     from numpy.lib.stride_tricks import sliding_window_view
 
     pr = np.pad(p, ((0, 0), (0, px)), mode="edge")
@@ -268,9 +361,15 @@ def _mode_costs_for_size(src: np.ndarray, px: int, modes, lam_x16: int, bd: int)
     corner[1:, 1:] = p[np.arange(px, H, px) - 1][:, np.arange(px, W, px) - 1]
     corner[0, :] = 1 << (bd - 1)
     corner[:, 0] = 1 << (bd - 1)
-    above = above.reshape(n, 2 * px)
-    left = left.reshape(n, 2 * px)
-    corner = corner.reshape(n)
+    return (blocks, above.reshape(n, 2 * px), left.reshape(n, 2 * px),
+            corner.reshape(n), rows, cols)
+
+
+def _mode_costs_for_size(src: np.ndarray, px: int, modes, lam_x16: int, bd: int):
+    """All px-sized blocks at once: returns (rows, cols) arrays of best
+    mode and its cost (SATD + lam*rate, x16 fixed point folded)."""
+    blocks, above, left, corner, rows, cols = _borders_for_size(src, px, bd)
+    n = blocks.shape[0]
 
     best_cost = np.full(n, np.iinfo(np.int64).max, np.int64)
     best_mode = np.zeros(n, np.int32)
@@ -289,7 +388,16 @@ def _mode_costs_for_size(src: np.ndarray, px: int, modes, lam_x16: int, bd: int)
 
 
 def plan_luma(src: np.ndarray, qindex: int, speed: int, bd: int = 8) -> RDPlan:
-    """Mode + partition plan for the luma plane."""
+    """Mode + partition + tx-depth plan for the luma plane.
+
+    Two stages: (1) SATD prefilter picks the intra mode per block per
+    size (cheap, all candidates vectorized); (2) a quant-aware RD stage
+    (real DCT + real quantizer, SSE distortion + bit model) picks the
+    transform depth per block and prices the NONE-vs-SPLIT partition
+    decision in one consistent currency. The depth trial matters because
+    AV1 intra-predicts PER TRANSFORM BLOCK: depth 1 on a 16x16 block
+    predicts each 8x8 from its own reconstructed borders — finer
+    prediction at zero mode-bit cost (role of libaom's tx-size RD)."""
     cfg = speed_config(speed)
     sizes = cfg["sizes"]
     plan = RDPlan(block_px=min(sizes))
@@ -300,6 +408,62 @@ def plan_luma(src: np.ndarray, qindex: int, speed: int, bd: int = 8) -> RDPlan:
         for px in sizes
     }
 
+    # -------- quant-aware stage: tx depth per block + partition pricing
+    dcq = T.dc_q(qindex, bd)
+    acq = T.ac_q(qindex, bd)
+    search_depth = speed <= 7
+    step16 = float(acq) * _tx_gain(16)
+    lam_sse_x16 = max(1, int(round(_LAM_RD_C * step16 * step16 * 16)))
+
+    # unique candidate modes actually chosen anywhere (keeps the DCT
+    # passes to the handful of modes the SATD stage selected)
+    chosen_modes = sorted(
+        {int(m) for px in sizes for m in np.unique(per_size[px][0])}
+    )
+    txs_needed = sorted(
+        {px >> d for px in sizes for d in (_valid_depths(px) if search_depth else (0,))}
+    )
+    qcost = {
+        txs: _quant_mode_costs(src, txs, chosen_modes, dcq, acq, lam_sse_x16, bd)
+        for txs in txs_needed
+    }
+
+    def block_rd(px):
+        """(rows, cols) best quant cost over depths + per-block best depth
+        for blocks of size px coded NONE with their SATD-chosen mode."""
+        modes_p, _ = per_size[px]
+        rows, cols = modes_p.shape
+        midx = {m: i for i, m in enumerate(chosen_modes)}
+        sel = np.vectorize(midx.get, otypes=[np.int64])(modes_p)
+        depths = _valid_depths(px) if search_depth else (0,)
+        stack = []
+        for d in depths:
+            txs = px >> d
+            per_mode = np.stack(
+                [_agg_cost(qcost[txs][m], px // txs, rows, cols) for m in chosen_modes]
+            )
+            cost_d = np.take_along_axis(per_mode, sel[None], axis=0)[0]
+            stack.append(cost_d + ((lam_sse_x16 * _DEPTH_RATE_X16[d]) >> 8))
+        arr = np.stack(stack)
+        best = arr.argmin(axis=0)
+        # mode signalling cost (x16 bits -> SSE currency)
+        mbits = np.vectorize(
+            lambda m: _MODE_BITS_X16[m]
+            + (_ANGLE_BITS_X16 if I.is_directional(m) else 0),
+            otypes=[np.int64],
+        )(modes_p)
+        total = arr.min(axis=0) + ((lam_sse_x16 * (mbits + _NONE_BITS_X16)) >> 8)
+        return total, np.array(depths, np.int64)[best]
+
+    rd_cost, rd_depth = {}, {}
+    for px in sizes:
+        rd_cost[px], rd_depth[px] = block_rd(px)
+        r4 = px // 4
+        dep = rd_depth[px]
+        for i in range(dep.shape[0]):
+            for j in range(dep.shape[1]):
+                plan.tx_depth[(i * r4, j * r4, px)] = int(dep[i, j])
+
     if len(sizes) == 1:
         px = sizes[0]
         modes, _ = per_size[px]
@@ -309,30 +473,22 @@ def plan_luma(src: np.ndarray, qindex: int, speed: int, bd: int = 8) -> RDPlan:
                 plan.y_mode[(i * r4, j * r4, px)] = int(modes[i, j])
         return plan
 
-    # bottom-up: cost of covering each region with the best choice
+    # bottom-up partition: NONE (best-depth quant cost) vs SPLIT
+    # (children aggregate + split signalling), all in SSE+lambda*bits
     sizes_desc = sorted(sizes, reverse=True)
     smallest = sizes_desc[-1]
-    # agg_cost[px][i, j]: cost of the chosen coverage of that px region
-    modes_s, cost_s = per_size[smallest]
-    agg = cost_s.astype(np.int64)
+    agg = rd_cost[smallest].astype(np.int64)
     for px in sizes_desc[:-1][::-1]:  # growing region sizes
-        modes_p, cost_p = per_size[px]
-        rows, cols = cost_p.shape
+        rows, cols = rd_cost[px].shape
         # children aggregate (2x2 of the next-smaller aggregated cost)
-        child = agg
-        ch = child[: rows * 2, : cols * 2]
+        ch = agg[: rows * 2, : cols * 2]
         ch = np.pad(ch, ((0, rows * 2 - ch.shape[0]), (0, cols * 2 - ch.shape[1])),
                     mode="edge")
         quad = (
             ch.reshape(rows, 2, cols, 2).sum(axis=(1, 3))
-            + (lam_x16 * _SPLIT_BITS_X16 >> 4)
+            + ((lam_sse_x16 * _SPLIT_BITS_X16) >> 8)
         )
-        # 32/64 transforms dequant with dq_shift 1/2 (effective step
-        # acq/2, acq/4): a NONE at those sizes codes finer (more rate,
-        # more quality) than its split children, so its SATD is scaled by
-        # the net rate factor before comparison (calibrated on kodim).
-        op_x16 = _BIG_TX_RATE_X16.get(px, 16)
-        none_c = ((cost_p * op_x16) >> 4) + (lam_x16 * _NONE_BITS_X16 >> 4)
+        none_c = rd_cost[px]
         split = quad < none_c
         r4 = px // 4
         for i in range(rows):

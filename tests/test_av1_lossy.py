@@ -104,6 +104,31 @@ def test_encode_lossy_rd_speeds_dav1d_bit_exact(speed):
         assert np.array_equal(p, a.astype(np.uint8))
 
 
+def test_rd_plan_mixes_tx_depths_and_stays_dav1d_exact():
+    """The quant-aware RD stage picks per-block transform depth (smooth
+    regions keep the whole-block transform, detailed regions split so
+    each txb predicts from its own recon borders); a mixed-content encode
+    must carry >=2 distinct depths and still decode bit-exactly in
+    dav1d."""
+    from libavif_tpu.codec.av1.rdsearch import plan_luma
+
+    rng = np.random.RandomState(7)
+    y = np.zeros((96, 96), np.uint8)
+    yy, xx = np.mgrid[0:96, 0:96]
+    y[:, :] = (yy + xx).astype(np.uint8)  # smooth gradient
+    y[48:, :] = (rng.rand(48, 96) * 255).astype(np.uint8)  # detail
+    plan = plan_luma(y, 60, 6)
+    depths = set(plan.tx_depth.values())
+    assert len(depths) >= 2, f"uniform tx depth {depths}"
+
+    pl = [y, np.full((48, 48), 110, np.uint8), np.full((48, 48), 140, np.uint8)]
+    payload = E.encode_lossy_still(pl, qindex=60, speed=6)
+    out, _, _ = decode_still(payload)
+    im = oracle.decode(_wrap(payload, 96, 96))
+    for p, a in zip(im.planes, out):
+        assert np.array_equal(p, a.astype(np.uint8))
+
+
 def test_rd_partition_emits_multiple_block_sizes():
     from libavif_tpu.codec.av1.rdsearch import plan_luma, speed_config
 
