@@ -33,7 +33,14 @@ from ...containers.obu import (
 from ...models.av1.msac import MsacEncoder
 from ...utils.streams import RWStream
 from . import tables as T
-from .decode import COEFF_BASE_RANGE, NUM_BASE_LEVELS, FrameDecoder
+from . import transforms as TXF
+from .decode import (
+    COEFF_BASE_RANGE,
+    EXT_TX_INV,
+    MODE_TO_TXFM,
+    NUM_BASE_LEVELS,
+    FrameDecoder,
+)
 from .headers import FrameHeader, parse_frame_header
 from .still import OBU_FRAME, OBU_SEQUENCE_HEADER, OBU_TEMPORAL_DELIMITER
 
@@ -302,19 +309,142 @@ def _inverse_gain(txw: int, txh: int) -> float:
     return _FWD_GAIN[key]
 
 
-def forward_dct_levels(res: np.ndarray, txw: int, txh: int, dcq: int, acq: int,
-                       dq_shift: int) -> np.ndarray:
-    """Residual -> quantized levels for DCT_DCT via float transform +
-    round-to-nearest quantization against the spec dequant."""
-    g = _inverse_gain(txw, txh)
-    coeff = _dct_mat(txh) @ res.astype(np.float64) @ _dct_mat(txw).T
-    coeff /= g  # so that the spec inverse reproduces `res`
+# RDOQ-lite bit model (bits per coefficient; calibrated with the
+# rdsearch stage's constants: _COEF_NZ_X16/16 and _COEF_MAG_X16/16)
+_RDOQ_NZ_BITS = 1.5
+_RDOQ_MAG_BITS = 2.0
+_RDOQ_EOB_BITS = 1.7  # eob-class symbol cost growth per log2(position)
+
+
+def _rd_optimize_levels(r: np.ndarray, lv: np.ndarray, qs: np.ndarray,
+                        scan: np.ndarray, lam_sse: float) -> np.ndarray:
+    """RDOQ-lite on one transform block: (1) marginal level-down — lower a
+    level by one when the rate saved exceeds the distortion added; (2) eob
+    trimming — zero a trailing run when ending the scan earlier wins.
+    r = coeff/qs (signed, pre-round), lv = round(r), qs = per-position
+    dequant step, lam_sse = SSE cost per bit. Per-coefficient bit model
+    only (no context chaining) — the role of libaom's trellis at its
+    cheapest setting."""
+    a = np.abs(r)
+    s = np.sign(r)
+    L = np.abs(lv).astype(np.float64)
+    qs2 = qs * qs
+    nz = L > 0
+    if not nz.any():
+        return lv
+    # level-down: D(l-1)-D(l) = (2(a-L)+1)*qs^2 ; rate(l)-rate(l-1)
+    bits = lambda x: np.where(x > 0, _RDOQ_NZ_BITS + _RDOQ_MAG_BITS * np.log2(1.0 + x), 0.0)
+    dd = (2.0 * (a - L) + 1.0) * qs2
+    Lm = np.maximum(L - 1.0, 0.0)
+    lower = nz & (lam_sse * (bits(L) - bits(Lm)) - dd > 0)
+    L = np.where(lower, Lm, L)
+    # eob choice over scan order: keep-gain of each coded coefficient vs
+    # zeroing it, cumulative from the front; candidate eobs at nonzeros
+    flat_idx = scan.reshape(-1)
+    ls = L.reshape(-1)[flat_idx]
+    av = a.reshape(-1)[flat_idx]
+    q2 = qs2.reshape(-1)[flat_idx]
+    keep = (av * av - (av - ls) ** 2) * q2 - lam_sse * bits(ls)
+    nzpos = np.nonzero(ls)[0]
+    if len(nzpos) == 0:
+        return np.zeros_like(lv)
+    totals = np.cumsum(keep)[nzpos] - lam_sse * _RDOQ_EOB_BITS * np.log2(nzpos + 2.0)
+    bi = int(np.argmax(totals))
+    if totals[bi] <= 0.0:
+        return np.zeros_like(lv)  # skip the whole txb
+    ls[nzpos[bi] + 1:] = 0.0
+    out = np.zeros(lv.size, np.float64)
+    out[flat_idx] = ls
+    return (s * out.reshape(lv.shape)).astype(np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_ops(txw: int, txh: int, tx_type: int, bd: int = 8):
+    """Forward operators for any separable spec transform, measured by
+    probing the spec inverse (transforms.inverse_transform) with unit
+    impulses: the inverse is res = V^T C H for 1-D bases V (rows: vertical
+    basis vectors over txh) and H (rows: horizontal over txw), so the
+    least-squares forward is C = Pv res Ph^T with Pv = (V V^T)^-1 V.
+    Returns (Pv, Ph, w) where w[i, j] = |V_i|^2 |H_j|^2 is the
+    per-coefficient SSE weight (the bases are orthogonal, so the
+    quantization error in coefficient (i, j) contributes w*err^2 pixels^2
+    of distortion). Self-calibrating: works for DCT/ADST/FLIPADST/IDTX
+    without transcribing the spec's basis definitions."""
+    from .transforms import inverse_transform
+
+    cw, ch = min(txw, 32), min(txh, 32)
+    A = 1 << 12  # swamp the inverse's integer rounding (outputs ~A*gain,
+    # so basis noise ~0.5/(A*gain) ≈ 0.1%) while staying clear of the
+    # ±2^(bd+7) intermediate clamps (impulse responses stay < 16K)
+    imp = np.zeros((ch, cw), dtype=np.int64)
+
+    def probe(i, j):
+        imp[:] = 0
+        imp[i, j] = A
+        out = inverse_transform(imp, txw, txh, tx_type, bd).astype(np.float64) / A
+        imp[i, j] = 0
+        return out
+
+    m00 = probe(0, 0)  # outer(v0, h0)
+    u, s, vt = np.linalg.svd(m00)
+    v0 = u[:, 0] * np.sqrt(s[0])
+    h0 = vt[0] * np.sqrt(s[0])
+    if v0[np.argmax(np.abs(v0))] < 0:  # fix the sign split
+        v0, h0 = -v0, -h0
+    V = np.empty((ch, txh))
+    Hm = np.empty((cw, txw))
+    V[0] = v0
+    Hm[0] = h0
+    h0n = h0 @ h0
+    v0n = v0 @ v0
+    for i in range(1, ch):
+        V[i] = probe(i, 0) @ h0 / h0n
+    for j in range(1, cw):
+        Hm[j] = v0 @ probe(0, j) / v0n
+    Pv = np.linalg.solve(V @ V.T, V)
+    Ph = np.linalg.solve(Hm @ Hm.T, Hm)
+    w = np.outer((V * V).sum(1), (Hm * Hm).sum(1))
+    return Pv, Ph, w
+
+
+def forward_levels(res: np.ndarray, txw: int, txh: int, tx_type: int,
+                   dcq: int, acq: int, dq_shift: int,
+                   lam_sse: float | None = None,
+                   scan: np.ndarray | None = None):
+    """Residual -> quantized levels for any 2D-class spec transform via
+    the probe-measured forward + round-to-nearest quantization against
+    the spec dequant, optionally RD-optimized (level-down + eob trim).
+    Returns (levels, rd_cost) — rd_cost (pixel-SSE + lambda*bits) is None
+    when lam_sse is None."""
+    Pv, Ph, w = _fwd_ops(txw, txh, tx_type)
+    coeff = Pv @ res.astype(np.float64) @ Ph.T
     cw, chh = min(txw, 32), min(txh, 32)
-    coeff = coeff[:chh, :cw]
     qs = np.full((chh, cw), float(acq) / (1 << dq_shift))
     qs[0, 0] = float(dcq) / (1 << dq_shift)
-    lv = np.round(coeff / qs).astype(np.int64)
-    return np.clip(lv, -(1 << 20), 1 << 20)
+    r = coeff / qs
+    lv = np.round(r).astype(np.int64)
+    cost = None
+    if lam_sse is not None:
+        qsw = qs * np.sqrt(w)  # per-coefficient pixel-SSE quant weight
+        if scan is not None:
+            lv = _rd_optimize_levels(r, lv, qsw, scan, lam_sse)
+        err = (r - lv) * qsw
+        alv = np.abs(lv)
+        bits = (
+            _RDOQ_NZ_BITS * (alv > 0).sum()
+            + _RDOQ_MAG_BITS * np.log2(1.0 + alv).sum()
+        )
+        cost = float((err * err).sum()) + lam_sse * bits
+    return np.clip(lv, -(1 << 20), 1 << 20), cost
+
+
+def forward_dct_levels(res: np.ndarray, txw: int, txh: int, dcq: int, acq: int,
+                       dq_shift: int, lam_sse: float | None = None,
+                       scan: np.ndarray | None = None) -> np.ndarray:
+    """DCT_DCT forward (back-compat seam over forward_levels)."""
+    lv, _ = forward_levels(res, txw, txh, TXF.DCT_DCT, dcq, acq, dq_shift,
+                           lam_sse=lam_sse, scan=scan)
+    return lv
 
 
 class LossyPlanner(LosslessPlanner):
@@ -328,6 +458,14 @@ class LossyPlanner(LosslessPlanner):
         self.block_px = block_px
         self.tx_depth = tx_depth
         self.sb_px = 128 if seq.use_128x128_superblock else 64
+        # RDOQ lambda (pixel-SSE per bit) from the frame quantizer step
+        from . import rdsearch as R
+
+        step16 = float(T.ac_q(hdr.quant.base_q_idx, seq.bit_depth)) * _inverse_gain(16, 16)
+        # RDOQ runs slightly hotter than the decision lambda (x1.6,
+        # BD-calibrated): trimming marginal coefficients pays for itself
+        self.lam_sse = 1.6 * R._LAM_RD_C * step16 * step16
+        self.tx_type_rd = True  # luma ADST/DCT RD trial (RDPlanner gates by speed)
         # native fused-txb handoff (decode.py _txb_fused_enc): when set,
         # begin_txb stores quantized levels instead of scripting symbols
         self.native_txb = False
@@ -349,6 +487,11 @@ class LossyPlanner(LosslessPlanner):
             return self.tx_depth
         return 0
 
+    # approximate intra ext-tx symbol cost (bits x16) from the default
+    # CDF mass: DCT is the common symbol, ADST variants cost ~2.5-3 bits
+    _TXTYPE_BITS_X16 = {TXF.DCT_DCT: 16, TXF.ADST_DCT: 44,
+                        TXF.DCT_ADST: 44, TXF.ADST_ADST: 38}
+
     def begin_txb(self, plane, x, y, txw, txh, pred):
         assert self.pos == len(self.script), "txb script not fully consumed"
         src = self.sources[plane]
@@ -363,7 +506,39 @@ class LossyPlanner(LosslessPlanner):
         acq = T.ac_q(qd.base_q_idx + (0 if plane == 0 else qd.delta_q_u_ac), depth)
         pels = txw * txh
         dq_shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
-        levels = forward_dct_levels(res, txw, txh, dcq, acq, dq_shift)
+        scan = T.default_scan(min(txw, 32), min(txh, 32))
+
+        # transform-type decision (§5.11.47 sets): chroma derives its type
+        # from the uv mode (compute_tx_type) so the forward MUST match the
+        # inverse a conformant decoder applies; luma RD-searches the
+        # 2D-class candidates of the set (scan order stays the default)
+        sqr_up = min(max(txw, txh), 64)
+        tx_set = 0 if sqr_up >= 32 else (2 if (self.hdr.reduced_tx_set or min(txw, txh) == 16) else 1)
+        if tx_set == 0:
+            tx_type = TXF.DCT_DCT
+        elif plane > 0:
+            tx_type = MODE_TO_TXFM[self.dec.block["uv_mode"]]
+            if tx_type not in EXT_TX_INV[tx_set]:
+                tx_type = TXF.DCT_DCT
+        elif self.tx_type_rd:
+            best = None
+            for cand in (TXF.DCT_DCT, TXF.ADST_DCT, TXF.DCT_ADST, TXF.ADST_ADST):
+                lv_c, cost = forward_levels(
+                    res, txw, txh, cand, dcq, acq, dq_shift,
+                    lam_sse=self.lam_sse, scan=scan,
+                )
+                cost += self.lam_sse * (self._TXTYPE_BITS_X16[cand] / 16.0)
+                if best is None or cost < best[0]:
+                    best = (cost, cand, lv_c)
+            _, tx_type, levels = best
+        else:
+            tx_type = TXF.DCT_DCT
+        if plane > 0 or not (tx_set and self.tx_type_rd):
+            levels, _ = forward_levels(
+                res, txw, txh, tx_type, dcq, acq, dq_shift,
+                lam_sse=self.lam_sse, scan=scan,
+            )
+        self.last_tx_type = tx_type
         if self.native_txb:
             self.last_levels = np.ascontiguousarray(
                 levels.reshape(-1), dtype=np.int64
@@ -371,12 +546,12 @@ class LossyPlanner(LosslessPlanner):
             self.script = []
             self.pos = 0
             return
-        sqr_up = min(max(txw, txh), 64)
-        tx_set = 0 if sqr_up >= 32 else (2 if (self.hdr.reduced_tx_set or min(txw, txh) == 16) else 1)
-        self.script = self._script_txb_sized(levels, txw, txh, plane, tx_set)
+        self.script = self._script_txb_sized(levels, txw, txh, plane, tx_set,
+                                             tx_type)
         self.pos = 0
 
-    def _script_txb_sized(self, levels, txw, txh, plane, tx_set) -> list:
+    def _script_txb_sized(self, levels, txw, txh, plane, tx_set,
+                          tx_type=TXF.DCT_DCT) -> list:
         cw, chh = min(txw, 32), min(txh, 32)
         scan = T.default_scan(cw, chh)
         flat = levels.flatten()
@@ -386,7 +561,7 @@ class LossyPlanner(LosslessPlanner):
             return [("sym", 1)]
         script = [("sym", 0)]
         if plane == 0 and tx_set > 0:
-            script.append(("sym", 1))  # DCT_DCT's index in both intra sets
+            script.append(("sym", EXT_TX_INV[tx_set].index(tx_type)))
         eob = nz[-1] + 1
         if eob <= 2:
             eob_pt = eob
@@ -439,6 +614,7 @@ class RDPlanner(LossyPlanner):
         self.cfg = R.speed_config(speed)
         self.sizes = self.cfg["sizes"]
         self.max_px = max(self.sizes)
+        self.tx_type_rd = speed <= 6  # realtime band keeps the DCT-only forward
         bd = seq.bit_depth
         self.plan = R.plan_luma(sources[0], qindex, speed, bd=bd)
         self.uv_plan = {}
