@@ -39,7 +39,10 @@ from .decode import (
     EXT_TX_INV,
     MODE_TO_TXFM,
     NUM_BASE_LEVELS,
+    TX_CLASS_2D,
+    TX_CLASS_VERT,
     FrameDecoder,
+    tx_class_of,
 )
 from .headers import FrameHeader, parse_frame_header
 from .still import OBU_FRAME, OBU_SEQUENCE_HEADER, OBU_TEMPORAL_DELIMITER
@@ -490,7 +493,25 @@ class LossyPlanner(LosslessPlanner):
     # approximate intra ext-tx symbol cost (bits x16) from the default
     # CDF mass: DCT is the common symbol, ADST variants cost ~2.5-3 bits
     _TXTYPE_BITS_X16 = {TXF.DCT_DCT: 16, TXF.ADST_DCT: 44,
-                        TXF.DCT_ADST: 44, TXF.ADST_ADST: 38}
+                        TXF.DCT_ADST: 44, TXF.ADST_ADST: 38,
+                        TXF.V_DCT: 48, TXF.H_DCT: 48, TXF.IDTX: 44}
+    # RD candidates per intra tx set (§5.11.47): set 1 (4x4/8x8) also has
+    # the V/H 1-D transforms; IDTX lives in both
+    _TXTYPE_CANDS = {
+        1: (TXF.DCT_DCT, TXF.ADST_DCT, TXF.DCT_ADST, TXF.ADST_ADST,
+            TXF.V_DCT, TXF.H_DCT, TXF.IDTX),
+        2: (TXF.DCT_DCT, TXF.ADST_DCT, TXF.DCT_ADST, TXF.ADST_ADST,
+            TXF.IDTX),
+    }
+
+    @staticmethod
+    def _scan_for(tx_type: int, cw: int, ch: int) -> np.ndarray:
+        cls = tx_class_of(tx_type)
+        if cls == TX_CLASS_2D:
+            return T.default_scan(cw, ch)
+        if cls == TX_CLASS_VERT:
+            return T.mrow_scan(cw, ch)
+        return T.mcol_scan(cw, ch)
 
     def begin_txb(self, plane, x, y, txw, txh, pred):
         assert self.pos == len(self.script), "txb script not fully consumed"
@@ -506,12 +527,12 @@ class LossyPlanner(LosslessPlanner):
         acq = T.ac_q(qd.base_q_idx + (0 if plane == 0 else qd.delta_q_u_ac), depth)
         pels = txw * txh
         dq_shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
-        scan = T.default_scan(min(txw, 32), min(txh, 32))
+        cw, chh = min(txw, 32), min(txh, 32)
 
         # transform-type decision (§5.11.47 sets): chroma derives its type
         # from the uv mode (compute_tx_type) so the forward MUST match the
         # inverse a conformant decoder applies; luma RD-searches the
-        # 2D-class candidates of the set (scan order stays the default)
+        # set's candidates (scan follows each candidate's tx class)
         sqr_up = min(max(txw, txh), 64)
         tx_set = 0 if sqr_up >= 32 else (2 if (self.hdr.reduced_tx_set or min(txw, txh) == 16) else 1)
         if tx_set == 0:
@@ -522,10 +543,10 @@ class LossyPlanner(LosslessPlanner):
                 tx_type = TXF.DCT_DCT
         elif self.tx_type_rd:
             best = None
-            for cand in (TXF.DCT_DCT, TXF.ADST_DCT, TXF.DCT_ADST, TXF.ADST_ADST):
+            for cand in self._TXTYPE_CANDS[tx_set]:
                 lv_c, cost = forward_levels(
                     res, txw, txh, cand, dcq, acq, dq_shift,
-                    lam_sse=self.lam_sse, scan=scan,
+                    lam_sse=self.lam_sse, scan=self._scan_for(cand, cw, chh),
                 )
                 cost += self.lam_sse * (self._TXTYPE_BITS_X16[cand] / 16.0)
                 if best is None or cost < best[0]:
@@ -536,7 +557,7 @@ class LossyPlanner(LosslessPlanner):
         if plane > 0 or not (tx_set and self.tx_type_rd):
             levels, _ = forward_levels(
                 res, txw, txh, tx_type, dcq, acq, dq_shift,
-                lam_sse=self.lam_sse, scan=scan,
+                lam_sse=self.lam_sse, scan=self._scan_for(tx_type, cw, chh),
             )
         self.last_tx_type = tx_type
         if self.native_txb:
@@ -553,7 +574,7 @@ class LossyPlanner(LosslessPlanner):
     def _script_txb_sized(self, levels, txw, txh, plane, tx_set,
                           tx_type=TXF.DCT_DCT) -> list:
         cw, chh = min(txw, 32), min(txh, 32)
-        scan = T.default_scan(cw, chh)
+        scan = self._scan_for(tx_type, cw, chh)
         flat = levels.flatten()
         n = cw * chh
         nz = [si for si in range(n) if flat[scan[si]] != 0]
@@ -655,7 +676,11 @@ class RDPlanner(LossyPlanner):
             px = B.BLOCK_DIMS[bsize][0]
             v = self.plan.y_mode.get((r, c, px))
             return v if v is not None else self._mode_at(r, c)
-        if what in ("angle_y", "angle_uv"):
+        if what == "angle_y":
+            r, c, bsize = self.dec.block_pos
+            px = max(B.BLOCK_DIMS[bsize])
+            return 3 + int(self.plan.angle_y.get((r, c, px), 0))
+        if what == "angle_uv":
             return 3  # angle delta 0
         if what == "uv_mode":
             r, c, _ = self.dec.block_pos

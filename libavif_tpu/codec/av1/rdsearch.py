@@ -129,12 +129,14 @@ def _smooth(above, left, n, h, w, variant):
     return (wx * l + (256 - wx) * right + 128) >> 8
 
 
-def _directional(above, left, corner, n, h, w, mode, bd):
+def _directional(above, left, corner, n, h, w, mode, bd, angle=None):
     """Plain dr_intra_derivative interpolation (no upsample/filter).
     Edges: ext_above[b] = [corner, above(+right run), replicate]; callers
     may pass above/left wider than w/h (true above-right / below-left
-    neighbors) — the D45/D203 families read up to w+h entries."""
-    angle = I.MODE_TO_ANGLE[mode]
+    neighbors) — the D45/D203 families read up to w+h entries. `angle`
+    overrides the mode's base angle (angle-delta search)."""
+    if angle is None:
+        angle = I.MODE_TO_ANGLE[mode]
     dr = I._dr_derivative()
     maxv = (1 << bd) - 1
     # extended edge arrays with corner at index 0 => ref index i maps to i+1
@@ -217,13 +219,13 @@ def speed_config(speed: int):
         return dict(modes=(I.DC_PRED,), sizes=(16,), uv_modes=())
     if s >= 8:
         return dict(modes=_FAST, sizes=(16,), uv_modes=())
-    if s >= 6:
+    if s >= 7:
         return dict(modes=_MID, sizes=(32, 16), uv_modes=())
-    if s >= 4:
-        return dict(modes=_FULL, sizes=(64, 32, 16), uv_modes=())
-    if s >= 2:
-        return dict(modes=_FULL, sizes=(64, 32, 16, 8), uv_modes=_MID)
-    return dict(modes=_FULL, sizes=(64, 32, 16, 8), uv_modes=_FULL[:10])
+    if s >= 5:
+        return dict(modes=_FULL, sizes=(32, 16, 8), uv_modes=())
+    if s >= 3:
+        return dict(modes=_FULL, sizes=(64, 32, 16, 8), uv_modes=())
+    return dict(modes=_FULL, sizes=(64, 32, 16, 8), uv_modes=_MID if s == 2 else _FULL[:10])
 
 
 # ------------------------------------------------- quant-aware RD stage
@@ -303,6 +305,33 @@ def _agg_cost(a: np.ndarray, k: int, rows: int, cols: int) -> np.ndarray:
     return out
 
 
+def _refine_angles(src: np.ndarray, px: int, modes_p: np.ndarray, bd: int):
+    """Per-block angle-delta refinement for blocks whose SATD-chosen mode
+    is directional: try p_angle = base + 3*delta for delta in -3..3 and
+    keep the SATD winner (the delta symbol costs are near-uniform, so
+    pure SATD decides). Returns (rows, cols) int64 deltas."""
+    blocks, above, left, corner, rows, cols = _borders_for_size(src, px, bd)
+    n = blocks.shape[0]
+    flat_modes = modes_p.reshape(-1)
+    deltas = np.zeros(n, np.int64)
+    for m in np.unique(flat_modes):
+        m = int(m)
+        if not I.is_directional(m):
+            continue
+        idx = np.nonzero(flat_modes == m)[0]
+        sb, sa, sl, sc = blocks[idx], above[idx], left[idx], corner[idx]
+        best = satd(sb - predict_batch(m, sa, sl, sc, len(idx), px, px, bd))
+        base = I.MODE_TO_ANGLE[m]
+        for d in (-3, -2, -1, 1, 2, 3):
+            pred = _directional(sa, sl, sc, len(idx), px, px, m, bd,
+                                angle=base + 3 * d)
+            c = satd(sb - pred)
+            upd = c < best
+            deltas[idx[upd]] = d
+            best = np.where(upd, c, best)
+    return deltas.reshape(rows, cols)
+
+
 def _valid_depths(px: int) -> tuple:
     """tx depths codable for a square px block (tx_size_cdf nsym: 8px
     blocks code 2 symbols, larger 3; floor is the 4x4 transform)."""
@@ -322,6 +351,7 @@ class RDPlan:
     y_mode: dict = field(default_factory=dict)    # (r4, c4) -> mode
     uv_mode: dict = field(default_factory=dict)   # (r4, c4) -> mode
     tx_depth: dict = field(default_factory=dict)  # (r4, c4, block_px) -> 0|1|2
+    angle_y: dict = field(default_factory=dict)   # (r4, c4, block_px) -> -3..3
     block_px: int = 16                            # fallback uniform size
 
 
@@ -408,61 +438,73 @@ def plan_luma(src: np.ndarray, qindex: int, speed: int, bd: int = 8) -> RDPlan:
         for px in sizes
     }
 
-    # -------- quant-aware stage: tx depth per block + partition pricing
+    # -------- quant-aware stage: joint mode+depth per block + partition
     dcq = T.dc_q(qindex, bd)
     acq = T.ac_q(qindex, bd)
     search_depth = speed <= 7
+    mode_by_rd = speed <= 6  # joint (mode, depth) argmin vs SATD prefilter
     step16 = float(acq) * _tx_gain(16)
     lam_sse_x16 = max(1, int(round(_LAM_RD_C * step16 * step16 * 16)))
 
-    # unique candidate modes actually chosen anywhere (keeps the DCT
-    # passes to the handful of modes the SATD stage selected)
-    chosen_modes = sorted(
-        {int(m) for px in sizes for m in np.unique(per_size[px][0])}
-    )
+    if mode_by_rd:
+        cand_modes = sorted(int(m) for m in cfg["modes"])
+    else:
+        # only the modes the SATD stage actually chose somewhere
+        cand_modes = sorted(
+            {int(m) for px in sizes for m in np.unique(per_size[px][0])}
+        )
     txs_needed = sorted(
         {px >> d for px in sizes for d in (_valid_depths(px) if search_depth else (0,))}
     )
     qcost = {
-        txs: _quant_mode_costs(src, txs, chosen_modes, dcq, acq, lam_sse_x16, bd)
+        txs: _quant_mode_costs(src, txs, cand_modes, dcq, acq, lam_sse_x16, bd)
         for txs in txs_needed
+    }
+    mbits_of = {
+        m: _MODE_BITS_X16[m] + (_ANGLE_BITS_X16 if I.is_directional(m) else 0)
+        for m in cand_modes
     }
 
     def block_rd(px):
-        """(rows, cols) best quant cost over depths + per-block best depth
-        for blocks of size px coded NONE with their SATD-chosen mode."""
+        """Best (mode, depth) per px block in the quant-cost currency.
+        Returns (cost, depth, mode) (rows, cols) arrays; with mode_by_rd
+        off, the mode is pinned to the SATD stage's choice."""
         modes_p, _ = per_size[px]
         rows, cols = modes_p.shape
-        midx = {m: i for i, m in enumerate(chosen_modes)}
-        sel = np.vectorize(midx.get, otypes=[np.int64])(modes_p)
         depths = _valid_depths(px) if search_depth else (0,)
-        stack = []
+        midx = {m: i for i, m in enumerate(cand_modes)}
+        best_cost = np.full((rows, cols), np.iinfo(np.int64).max, np.int64)
+        best_depth = np.zeros((rows, cols), np.int64)
+        best_mode = modes_p.astype(np.int64).copy()
+        pinned = None if mode_by_rd else np.vectorize(midx.get, otypes=[np.int64])(modes_p)
         for d in depths:
             txs = px >> d
-            per_mode = np.stack(
-                [_agg_cost(qcost[txs][m], px // txs, rows, cols) for m in chosen_modes]
-            )
-            cost_d = np.take_along_axis(per_mode, sel[None], axis=0)[0]
-            stack.append(cost_d + ((lam_sse_x16 * _DEPTH_RATE_X16[d]) >> 8))
-        arr = np.stack(stack)
-        best = arr.argmin(axis=0)
-        # mode signalling cost (x16 bits -> SSE currency)
-        mbits = np.vectorize(
-            lambda m: _MODE_BITS_X16[m]
-            + (_ANGLE_BITS_X16 if I.is_directional(m) else 0),
-            otypes=[np.int64],
-        )(modes_p)
-        total = arr.min(axis=0) + ((lam_sse_x16 * (mbits + _NONE_BITS_X16)) >> 8)
-        return total, np.array(depths, np.int64)[best]
+            drate = (lam_sse_x16 * _DEPTH_RATE_X16[d]) >> 8
+            for m in cand_modes:
+                if pinned is not None:
+                    # only evaluate the pinned mode's cells
+                    pass
+                c = _agg_cost(qcost[txs][m], px // txs, rows, cols) + drate
+                c = c + ((lam_sse_x16 * (mbits_of[m] + _NONE_BITS_X16)) >> 8)
+                if pinned is not None:
+                    mask = (pinned == midx[m]) & (c < best_cost)
+                else:
+                    mask = c < best_cost
+                best_cost[mask] = c[mask]
+                best_depth[mask] = d
+                best_mode[mask] = m
+        return best_cost, best_depth, best_mode
 
     rd_cost, rd_depth = {}, {}
     for px in sizes:
-        rd_cost[px], rd_depth[px] = block_rd(px)
+        rd_cost[px], dep, bm = block_rd(px)
+        rd_depth[px] = dep
         r4 = px // 4
-        dep = rd_depth[px]
         for i in range(dep.shape[0]):
             for j in range(dep.shape[1]):
                 plan.tx_depth[(i * r4, j * r4, px)] = int(dep[i, j])
+        if mode_by_rd:
+            per_size[px] = (bm.astype(np.int32), per_size[px][1])
 
     if len(sizes) == 1:
         px = sizes[0]
@@ -504,6 +546,12 @@ def plan_luma(src: np.ndarray, qindex: int, speed: int, bd: int = 8) -> RDPlan:
         for i in range(modes_p.shape[0]):
             for j in range(modes_p.shape[1]):
                 plan.y_mode[(i * r4, j * r4, px)] = int(modes_p[i, j])
+        if search_depth and any(I.is_directional(int(m)) for m in np.unique(modes_p)):
+            del_p = _refine_angles(src, px, modes_p, bd)
+            for i in range(del_p.shape[0]):
+                for j in range(del_p.shape[1]):
+                    if del_p[i, j]:
+                        plan.angle_y[(i * r4, j * r4, px)] = int(del_p[i, j])
     return plan
 
 
