@@ -13,8 +13,10 @@ and film grain raise NOT_IMPLEMENTED cleanly.
 
 from __future__ import annotations
 
+import ctypes as C
 import functools
 import math
+import os
 
 import numpy as np
 
@@ -119,6 +121,42 @@ def _build_itx_tab():
 
 
 _ITX_TAB = _build_itx_tab()
+
+
+@functools.lru_cache(maxsize=1)
+def _tile_const_tables():
+    """Constant tables for the native tile walk (avt_spec_tile): scan
+    bank + offsets per (cw, ch), per-tx-size shifts, smooth weights,
+    directional derivatives and filter-intra taps — the same arrays the
+    Python walk reads, so both paths share one source of truth."""
+    from .transforms import _SHIFTS
+
+    bank = []
+    off = np.zeros(16 * 3, dtype=np.int32)
+    pos = 0
+    for lw in range(4):
+        for lh in range(4):
+            cw, ch = 4 << lw, 4 << lh
+            for k, fn in enumerate((T.default_scan, T.mrow_scan, T.mcol_scan)):
+                s = np.asarray(fn(cw, ch), dtype=np.int32).reshape(-1)
+                off[(lw * 4 + lh) * 3 + k] = pos
+                bank.append(s)
+                pos += s.size
+    scan_bank = np.ascontiguousarray(np.concatenate(bank), dtype=np.int32)
+    shifts = np.zeros((5, 5, 3), dtype=np.int32)
+    for (tw, th), (rs, cs) in _SHIFTS.items():
+        lw = tw.bit_length() - 3
+        lh = th.bit_length() - 3
+        rect = 1 if abs(tw.bit_length() - th.bit_length()) == 1 else 0
+        shifts[lw, lh] = (rs, cs, rect)
+    d = T._data()
+    smw = np.ascontiguousarray(d["sm_weights"], dtype=np.int32)
+    dr = np.ascontiguousarray(d["dr_intra_derivative"], dtype=np.int32)
+    fi = np.ascontiguousarray(
+        d["filter_intra_taps"].astype(np.int32).reshape(-1)
+    )
+    return (scan_bank, off, np.ascontiguousarray(shifts.reshape(-1)),
+            smw, dr, fi)
 
 
 @functools.lru_cache(maxsize=None)
@@ -449,19 +487,31 @@ class FrameDecoder:
         self.mi_col1 = min(ti.col_starts[tc + 1] * self.sb_mi, self.hdr.mi_cols)
         self.mi_row0 = ti.row_starts[tr] * self.sb_mi
         self.mi_row1 = min(ti.row_starts[tr + 1] * self.sb_mi, self.hdr.mi_rows)
-        if not hasattr(self, "ctx") or self.ctx is None:
-            self.ctx = TileContexts(self.hdr.mi_rows, self.hdr.mi_cols, self.n_planes)
-        else:
-            self.ctx.reset_tile_lines()
-        self.cdf = self.frame_cdf_init.copy()
-        self.dec = MsacDecoder(data)
-        self.adapt = not self.hdr.disable_cdf_update
-        self.current_qindex = self.hdr.quant.base_q_idx
-        self.delta_lf = [0, 0, 0, 0]
-        self.read_deltas = False
         from .restoration import read_lr, reset_lr_refs
 
-        reset_lr_refs(self)
+        def setup():
+            if not hasattr(self, "ctx") or self.ctx is None:
+                self.ctx = TileContexts(self.hdr.mi_rows, self.hdr.mi_cols, self.n_planes)
+            else:
+                self.ctx.reset_tile_lines()
+            self.cdf = self.frame_cdf_init.copy()
+            self.dec = MsacDecoder(data)
+            self.adapt = not self.hdr.disable_cdf_update
+            self.current_qindex = self.hdr.quant.base_q_idx
+            self.delta_lf = [0, 0, 0, 0]
+            self.read_deltas = False
+            reset_lr_refs(self)
+
+        setup()
+        if self._tile_native_eligible():
+            cdef_snap = self.cdef_idx.copy()
+            if self._tile_native(data):
+                return
+            # bail: unsupported syntax mid-tile (palette/intrabc block).
+            # Tiles are entropy-independent, so restore the pre-attempt
+            # state and re-run the Python reference walk from the start.
+            self.cdef_idx[:] = cdef_snap
+            setup()
         for r in range(self.mi_row0, self.mi_row1, self.sb_mi):
             for c in range(self.mi_col0, self.mi_col1, self.sb_mi):
                 self.read_deltas = self.hdr.delta_q_present
@@ -469,6 +519,106 @@ class FrameDecoder:
                 read_lr(self, r, c)
                 sz = B.block_size(self.sb_px, self.sb_px)
                 self._decode_partition(r, c, sz)
+
+    # ------------------------------------------- native tile walk bridge
+
+    def _tile_native_eligible(self) -> bool:
+        """The C++ tile walk (native/tile_walk.inc avt_spec_tile) covers
+        the intra toolset minus palette/intrabc blocks (those bail per
+        tile) and minus frame features the walk doesn't model; anything
+        else decodes on the Python reference walk."""
+        if getattr(self, "planner", None) is not None:
+            return False  # encode mirror drives the Python walk
+        hdr = self.hdr
+        if not hdr.frame_is_intra or hdr.coded_lossless:
+            return False
+        if hdr.quant.using_qmatrix or hdr.segmentation_enabled:
+            return False
+        if hdr.delta_q_present or hdr.delta_lf_present:
+            return False
+        if any(t != 0 for t in hdr.lr.frame_restoration_type[: self.n_planes]):
+            return False
+        if os.environ.get("LIBAVIF_TPU_TILEWALK", "1") == "0":
+            return False
+        lib = _fused_lib()
+        return lib is not None and hasattr(lib, "avt_spec_tile")
+
+    def _tile_native(self, data: bytes) -> bool:
+        """Run avt_spec_tile on this tile. True = decoded (planes, mi
+        grids, coef/part lines and CDFs all updated in place); False =
+        bailed on unsupported block syntax. Raises on malformed data."""
+        lib = _fused_lib()
+        scan_bank, scan_off, shifts, smw, dr, fi = _tile_const_tables()
+        hdr = self.hdr
+        seq = self.seq
+        ctx = self.ctx
+        cdf = self.cdf
+        qd = hdr.quant
+        bd = self.bd
+        ip = np.array(
+            [
+                1 if self.adapt else 0, bd, self.n_planes, self.ss_x, self.ss_y,
+                self.sb_px,
+                self.mi_row0, self.mi_row1, self.mi_col0, self.mi_col1,
+                hdr.mi_rows, hdr.mi_cols,
+                self.cw[0], self.cw[1] if self.n_planes > 1 else self.cw[0],
+                self.ch[0], self.ch[1] if self.n_planes > 1 else self.ch[0],
+                self.planes[0].shape[1],
+                self.planes[1].shape[1] if self.n_planes > 1 else self.planes[0].shape[1],
+                _dc_q(qd.base_q_idx + qd.delta_q_y_dc, bd), _ac_q(qd.base_q_idx, bd),
+                _dc_q(qd.base_q_idx + qd.delta_q_u_dc, bd),
+                _ac_q(qd.base_q_idx + qd.delta_q_u_ac, bd),
+                _dc_q(qd.base_q_idx + qd.delta_q_v_dc, bd),
+                _ac_q(qd.base_q_idx + qd.delta_q_v_ac, bd),
+                1 if hdr.tx_mode_select else 0,
+                1 if hdr.reduced_tx_set else 0,
+                1 if hdr.allow_intrabc else 0,
+                1 if hdr.allow_screen_content_tools else 0,
+                1 if seq.enable_filter_intra else 0,
+                1 if seq.enable_intra_edge_filter else 0,
+                hdr.cdef.bits,
+                1 if (seq.enable_cdef and not hdr.coded_lossless
+                      and not hdr.allow_intrabc) else 0,
+            ],
+            dtype=np.int32,
+        )
+        p1 = self.planes[1] if self.n_planes > 1 else self.planes[0]
+        p2 = self.planes[2] if self.n_planes > 2 else p1
+        ac1 = ctx.above_coef[1] if self.n_planes > 1 else ctx.above_coef[0]
+        ac2 = ctx.above_coef[2] if self.n_planes > 2 else ac1
+        lc1 = ctx.left_coef[1] if self.n_planes > 1 else ctx.left_coef[0]
+        lc2 = ctx.left_coef[2] if self.n_planes > 2 else lc1
+        arrs = [
+            self.planes[0], p1, p2,
+            ctx.above_part, ctx.left_part, ctx.above_skip, ctx.left_skip,
+            ctx.y_modes, ctx.uv_modes, ctx.block_of,
+            ctx.above_coef[0], ac1, ac2,
+            ctx.left_coef[0], lc1, lc2,
+            ctx.tx_w, ctx.tx_h, ctx.skip_of, ctx.blk_r0, ctx.blk_c0,
+            ctx.uvtx_w, ctx.uvtx_h, self.cdef_idx,
+            cdf.kf_y_mode, cdf.uv_mode_nocfl, cdf.uv_mode_cfl,
+            cdf.partition, cdf.skip, cdf.angle_delta,
+            cdf.filter_intra_mode, cdf.use_filter_intra,
+            cdf.cfl_sign, cdf.cfl_alpha, cdf.tx_size,
+            cdf.intra_ext_tx[1], cdf.intra_ext_tx[2], cdf.intrabc,
+            cdf.palette_y_mode, cdf.palette_uv_mode,
+            cdf.txb_skip, cdf.eob_extra, cdf.dc_sign,
+            cdf.coeff_base_eob, cdf.coeff_base, cdf.coeff_br,
+            cdf.eob_pt[16], cdf.eob_pt[32], cdf.eob_pt[64], cdf.eob_pt[128],
+            cdf.eob_pt[256], cdf.eob_pt[512], cdf.eob_pt[1024],
+            scan_bank, scan_off, _ITX_TAB, shifts, smw, dr, fi,
+        ]
+        for a in arrs:
+            assert a.flags["C_CONTIGUOUS"], "tile walk needs contiguous arrays"
+        ptrs = (C.c_void_p * len(arrs))(*[a.ctypes.data for a in arrs])
+        buf = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+        rc = lib.avt_spec_tile(
+            buf.ctypes.data_as(C.POINTER(C.c_uint8)), len(data) * 8,
+            ip.ctypes.data_as(C.POINTER(C.c_int32)), ptrs,
+        )
+        if rc < 0:
+            raise AvifError(Result.BMFF_PARSE_FAILED, "malformed tile payload")
+        return rc == 0
 
     def _q_ctx(self) -> int:
         q = self.hdr.quant.base_q_idx

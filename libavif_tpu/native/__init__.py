@@ -43,7 +43,11 @@ def load():
         if os.environ.get("LIBAVIF_TPU_NATIVE", "1") == "0":
             return None
         try:
-            tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+            h = hashlib.sha256(_SRC.read_bytes())
+            inc = _DIR / "tile_walk.inc"
+            if inc.exists():
+                h.update(inc.read_bytes())
+            tag = h.hexdigest()[:16]
             so_path = _DIR / f"_msac_{tag}.so"
             if not so_path.exists():
                 _build(so_path)
@@ -121,6 +125,13 @@ def load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
             ]
+            if hasattr(lib, "avt_spec_tile"):
+                lib.avt_spec_tile.restype = ctypes.c_long
+                lib.avt_spec_tile.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_void_p),
+                ]
             lib.avt_tx_init.restype = None
             lib.avt_tx_init.argtypes = [
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),

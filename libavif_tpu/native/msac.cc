@@ -1516,3 +1516,5 @@ long avt_spec_txb_enc(
 }
 
 }  // extern "C"
+
+#include "tile_walk.inc"

@@ -138,3 +138,26 @@ def test_spec_encoder_native_python_parity(monkeypatch):
     monkeypatch.setattr(spec_tx, "_native_tx", False)
     py_payload = run()
     assert native_payload == py_payload
+
+
+def test_tile_walk_native_python_parity(monkeypatch):
+    """The C++ tile walk (avt_spec_tile) must reproduce the Python
+    reference walk bit-exactly on a stream exercising varied modes,
+    angle deltas, tx depths/types, CFL and clipped edge blocks."""
+    from libavif_tpu.codec.av1.encode import encode_lossy_still
+    from libavif_tpu.codec.av1.stream import StreamDecoder
+
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:100, 0:148]  # non-multiple-of-SB dims
+    y = (120 + 80 * np.sin(yy / 5.0 + xx / 11.0)
+         + rng.rand(100, 148) * 60 - 30).clip(0, 255).astype(np.uint8)
+    u = (128 + (yy[:50, :74] * 2 - xx[:50, :74])).clip(0, 255).astype(np.uint8)
+    v = (128 - (yy[:50, :74] - xx[:50, :74] * 2)).clip(0, 255).astype(np.uint8)
+    payload = encode_lossy_still([y, u, v], qindex=60, speed=4)
+
+    monkeypatch.setenv("LIBAVIF_TPU_TILEWALK", "0")
+    ref = StreamDecoder().decode_obus(payload)[-1][0]
+    monkeypatch.setenv("LIBAVIF_TPU_TILEWALK", "1")
+    out = StreamDecoder().decode_obus(payload)[-1][0]
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(a, b)
