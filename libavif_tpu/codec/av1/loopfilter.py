@@ -137,7 +137,12 @@ def loop_filter_frame(dec, *, scalar: bool = False) -> None:
     if not any(lf.levels):
         return
     bd = dec.bd
-    impl = _filter_plane_scalar if scalar else _filter_plane
+    if scalar:
+        impl = _filter_plane_scalar
+    elif _native_deblock_ok():
+        impl = _deblock_pass_native
+    else:
+        impl = _filter_plane
     for plane in range(dec.n_planes):
         for direction in (0, 1):  # 0 = vertical edges, 1 = horizontal
             if plane == 0:
@@ -147,6 +152,81 @@ def loop_filter_frame(dec, *, scalar: bool = False) -> None:
             if base_lvl == 0 and not lf.delta_enabled:
                 continue
             impl(dec, plane, direction, base_lvl, bd)
+
+
+def _native_deblock_ok() -> bool:
+    import os
+
+    if os.environ.get("LIBAVIF_TPU_TILEWALK", "1") == "0":
+        return False
+    from .decode import _fused_lib
+
+    lib = _fused_lib()
+    return lib is not None and hasattr(lib, "avt_deblock_pass")
+
+
+def _deblock_pass_native(dec, plane, direction, base_lvl, bd):
+    """One (plane, direction) deblock pass in C++ (avt_deblock_pass),
+    bit-identical to _filter_plane (tests/test_av1_loopfilter.py pins
+    native == vectorized == scalar)."""
+    import ctypes as C
+
+    from .decode import _fused_lib
+
+    lib = _fused_lib()
+    hdr = dec.hdr
+    lf = hdr.lf
+    ctx = dec.ctx
+    sx = dec.ss_x if plane else 0
+    sy = dec.ss_y if plane else 0
+    frame = dec.planes[plane]
+    if direction == 0:
+        pw, ph, vis_w = dec.cw[plane], dec.ch[plane], dec.pw[plane]
+        tx_e = ctx.tx_w if plane == 0 else ctx.uvtx_w
+        blk_0 = ctx.blk_c0
+        s_along, s_across = sy, sx
+        mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
+    else:
+        pw, ph, vis_w = dec.ch[plane], dec.cw[plane], dec.ph[plane]
+        tx_e = ctx.tx_h if plane == 0 else ctx.uvtx_h
+        blk_0 = ctx.blk_r0
+        s_along, s_across = sx, sy
+        mi_rows, mi_cols = hdr.mi_cols, hdr.mi_rows
+    lf_idx = direction if plane == 0 else plane + 1
+    seg_feature = (1 + direction) if plane == 0 else (plane + 3)
+    feat_on = np.array(
+        [1 if hdr.seg_feature_enabled[s][seg_feature] else 0 for s in range(8)],
+        np.int32,
+    ) if hdr.segmentation_enabled else np.zeros(8, np.int32)
+    feat_d = np.array(
+        [int(hdr.seg_feature_data[s][seg_feature]) for s in range(8)], np.int32
+    ) if hdr.segmentation_enabled else np.zeros(8, np.int32)
+    ref_deltas = np.array(list(lf.ref_deltas) + [0] * 8, np.int32)[:8]
+    mode_deltas = np.array(list(lf.mode_deltas) + [0, 0], np.int32)[:2]
+    ip = np.array(
+        [
+            frame.shape[1], direction, plane, bd, base_lvl, lf.sharpness,
+            pw, ph, vis_w, mi_rows, mi_cols, hdr.mi_cols,
+            s_along, s_across,
+            1 if hdr.delta_lf_present else 0,
+            1 if hdr.delta_lf_multi else 0, lf_idx,
+            1 if hdr.segmentation_enabled else 0,
+            1 if lf.delta_enabled else 0,
+        ],
+        dtype=np.int32,
+    )
+    ref_mi = np.ascontiguousarray(dec.ref_frames_mi[:, :, :2])
+    arrs = [
+        tx_e, blk_0, ctx.skip_of, ref_mi, ctx.y_modes,
+        ctx.delta_lf_of, ctx.seg_of, feat_on, feat_d, ref_deltas, mode_deltas,
+    ]
+    for a in arrs:
+        assert a.flags["C_CONTIGUOUS"]
+    ptrs = (C.c_void_p * len(arrs))(*[a.ctypes.data for a in arrs])
+    lib.avt_deblock_pass(
+        frame.ctypes.data_as(C.POINTER(C.c_int32)),
+        ip.ctypes.data_as(C.POINTER(C.c_int32)), ptrs,
+    )
 
 
 def _levels_grid(dec, plane, direction, base_lvl, mr, mc):

@@ -125,6 +125,13 @@ def load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
             ]
+            if hasattr(lib, "avt_deblock_pass"):
+                lib.avt_deblock_pass.restype = None
+                lib.avt_deblock_pass.argtypes = [
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_void_p),
+                ]
             if hasattr(lib, "avt_spec_tile"):
                 lib.avt_spec_tile.restype = ctypes.c_long
                 lib.avt_spec_tile.argtypes = [
