@@ -233,7 +233,9 @@ def main(out_path=None, skip_spec=False):
         ]
         own_pts, spec_pts, aom_pts = [], [], []
         for q in qualities:
-            ours = encode(img, quality=q)
+            # the own-format TPU codec explicitly (spec-AV1 is the
+            # product default now, measured in the spec column)
+            ours = encode(img, quality=q, codec="native")
             out = decode(ours)
             own_pts.append((len(ours), psnr(out.yuv_planes[0], y0)))
             srow = ("-", "-")
