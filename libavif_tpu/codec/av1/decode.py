@@ -476,7 +476,17 @@ class FrameDecoder:
 
         pre_cdef = [p.copy() for p in self.planes]
         apply_cdef(self)
-        apply_loop_restoration(self, pre_cdef)
+        if self.hdr.upscaled_width != self.hdr.width:
+            # §7.16: superres upscale after CDEF, before loop restoration
+            if any(t != 0 for t in self.hdr.lr.frame_restoration_type[: self.n_planes]):
+                raise AvifError(
+                    Result.NOT_IMPLEMENTED, "superres + loop restoration"
+                )
+            from .superres import upscale_frame
+
+            upscale_frame(self)
+        else:
+            apply_loop_restoration(self, pre_cdef)
         return [
             p[: self.ph[i], : self.pw[i]].copy() for i, p in enumerate(self.planes)
         ]

@@ -872,10 +872,13 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
                         tile_rows_log2: int = 0,
                         cdef_strengths=None,
                         film_grain=None,
-                        lf_levels=None) -> bytes:
+                        lf_levels=None,
+                        superres_denom: int = 8) -> bytes:
     """Reduced-still-picture uncompressed header (mirror of
     headers.parse_frame_header for the configurations we emit: lossless
-    or lossy with loop filters off and TX_MODE_SELECT)."""
+    or lossy with loop filters off and TX_MODE_SELECT). With
+    superres_denom > 8, the frame codes at the downscaled width and a
+    conformant decoder upscales back to seq.max_frame_width (§7.16)."""
     s = RWStream()
     w = s.write_bits
     w(0, 1)  # disable_cdf_update
@@ -884,12 +887,18 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
         if allow_scc and seq.force_integer_mv == 2:
             w(1, 1)  # force_integer_mv (intra frames force it anyway)
     if seq.enable_superres:
-        w(0, 1)
+        if superres_denom > 8:
+            w(1, 1)  # use_superres
+            w(superres_denom - 9, 3)
+        else:
+            w(0, 1)
     w(0, 1)  # render_and_frame_size_different
     if allow_scc:
         w(0, 1)  # allow_intrabc = 0 (allow_screen path reads this bit)
-    # tile info: uniform spacing, smallest tile counts
-    mi_cols = 2 * ((seq.max_frame_width + 7) >> 3)
+    # tile info: uniform spacing, smallest tile counts — over the CODED
+    # (post-downscale) geometry
+    coded_w = (seq.max_frame_width * 8 + superres_denom // 2) // superres_denom
+    mi_cols = 2 * ((coded_w + 7) >> 3)
     mi_rows = 2 * ((seq.max_frame_height + 7) >> 3)
     sb_shift = 5 if seq.use_128x128_superblock else 4
     sb_cols = (mi_cols + (1 << sb_shift) - 1) >> sb_shift
@@ -1101,13 +1110,30 @@ def _encode_still(
     tile_cols_log2: int = 0,
     tile_rows_log2: int = 0,
     film_grain=None,
+    superres_denom: int = 8,
+    upscaled_width: int | None = None,
 ) -> bytes:
     """Encode YUV planes as a spec-conformant AV1 still payload
-    (temporal delimiter + sequence header + frame OBU)."""
+    (temporal delimiter + sequence header + frame OBU). With
+    superres_denom in 9..16, `planes` are the DOWNSCALED frame and
+    `upscaled_width` the display width a conformant decoder upscales to
+    (§7.16; the derived coded width must equal the plane width)."""
     if bit_depth not in (8, 10, 12):
         raise AvifError(Result.UNSUPPORTED_DEPTH, f"spec encode: depth {bit_depth}")
     y = np.asarray(planes[0])
     h, w = y.shape
+    use_superres = superres_denom > 8
+    if use_superres:
+        if upscaled_width is None:
+            raise AvifError(Result.INVALID_ARGUMENT, "superres needs upscaled_width")
+        coded_w = (upscaled_width * 8 + superres_denom // 2) // superres_denom
+        if coded_w != w:
+            raise AvifError(
+                Result.INVALID_ARGUMENT,
+                f"superres: coded width {coded_w} != plane width {w}",
+            )
+    else:
+        upscaled_width = w
     # profile selection mirrors codec_aom.c:834-869: 12-bit -> professional
     # (2); 4:4:4 -> high (1); 4:2:2 -> professional; 4:2:0/4:0:0 -> main (0)
     if bit_depth == 12:
@@ -1124,7 +1150,7 @@ def _encode_still(
         twelve_bit=bit_depth == 12,
         still_picture=True,
         reduced_still_picture_header=True,
-        max_frame_width=w,
+        max_frame_width=upscaled_width,
         max_frame_height=h,
         frame_width_bits=16,
         frame_height_bits=16,
@@ -1133,7 +1159,7 @@ def _encode_still(
         enable_intra_edge_filter=False,
         force_screen_content_tools=0,
         force_integer_mv=0,
-        enable_superres=False,
+        enable_superres=use_superres,
         enable_cdef=enable_cdef,
         enable_restoration=enable_lr,
         monochrome=monochrome,
@@ -1159,7 +1185,8 @@ def _encode_still(
                                       enable_cdef=enable_cdef,
                                       tile_cols_log2=tile_cols_log2,
                                       tile_rows_log2=tile_rows_log2,
-                                      film_grain=film_grain)
+                                      film_grain=film_grain,
+                                      superres_denom=superres_denom)
     # parse back our own header (guarantees reader/writer agreement and
     # yields the derived geometry the shared traversal needs)
     hdr = parse_frame_header(hdr_payload, seq)
@@ -1228,6 +1255,7 @@ def _encode_still(
                 enable_lr=enable_lr, enable_cdef=enable_cdef,
                 tile_cols_log2=tile_cols_log2, tile_rows_log2=tile_rows_log2,
                 film_grain=film_grain, lf_levels=lf_levels,
+                superres_denom=superres_denom,
             )
             hdr2 = parse_frame_header(hdr_payload, seq)
             dec.hdr.lf = hdr2.lf
@@ -1241,6 +1269,7 @@ def _encode_still(
             enable_lr=enable_lr, enable_cdef=True,
             tile_cols_log2=tile_cols_log2, tile_rows_log2=tile_rows_log2,
             cdef_strengths=chosen, film_grain=film_grain, lf_levels=lf_levels,
+            superres_denom=superres_denom,
         )
         hdr2 = parse_frame_header(hdr_payload, seq)
         dec.hdr.cdef = hdr2.cdef

@@ -166,8 +166,6 @@ class StreamDecoder:
     def _decode_frame(self, hdr, tiles):
         state = self.state
         seq = state.seq
-        if hdr.superres_denom != 8:
-            raise AvifError(Result.NOT_IMPLEMENTED, "superres upscale")
         # inherited entropy state (§7.20 init non-coeff/coeff cdfs)
         cdf_init = None
         if hdr.primary_ref_frame != 7:
@@ -188,7 +186,9 @@ class StreamDecoder:
             planes=[p.copy() for p in planes],
             frame_type=hdr.frame_type,
             order_hint=hdr.order_hint,
-            width=hdr.width,
+            # references store the post-superres (upscaled) frame (§7.20);
+            # the scaled-reference MC guard keys off this width
+            width=hdr.upscaled_width,
             height=hdr.height,
             upscaled_width=hdr.upscaled_width,
             render_width=hdr.render_width,
