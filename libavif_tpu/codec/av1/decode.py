@@ -553,11 +553,9 @@ class FrameDecoder:
         lib = _fused_lib()
         return lib is not None and hasattr(lib, "avt_spec_tile")
 
-    def _tile_native(self, data: bytes) -> bool:
-        """Run avt_spec_tile on this tile. True = decoded (planes, mi
-        grids, coef/part lines and CDFs all updated in place); False =
-        bailed on unsupported block syntax. Raises on malformed data."""
-        lib = _fused_lib()
+    def _tile_walk_args(self):
+        """(ip, arrs) for the native tile walks (decode avt_spec_tile and
+        the encode-side avt_spec_tile_enc_walk share the layout)."""
         scan_bank, scan_off, shifts, smw, dr, fi = _tile_const_tables()
         hdr = self.hdr
         seq = self.seq
@@ -620,6 +618,14 @@ class FrameDecoder:
         ]
         for a in arrs:
             assert a.flags["C_CONTIGUOUS"], "tile walk needs contiguous arrays"
+        return ip, arrs
+
+    def _tile_native(self, data: bytes) -> bool:
+        """Run avt_spec_tile on this tile. True = decoded (planes, mi
+        grids, coef/part lines and CDFs all updated in place); False =
+        bailed on unsupported block syntax. Raises on malformed data."""
+        lib = _fused_lib()
+        ip, arrs = self._tile_walk_args()
         ptrs = (C.c_void_p * len(arrs))(*[a.ctypes.data for a in arrs])
         buf = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
         rc = lib.avt_spec_tile(

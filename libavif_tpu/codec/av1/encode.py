@@ -756,6 +756,128 @@ class RDPlanner(LossyPlanner):
         return 0
 
 
+@functools.lru_cache(maxsize=1)
+def _enc_walk_bank():
+    """Forward-operator bank for the native encode walk: per (txw, txh,
+    candidate type) the probe-measured Pv / Ph^T / sqrt(weight) arrays
+    flattened into one double buffer + an offset index (see
+    tile_walk.inc twenc::bank_at)."""
+    slots = (TXF.DCT_DCT, TXF.ADST_DCT, TXF.DCT_ADST, TXF.ADST_ADST,
+             TXF.V_DCT, TXF.H_DCT, TXF.IDTX)
+    chunks = []
+    off = np.full(5 * 5 * 7 * 3, -1, dtype=np.int32)
+    pos = 0
+    for lw in range(5):
+        for lh in range(5):
+            txw, txh = 4 << lw, 4 << lh
+            if max(txw, txh) > 4 * min(txw, txh):
+                continue  # no such tx size
+            if max(txw, txh) == 64 and (txw != 64 or txh != 64):
+                continue  # only the square 64 occurs in this encoder
+            for si, t in enumerate(slots):
+                if max(txw, txh) == 64 and t != TXF.DCT_DCT:
+                    continue
+                # no ADST basis exists on a 32-length axis (the spec's tx
+                # sets exclude these combinations; tx_set 0 at sqr_up>=32)
+                if txh == 32 and t in (TXF.ADST_DCT, TXF.ADST_ADST):
+                    continue
+                if txw == 32 and t in (TXF.DCT_ADST, TXF.ADST_ADST):
+                    continue
+                Pv, Ph, w = _fwd_ops(txw, txh, t)
+                sqw = np.sqrt(w)
+                base = ((lw * 5 + lh) * 7 + si) * 3
+                for k, a in enumerate((Pv, np.ascontiguousarray(Ph.T), sqw)):
+                    flat = np.ascontiguousarray(a, dtype=np.float64).reshape(-1)
+                    off[base + k] = pos
+                    chunks.append(flat)
+                    pos += flat.size
+    bank = np.ascontiguousarray(np.concatenate(chunks))
+    tbits = np.zeros(16, dtype=np.float64)
+    for t, b in LossyPlanner._TXTYPE_BITS_X16.items():
+        tbits[t] = b / 16.0
+    return bank, off, tbits
+
+
+def _enc_tile_native(dec, planner, enc) -> bool:
+    """Run the whole tile's encode walk in C++ (avt_spec_tile_enc_walk):
+    plan-driven syntax writes + per-txb forward/RDOQ/tx-type RD, updating
+    recon, contexts and CDFs exactly like the Python MirrorCoder walk.
+    Returns False when ineligible (caller runs the Python walk)."""
+    import ctypes as C
+    import os
+
+    from .decode import _fused_lib
+
+    if os.environ.get("LIBAVIF_TPU_TILEWALK", "1") == "0":
+        return False
+    if not isinstance(planner, RDPlanner) or not isinstance(enc, NativeMsacEncoder):
+        return False
+    hdr = dec.hdr
+    if hdr.segmentation_enabled or hdr.delta_q_present or hdr.delta_lf_present:
+        return False
+    if any(t != 0 for t in hdr.lr.frame_restoration_type[: dec.n_planes]):
+        return False
+    lib = _fused_lib()
+    if lib is None or not hasattr(lib, "avt_spec_tile_enc_walk"):
+        return False
+
+    ip, arrs = dec._tile_walk_args()
+    bank, bank_off, tbits = _enc_walk_bank()
+    mi_r, mi_c = hdr.mi_rows, hdr.mi_cols
+    sizes = sorted(planner.sizes)
+    plan = planner.plan
+    part_g, mode_g, depth_g, angle_g = [], [], [], []
+    for px in sizes:
+        pg = np.full((mi_r, mi_c), -1, np.int8)
+        mg = np.full((mi_r, mi_c), -1, np.int8)
+        dg = np.full((mi_r, mi_c), -1, np.int8)
+        ag = np.full((mi_r, mi_c), -128, np.int8)
+        part_g.append(pg); mode_g.append(mg); depth_g.append(dg); angle_g.append(ag)
+    slot = {px: i for i, px in enumerate(sizes)}
+    for (r, c, px), v in plan.part.items():
+        if px in slot and r < mi_r and c < mi_c:
+            part_g[slot[px]][r, c] = v
+    for (r, c, px), v in plan.y_mode.items():
+        if px in slot and r < mi_r and c < mi_c:
+            mode_g[slot[px]][r, c] = v
+    for (r, c, px), v in plan.tx_depth.items():
+        if px in slot and r < mi_r and c < mi_c:
+            depth_g[slot[px]][r, c] = v
+    for (r, c, px), v in plan.angle_y.items():
+        if px in slot and r < mi_r and c < mi_c:
+            angle_g[slot[px]][r, c] = v
+    uv_g = np.zeros((mi_r, mi_c), np.int8)
+    for (r, c), v in planner.uv_plan.items():
+        if r < mi_r and c < mi_c:
+            uv_g[r, c] = v
+    dummy = np.full((1, 1), -1, np.int8)
+    srcs = planner.sources
+    src_arrs = [np.ascontiguousarray(s, dtype=np.int32) for s in srcs]
+    while len(src_arrs) < 3:
+        src_arrs.append(src_arrs[0])
+    ep = [len(sizes)] + sizes + [0] * (5 - len(sizes)) + [
+        planner.max_px, 1 if planner.tx_type_rd else 0]
+    for s in src_arrs:
+        ep += [s.shape[0], s.shape[1]]
+    ep = np.array(ep, dtype=np.int32)
+    dp = np.array([planner.lam_sse], dtype=np.float64)
+    extra = list(src_arrs)
+    for grids in (part_g, mode_g, depth_g, angle_g):
+        extra += grids + [dummy] * (5 - len(grids))
+    extra += [uv_g, bank, bank_off, tbits]
+    for a in extra:
+        assert a.flags["C_CONTIGUOUS"]
+    ptrs = (C.c_void_p * len(arrs))(*[a.ctypes.data for a in arrs])
+    eptrs = (C.c_void_p * len(extra))(*[a.ctypes.data for a in extra])
+    lib.avt_spec_tile_enc_walk(
+        C.c_void_p(enc.handle),
+        ip.ctypes.data_as(C.POINTER(C.c_int32)), ptrs,
+        ep.ctypes.data_as(C.POINTER(C.c_int32)), eptrs,
+        dp.ctypes.data_as(C.POINTER(C.c_double)),
+    )
+    return True
+
+
 def _write_frame_header_lossless(seq: SequenceHeader) -> bytes:
     return _write_frame_header(seq, base_q_idx=0)
 
@@ -1236,12 +1358,13 @@ def _encode_still(
             )
             dec.dec = MirrorCoder(enc, planner)
             reset_lr_refs(dec)
-            for r in range(dec.mi_row0, dec.mi_row1, dec.sb_mi):
-                for c in range(dec.mi_col0, dec.mi_col1, dec.sb_mi):
-                    dec._clear_block_decoded(r, c)
-                    read_lr(dec, r, c)
-                    dec._decode_partition(r, c, B.block_size(dec.sb_px, dec.sb_px))
-            assert planner.pos == len(planner.script), "unconsumed txb script"
+            if not _enc_tile_native(dec, planner, enc):
+                for r in range(dec.mi_row0, dec.mi_row1, dec.sb_mi):
+                    for c in range(dec.mi_col0, dec.mi_col1, dec.sb_mi):
+                        dec._clear_block_decoded(r, c)
+                        read_lr(dec, r, c)
+                        dec._decode_partition(r, c, B.block_size(dec.sb_px, dec.sb_px))
+                assert planner.pos == len(planner.script), "unconsumed txb script"
             tile_payloads.append(enc.finish(strip=False))
     lf_levels = (0, 0, 0)
     if enable_deblock and base_q_idx > 0:

@@ -139,6 +139,16 @@ def load():
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_void_p),
                 ]
+            if hasattr(lib, "avt_spec_tile_enc_walk"):
+                lib.avt_spec_tile_enc_walk.restype = ctypes.c_long
+                lib.avt_spec_tile_enc_walk.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_double),
+                ]
             lib.avt_tx_init.restype = None
             lib.avt_tx_init.argtypes = [
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),

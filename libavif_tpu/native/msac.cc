@@ -13,6 +13,7 @@
 //
 // Build: g++ -O3 -shared -fPIC msac.cc -o _msac.so  (see native/__init__.py)
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>

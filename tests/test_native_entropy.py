@@ -140,6 +140,29 @@ def test_spec_encoder_native_python_parity(monkeypatch):
     assert native_payload == py_payload
 
 
+def test_enc_walk_native_python_parity(monkeypatch):
+    """The C++ encode-side tile walk (avt_spec_tile_enc_walk) must emit a
+    byte-identical payload to the Python MirrorCoder walk — including
+    with screen-content tools signalled (the palette-gate context uses
+    log2(w4)+log2(h4)-2; a 64px block overflows the CDF table if the -2
+    is dropped, the round-3 heap-corruption bug)."""
+    from libavif_tpu.codec.av1.encode import encode_lossy_still
+
+    rng = np.random.RandomState(3)
+    yy, xx = np.mgrid[0:128, 0:128]
+    y = (128 + 60 * np.sin(yy / 11.0) * np.cos(xx / 7.0)
+         + rng.rand(128, 128) * 30 - 15).clip(0, 255).astype(np.uint8)
+    u = np.full((64, 64), 120, np.uint8)
+    v = np.full((64, 64), 136, np.uint8)
+
+    for kw in (dict(), dict(allow_scc=True)):
+        monkeypatch.setenv("LIBAVIF_TPU_TILEWALK", "1")
+        nat = encode_lossy_still([y, u, v], qindex=140, speed=6, **kw)
+        monkeypatch.setenv("LIBAVIF_TPU_TILEWALK", "0")
+        py = encode_lossy_still([y, u, v], qindex=140, speed=6, **kw)
+        assert nat == py, kw
+
+
 def test_tile_walk_native_python_parity(monkeypatch):
     """The C++ tile walk (avt_spec_tile) must reproduce the Python
     reference walk bit-exactly on a stream exercising varied modes,
