@@ -1881,16 +1881,32 @@ class FrameDecoder:
             dc = (int(leftc.sum()) + (txh >> 1)) >> (txh.bit_length() - 1)
         else:
             dc = base
-        # luma AC (q3)
+        # luma AC (q3). Reads clamp to the DECODED luma extent of this
+        # block (the per-SB decoded flags): a luma transform block that
+        # straddles the coded frame edge is reconstructed to its full
+        # size, and dav1d's CFL reads those overshoot pixels — clamping
+        # at the frame dims instead diverges (verified vs dav1d).
         lx0 = x << sx
         ly0 = y << sy
-        lmax_x = self.cw[0] - 1
-        lmax_y = self.ch[0] - 1
+        sb_ly4 = (ly0 - self.sb_r * 4) >> 2
+        sb_lx4 = (lx0 - self.sb_c * 4) >> 2
+        avail_h = 0
+        for k in range((txh << sy) >> 2):
+            if not self._bd_get(0, sb_ly4 + k, sb_lx4):
+                break
+            avail_h += 4
+        avail_w = 0
+        for k in range((txw << sx) >> 2):
+            if not self._bd_get(0, sb_ly4, sb_lx4 + k):
+                break
+            avail_w += 4
+        lmax_y = ly0 + max(avail_h, 4) - 1
+        lmax_x = lx0 + max(avail_w, 4) - 1
         L = np.zeros((txh, txw), dtype=np.int64)
         for i in range(txh):
             for j in range(txw):
-                ly = min(ly0 + (i << sy), lmax_y - sy if lmax_y - sy >= 0 else 0)
-                lx = min(lx0 + (j << sx), lmax_x - sx if lmax_x - sx >= 0 else 0)
+                ly = min(ly0 + (i << sy), lmax_y - sy)
+                lx = min(lx0 + (j << sx), lmax_x - sx)
                 if sx and sy:
                     t = (
                         int(luma[ly, lx]) + int(luma[ly, lx + 1])

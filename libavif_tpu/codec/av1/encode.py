@@ -691,13 +691,17 @@ class RDPlanner(LossyPlanner):
         bd = seq.bit_depth
         self.plan = R.plan_luma(sources[0], qindex, speed, bd=bd)
         self.uv_plan = {}
-        if (
-            len(sources) == 3
-            and seq.subsampling_x
-            and seq.subsampling_y
-            and self.cfg["uv_modes"]
-        ):
-            self.uv_plan = R.plan_chroma(sources[1], sources[2], qindex, speed, bd=bd)
+        if len(sources) == 3:
+            base = {}
+            if seq.subsampling_x and seq.subsampling_y and self.cfg["uv_modes"]:
+                base = R.plan_chroma(sources[1], sources[2], qindex, speed, bd=bd)
+            # CFL decision folds in the base modes: {anchor: (mode, au, av)}
+            self.uv_plan = R.plan_chroma_cfl(
+                sources[0], sources[1], sources[2], qindex,
+                seq.subsampling_x, seq.subsampling_y, bd=bd,
+                uv_plan=base, speed=speed,
+            )
+        self._cfl_pending = []
         self.dec = None  # FrameDecoder, attached by _encode_still
 
     def _mode_at(self, r, c):
@@ -735,8 +739,24 @@ class RDPlanner(LossyPlanner):
         if what == "angle_uv":
             return 3  # angle delta 0
         if what == "uv_mode":
-            r, c, _ = self.dec.block_pos
-            return self.uv_plan.get((r - r % 4, c - c % 4), 0)
+            r, c, bsize = self.dec.block_pos
+            entry = self.uv_plan.get((r - r % 4, c - c % 4), 0)
+            mode, au, av = entry if isinstance(entry, tuple) else (entry, 0, 0)
+            wpx, hpx = B.BLOCK_DIMS[bsize]
+            if mode == 13:  # UV_CFL
+                if wpx > 32 or hpx > 32 or (au == 0 and av == 0):
+                    return 0  # CFL not allowed/useful here: fall back to DC
+                # queue the sign + alpha symbols the decoder reads next
+                su = 0 if au == 0 else (1 if au < 0 else 2)
+                sv = 0 if av == 0 else (1 if av < 0 else 2)
+                self._cfl_pending = [su * 3 + sv - 1]
+                if su:
+                    self._cfl_pending.append(abs(au) - 1)
+                if sv:
+                    self._cfl_pending.append(abs(av) - 1)
+            return mode
+        if what in ("cfl_sign", "cfl_alpha"):
+            return self._cfl_pending.pop(0)
         if what == "tx_depth":
             r, c, bsize = self.dec.block_pos
             px = max(B.BLOCK_DIMS[bsize])
@@ -847,9 +867,14 @@ def _enc_tile_native(dec, planner, enc) -> bool:
         if px in slot and r < mi_r and c < mi_c:
             angle_g[slot[px]][r, c] = v
     uv_g = np.zeros((mi_r, mi_c), np.int8)
+    cflu_g = np.zeros((mi_r, mi_c), np.int8)
+    cflv_g = np.zeros((mi_r, mi_c), np.int8)
     for (r, c), v in planner.uv_plan.items():
         if r < mi_r and c < mi_c:
-            uv_g[r, c] = v
+            mode, au, av = v if isinstance(v, tuple) else (v, 0, 0)
+            uv_g[r, c] = mode
+            cflu_g[r, c] = au
+            cflv_g[r, c] = av
     dummy = np.full((1, 1), -1, np.int8)
     srcs = planner.sources
     src_arrs = [np.ascontiguousarray(s, dtype=np.int32) for s in srcs]
@@ -864,7 +889,7 @@ def _enc_tile_native(dec, planner, enc) -> bool:
     extra = list(src_arrs)
     for grids in (part_g, mode_g, depth_g, angle_g):
         extra += grids + [dummy] * (5 - len(grids))
-    extra += [uv_g, bank, bank_off, tbits]
+    extra += [uv_g, cflu_g, cflv_g, bank, bank_off, tbits]
     for a in extra:
         assert a.flags["C_CONTIGUOUS"]
     ptrs = (C.c_void_p * len(arrs))(*[a.ctypes.data for a in arrs])

@@ -572,3 +572,74 @@ def plan_chroma(src_u: np.ndarray, src_v: np.ndarray, qindex: int,
             # joint mode: U's best unless V strongly disagrees
             out[(i * 2, j * 2)] = int(mu[i, j] if cu[i, j] <= cv[i, j] else mv[i, j])
     return out
+
+
+_CFL_BITS_X16 = 180  # uv-CFL symbol + joint sign + ~2 alpha indices
+
+
+def plan_chroma_cfl(src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+                    qindex: int, ss_x: int, ss_y: int, bd: int = 8,
+                    uv_plan: dict | None = None, speed: int = 6) -> dict:
+    """Chroma-from-luma decision per 16-luma-px anchor (the uv plan
+    granularity): least-squares alpha fit of the chroma residual against
+    the subsampled-luma AC (§7.11.5 semantics, source domain), kept when
+    it beats the anchor's planned mode by the signalling cost. Returns
+    {anchor: (uv_mode, cfl_alpha_u, cfl_alpha_v)} — mode 13 = CFL.
+
+    Role of libaom's cfl_rd_pick_alpha (the reference's chroma RD)."""
+    if speed > 6:
+        return {k: (v, 0, 0) for k, v in (uv_plan or {}).items()}
+    px = 8 >> 0  # chroma block covered by one anchor (420: 8x8 chroma)
+    h, w = src_u.shape
+    rows, cols = -(-h // px), -(-w // px)
+    # subsampled luma in q3 (decode.py _cfl_predict: 420 sums 4 px << 1)
+    y64 = _pad_to(src_y.astype(np.int64), px << ss_x)
+    if ss_x and ss_y:
+        ly = (y64[0::2, 0::2] + y64[0::2, 1::2] + y64[1::2, 0::2] + y64[1::2, 1::2]) << 1
+    elif ss_x:
+        ly = (y64[:, 0::2] + y64[:, 1::2]) << 2
+    else:
+        ly = y64 << 3
+    ly = _pad_to(ly, px)[: rows * px, : cols * px]
+    u = _pad_to(src_u.astype(np.int64), px)[: rows * px, : cols * px]
+    v = _pad_to(src_v.astype(np.int64), px)[: rows * px, : cols * px]
+
+    def blocks(a):
+        return a.reshape(rows, px, cols, px).transpose(0, 2, 1, 3).reshape(rows, cols, -1)
+
+    lb = blocks(ly)
+    # per-block luma AC exactly as the decoder derives it (§7.11.5)
+    npel_log2 = (px * px).bit_length() - 1
+    avg = (lb.sum(axis=2) + (1 << npel_log2 >> 1)) >> npel_log2
+    ac = lb - avg[..., None]
+    ac_var = (ac * ac).sum(axis=2).astype(np.float64)
+    out = {}
+    lam = float(max(1, T.ac_q(qindex, bd) >> 1))
+    for ch, cb in ((0, blocks(u)), (1, blocks(v))):
+        res = cb - cb.mean(axis=2, keepdims=True)
+        cov = (ac * res).sum(axis=2).astype(np.float64)
+        alpha = np.where(ac_var > 0, 8.0 * 8.0 * cov / np.maximum(ac_var, 1), 0.0)
+        # scaled = (ac*alpha + 32) >> 6 with ac in q3: slope = alpha/64*8
+        a_int = np.clip(np.round(alpha), -16, 16).astype(np.int64)
+        sse_dc = (res * res).sum(axis=2).astype(np.float64)
+        pred = (ac * a_int[..., None] + 32) >> 6
+        err = res - pred
+        sse_cfl = (err * err).sum(axis=2).astype(np.float64)
+        if ch == 0:
+            au, su_dc, su_cfl = a_int, sse_dc, sse_cfl
+        else:
+            av, sv_dc, sv_cfl = a_int, sse_dc, sse_cfl
+    gain = (su_dc - su_cfl) + (sv_dc - sv_cfl)
+    use = (gain > lam * (_CFL_BITS_X16 / 16.0)) & ((au != 0) | (av != 0))
+    # anchors: one chroma px block covers px<<ss luma px = (px<<ss)/4 mi
+    step_r = (px << ss_y) >> 2
+    step_c = (px << ss_x) >> 2
+    for i in range(rows):
+        for j in range(cols):
+            key = (i * step_r, j * step_c)
+            base = (uv_plan or {}).get(key, 0)
+            if use[i, j]:
+                out[key] = (13, int(au[i, j]), int(av[i, j]))
+            elif base:
+                out[key] = (int(base), 0, 0)
+    return out

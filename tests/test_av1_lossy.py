@@ -392,3 +392,45 @@ def test_encode_cdef_search_dav1d_bit_exact():
     sse_c_uv = sse(planes[1], pl[1]) + sse(planes[2], pl[2])
     sse_p_uv = sse(pplanes[1], pl[1]) + sse(pplanes[2], pl[2])
     assert sse_c_uv <= sse_p_uv
+
+
+def test_encode_cfl_dav1d_bit_exact():
+    """Chroma-from-luma RD (rdsearch.plan_chroma_cfl, role of libaom's
+    cfl_rd_pick_alpha): on luma-correlated chroma the planner must pick
+    UV_CFL, the stream must decode bit-exactly in dav1d, and chroma
+    quality must beat the DC-only plan at equal qindex."""
+    from libavif_tpu.codec.av1 import rdsearch as R
+
+    rng = np.random.RandomState(7)
+    m = n = 128
+    yy, xx = np.mgrid[0:m, 0:n]
+    y = (128 + 90 * np.sin(yy / 13.0) * np.cos(xx / 17.0)
+         + rng.rand(m, n) * 12 - 6).clip(0, 255).astype(np.uint8)
+    y2 = y[0::2, 0::2].astype(float)
+    u = (128 + 0.45 * (y2 - 128)
+         + 5 * np.sin(xx[:64, :64] / 21.0)).clip(0, 255).astype(np.uint8)
+    v = (128 - 0.3 * (y2 - 128)).clip(0, 255).astype(np.uint8)
+    pl = [y, u, v]
+
+    plan = R.plan_chroma_cfl(
+        y.astype(np.int64), u.astype(np.int64), v.astype(np.int64),
+        80, 1, 1, uv_plan=R.plan_chroma(u, v, 80, 6), speed=6)
+    assert sum(1 for e in plan.values()
+               if isinstance(e, tuple) and e[0] == 13) > len(plan) // 2
+
+    payload = E.encode_lossy_still(pl, qindex=80, speed=6)
+    out, _, _ = decode_still(payload)
+    im = oracle.decode(_wrap(payload, n, m))
+    for p, a in zip(im.planes, out):
+        assert np.array_equal(p, a.astype(np.uint8))
+
+    # CFL must actually help chroma: compare vs the CFL-off speed tier
+    plain = E.encode_lossy_still(pl, qindex=80, speed=7)
+    pout, _, _ = decode_still(plain)
+
+    def sse(dst, src):
+        d = dst.astype(np.int64) - src.astype(np.int64)
+        return int((d * d).sum())
+
+    assert (sse(out[1], u) + sse(out[2], v)
+            ) < (sse(pout[1], u) + sse(pout[2], v))
