@@ -699,7 +699,8 @@ class RDPlanner(LossyPlanner):
             self.uv_plan = R.plan_chroma_cfl(
                 sources[0], sources[1], sources[2], qindex,
                 seq.subsampling_x, seq.subsampling_y, bd=bd,
-                uv_plan=base, speed=speed,
+                uv_plan=base, speed=speed, plan=self.plan,
+                max_px=self.max_px, min_px=min(self.sizes),
             )
         self._cfl_pending = []
         self.dec = None  # FrameDecoder, attached by _encode_still
@@ -1303,7 +1304,10 @@ def _encode_still(
         frame_height_bits=16,
         use_128x128_superblock=False,
         enable_filter_intra=False,
-        enable_intra_edge_filter=False,
+        # edge filtering/upsampling sharpens directional prediction at no
+        # rate cost (no extra syntax); libaom always enables it
+        # (codec_aom.c relies on aom defaults)
+        enable_intra_edge_filter=True,
         force_screen_content_tools=0,
         force_integer_mv=0,
         enable_superres=use_superres,

@@ -574,72 +574,152 @@ def plan_chroma(src_u: np.ndarray, src_v: np.ndarray, qindex: int,
     return out
 
 
-_CFL_BITS_X16 = 180  # uv-CFL symbol + joint sign + ~2 alpha indices
+# rate of the extra CFL symbols, x16 bits, with a 2x risk margin: the
+# alpha fit runs on SOURCE luma but the decoder scales RECON luma AC, so
+# marginal gains predicted by the fit often evaporate (margin swept on
+# kodim03/23: 1x is break-even at mid rates, 2x stays net-positive)
+_CFL_SIGN_BITS_X16 = 120   # uv-CFL symbol delta + joint-sign symbol
+_CFL_ALPHA_BITS_X16 = 140  # one alpha-index symbol
+
+
+def _leaf_blocks(plan: "RDPlan", mi_rows: int, mi_cols: int, max_px: int,
+                 min_px: int, sb_px: int = 64):
+    """Enumerate the leaf blocks the encode walk will actually visit,
+    mirroring its partition answers: nodes above the searched range and
+    truncated edge nodes split, everything else follows plan.part
+    (missing key = PARTITION_NONE). Yields (r4, c4, px) clipped-origin
+    leaves (origin always inside the frame)."""
+    out = []
+
+    def walk(r, c, px):
+        if r >= mi_rows or c >= mi_cols:
+            return
+        s4 = px // 4
+        inside = r + s4 <= mi_rows and c + s4 <= mi_cols
+        if px > max_px or (not inside and px > min_px):
+            half = s4 // 2
+            for dr in (0, half):
+                for dc in (0, half):
+                    walk(r + dr, c + dc, px // 2)
+            return
+        if inside and plan.part.get((r, c, px), 0) == 3 and px > min_px:
+            half = s4 // 2
+            for dr in (0, half):
+                for dc in (0, half):
+                    walk(r + dr, c + dc, px // 2)
+            return
+        out.append((r, c, px))
+
+    for r in range(0, mi_rows, sb_px // 4):
+        for c in range(0, mi_cols, sb_px // 4):
+            walk(r, c, sb_px)
+    return out
 
 
 def plan_chroma_cfl(src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
                     qindex: int, ss_x: int, ss_y: int, bd: int = 8,
-                    uv_plan: dict | None = None, speed: int = 6) -> dict:
-    """Chroma-from-luma decision per 16-luma-px anchor (the uv plan
-    granularity): least-squares alpha fit of the chroma residual against
-    the subsampled-luma AC (§7.11.5 semantics, source domain), kept when
-    it beats the anchor's planned mode by the signalling cost. Returns
-    {anchor: (uv_mode, cfl_alpha_u, cfl_alpha_v)} — mode 13 = CFL.
+                    uv_plan: dict | None = None, speed: int = 6,
+                    plan: "RDPlan | None" = None, max_px: int = 64,
+                    min_px: int = 8) -> dict:
+    """Chroma-from-luma RD (role of libaom's cfl_rd_pick_alpha).
 
-    Role of libaom's cfl_rd_pick_alpha (the reference's chroma RD)."""
+    Decides per PLANNED LEAF BLOCK (not per fixed anchor): the decoder
+    derives the luma AC per chroma transform block (§7.11.5), so the
+    alpha fit must cover exactly the leaf's chroma rect with the same
+    integer AC (q3 subsample + rounded average) and the same integer
+    scaling ((|ac*alpha|+32)>>6, sign-magnitude). Blocks smaller than
+    the 4-mi plan-anchor share one entry (the encode walk queries the
+    anchor), so sub-anchor leaves are fit jointly with per-leaf AC
+    means. Distortion is exact prediction SSE; the decision charges the
+    SSE-domain lambda for the extra sign/alpha symbols. Returns
+    {anchor: (uv_mode, cfl_alpha_u, cfl_alpha_v)} — mode 13 = CFL."""
     if speed > 6:
         return {k: (v, 0, 0) for k, v in (uv_plan or {}).items()}
-    px = 8 >> 0  # chroma block covered by one anchor (420: 8x8 chroma)
     h, w = src_u.shape
-    rows, cols = -(-h // px), -(-w // px)
+    mi_rows = -(-(h << ss_y) // 4)
+    mi_cols = -(-(w << ss_x) // 4)
     # subsampled luma in q3 (decode.py _cfl_predict: 420 sums 4 px << 1)
-    y64 = _pad_to(src_y.astype(np.int64), px << ss_x)
+    y64 = src_y.astype(np.int64)
+    if (y64.shape[0] & ss_y) or (y64.shape[1] & ss_x):
+        y64 = _pad_to(y64, 2)
     if ss_x and ss_y:
-        ly = (y64[0::2, 0::2] + y64[0::2, 1::2] + y64[1::2, 0::2] + y64[1::2, 1::2]) << 1
+        ly = (y64[0::2, 0::2] + y64[0::2, 1::2]
+              + y64[1::2, 0::2] + y64[1::2, 1::2]) << 1
     elif ss_x:
         ly = (y64[:, 0::2] + y64[:, 1::2]) << 2
     else:
         ly = y64 << 3
-    ly = _pad_to(ly, px)[: rows * px, : cols * px]
-    u = _pad_to(src_u.astype(np.int64), px)[: rows * px, : cols * px]
-    v = _pad_to(src_v.astype(np.int64), px)[: rows * px, : cols * px]
+    ly = ly[:h, :w]
+    u64 = src_u.astype(np.int64)
+    v64 = src_v.astype(np.int64)
 
-    def blocks(a):
-        return a.reshape(rows, px, cols, px).transpose(0, 2, 1, 3).reshape(rows, cols, -1)
+    acq = float(T.ac_q(qindex, bd))
+    # SSE-domain lambda per rate_x16 unit (pixel domain; same currency
+    # as the residual SSEs below — _LAM_RD_C calibrated on kodim)
+    lam_sse = _LAM_RD_C * (acq / 8.0) * (acq / 8.0)
 
-    lb = blocks(ly)
-    # per-block luma AC exactly as the decoder derives it (§7.11.5)
-    npel_log2 = (px * px).bit_length() - 1
-    avg = (lb.sum(axis=2) + (1 << npel_log2 >> 1)) >> npel_log2
-    ac = lb - avg[..., None]
-    ac_var = (ac * ac).sum(axis=2).astype(np.float64)
+    if plan is None:
+        leaves = [(r, c, 16) for r in range(0, mi_rows, 4)
+                  for c in range(0, mi_cols, 4)]
+    else:
+        leaves = _leaf_blocks(plan, mi_rows, mi_cols, max_px, min_px)
+
+    # group leaves by the uv-plan anchor the encode walk will query
+    groups: dict = {}
+    for (r, c, px) in leaves:
+        if px > 32:
+            continue  # CFL disallowed above 32x32 luma
+        groups.setdefault((r - r % 4, c - c % 4), []).append((r, c, px))
+
     out = {}
-    lam = float(max(1, T.ac_q(qindex, bd) >> 1))
-    for ch, cb in ((0, blocks(u)), (1, blocks(v))):
-        res = cb - cb.mean(axis=2, keepdims=True)
-        cov = (ac * res).sum(axis=2).astype(np.float64)
-        alpha = np.where(ac_var > 0, 8.0 * 8.0 * cov / np.maximum(ac_var, 1), 0.0)
-        # scaled = (ac*alpha + 32) >> 6 with ac in q3: slope = alpha/64*8
-        a_int = np.clip(np.round(alpha), -16, 16).astype(np.int64)
-        sse_dc = (res * res).sum(axis=2).astype(np.float64)
-        pred = (ac * a_int[..., None] + 32) >> 6
-        err = res - pred
-        sse_cfl = (err * err).sum(axis=2).astype(np.float64)
-        if ch == 0:
-            au, su_dc, su_cfl = a_int, sse_dc, sse_cfl
-        else:
-            av, sv_dc, sv_cfl = a_int, sse_dc, sse_cfl
-    gain = (su_dc - su_cfl) + (sv_dc - sv_cfl)
-    use = (gain > lam * (_CFL_BITS_X16 / 16.0)) & ((au != 0) | (av != 0))
-    # anchors: one chroma px block covers px<<ss luma px = (px<<ss)/4 mi
-    step_r = (px << ss_y) >> 2
-    step_c = (px << ss_x) >> 2
-    for i in range(rows):
-        for j in range(cols):
-            key = (i * step_r, j * step_c)
-            base = (uv_plan or {}).get(key, 0)
-            if use[i, j]:
-                out[key] = (13, int(au[i, j]), int(av[i, j]))
-            elif base:
+    for key, leafs in groups.items():
+        acs, resus, resvs = [], [], []
+        for (r, c, px) in leafs:
+            cy0, cx0 = (r * 4) >> ss_y, (c * 4) >> ss_x
+            cy1 = min(cy0 + (px >> ss_y), h)
+            cx1 = min(cx0 + (px >> ss_x), w)
+            if cy1 <= cy0 or cx1 <= cx0:
+                continue
+            L = ly[cy0:cy1, cx0:cx1]
+            npel = L.size
+            npel_log2 = max(npel.bit_length() - 1, 0)
+            avg = (int(L.sum()) + (1 << npel_log2 >> 1)) >> npel_log2
+            acs.append((L - avg).ravel())
+            cu = u64[cy0:cy1, cx0:cx1]
+            cv = v64[cy0:cy1, cx0:cx1]
+            resus.append((cu - cu.mean()).ravel())
+            resvs.append((cv - cv.mean()).ravel())
+        if not acs:
+            continue
+        ac = np.concatenate(acs)
+        var = float((ac * ac).sum())
+        base = (uv_plan or {}).get(key, 0)
+        if var <= 0:
+            if base:
                 out[key] = (int(base), 0, 0)
+            continue
+        bits = _CFL_SIGN_BITS_X16
+        gain = 0.0
+        alphas = []
+        for res in (np.concatenate(resus), np.concatenate(resvs)):
+            sse_dc = float((res * res).sum())
+            a = int(np.clip(round(64.0 * float((ac * res).sum()) / var),
+                            -16, 16))
+            best_a, best_sse = 0, sse_dc
+            for cand in {a, max(a - 1, -16), min(a + 1, 16)}:
+                if cand == 0:
+                    continue
+                p = np.sign(ac * cand) * ((np.abs(ac * cand) + 32) >> 6)
+                e = res - p
+                sse = float((e * e).sum()) + lam_sse * (
+                    _CFL_ALPHA_BITS_X16 / 16.0)
+                if sse < best_sse:
+                    best_a, best_sse = cand, sse
+            alphas.append(best_a)
+            gain += sse_dc - best_sse
+        au, av = alphas
+        if (au or av) and gain > lam_sse * (bits / 16.0):
+            out[key] = (13, au, av)
+        elif base:
+            out[key] = (int(base), 0, 0)
     return out
