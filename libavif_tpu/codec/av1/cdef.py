@@ -348,30 +348,38 @@ def apply_cdef(dec, _dir_cache=None) -> None:
             return np.where(diff >= 0, v, -v) * (t > 0)
 
         def tap(dy, dx, weight, thr, shift):
+            # min/max range tracking is per-block strength-gated exactly
+            # like the scalar §7.15.3 loop (_filter_block): a block whose
+            # pri (or sec) strength is 0 never visits those tap positions
             nonlocal s, mn, mx
             p = padded[yy + dy[:, None, None], xx + dx[:, None, None]]
-            ok = p != CDEF_VERY_LARGE
+            ok = (p != CDEF_VERY_LARGE) & (thr > 0)[:, None, None]
             diff = np.where(ok, p - px, 0)
             s = s + weight[:, None, None] * constrain(diff, thr, shift)
             mn = np.where(ok, np.minimum(mn, p), mn)
             mx = np.where(ok, np.maximum(mx, p), mx)
 
         zero = np.zeros(len(a), dtype=np.int32)
-        for k in range(2):
-            dy = _DIR_DY[dir_a, k]
-            dx = _DIR_DX[dir_a, k]
-            wgt = np.where(pri_a > 0, pri_tap0 if k == 0 else pri_tap1, 0)
-            for sgn in (1, -1):
-                tap(sgn * dy, sgn * dx, wgt, pri_a, pri_shift)
-        sdir0 = (dir_a + 2) & 7
-        sdir1 = (dir_a + 6) & 7
-        for k in range(2):
-            wgt = np.where(sec_a > 0, 2 if k == 0 else 1, zero)
-            for sd in (sdir0, sdir1):
-                dy = _DIR_DY[sd, k]
-                dx = _DIR_DX[sd, k]
+        # all-zero strengths contribute nothing (weights force 0) — skip
+        # their gathers entirely; the encoder's strength search runs many
+        # pri-only / sec-only trials where this halves the tap work
+        if (pri_a > 0).any():
+            for k in range(2):
+                dy = _DIR_DY[dir_a, k]
+                dx = _DIR_DX[dir_a, k]
+                wgt = np.where(pri_a > 0, pri_tap0 if k == 0 else pri_tap1, 0)
                 for sgn in (1, -1):
-                    tap(sgn * dy, sgn * dx, wgt, sec_a, sec_shift)
+                    tap(sgn * dy, sgn * dx, wgt, pri_a, pri_shift)
+        if (sec_a > 0).any():
+            sdir0 = (dir_a + 2) & 7
+            sdir1 = (dir_a + 6) & 7
+            for k in range(2):
+                wgt = np.where(sec_a > 0, 2 if k == 0 else 1, zero)
+                for sd in (sdir0, sdir1):
+                    dy = _DIR_DY[sd, k]
+                    dx = _DIR_DX[sd, k]
+                    for sgn in (1, -1):
+                        tap(sgn * dy, sgn * dx, wgt, sec_a, sec_shift)
         v = px + ((8 + s - (s < 0).astype(np.int32)) >> 4)
         out = np.clip(v, mn, mx)
         dst = dec.planes[plane]

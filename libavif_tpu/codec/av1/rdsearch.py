@@ -64,16 +64,25 @@ _LAM_RD_C = 0.07
 
 
 def satd(res: np.ndarray) -> np.ndarray:
-    """(..., h, w) residual -> (...,) SATD via 8x8 (or 4x4) Hadamard."""
+    """(..., h, w) residual -> (...,) SATD via 8x8 (or 4x4) Hadamard.
+
+    Computed as two large float32 GEMMs (BLAS-threaded): every value in
+    H @ r @ H.T is an integer of magnitude ≤ t*t*2^bd < 2^24, so float32
+    holds it EXACTLY — bit-identical to the int64 formulation."""
     h, w = res.shape[-2], res.shape[-1]
     t = min(8, h, w)
-    H = _H8 if t == 8 else _H4
-    r = res.astype(np.int32)
-    # tile into (..., h//t, w//t, t, t); H @ r @ H.T batches over tiles
-    # (same exact integers as the einsum formulation, ~6x faster)
+    H = (_H8 if t == 8 else _H4).astype(np.float32)
+    r = res.astype(np.float32)
+    # tile into (..., h//t, w//t, t, t) then flatten tiles for one GEMM
     r = r.reshape(*res.shape[:-2], h // t, t, w // t, t).swapaxes(-3, -2)
-    tr = H.astype(np.int32) @ r @ H.astype(np.int32).T
-    return np.abs(tr).sum(axis=(-4, -3, -2, -1), dtype=np.int64) // (t * 2)
+    lead = r.shape[:-2]
+    flat = np.ascontiguousarray(r).reshape(-1, t)
+    right = flat @ H.T                        # (N*t, t) GEMM
+    right = right.reshape(-1, t, t).swapaxes(-2, -1).reshape(-1, t)
+    both = right @ H.T                        # second GEMM == H @ x @ H.T
+    tr = both.reshape(*lead, t, t)
+    s = np.abs(tr).sum(axis=(-4, -3, -2, -1), dtype=np.float64)
+    return (s.astype(np.int64)) // (t * 2)
 
 
 # --------------------------------------------------- vectorized predictors
@@ -83,9 +92,9 @@ def satd(res: np.ndarray) -> np.ndarray:
 
 
 def _dc(above, left, n, h, w):
-    s = above[:, :w].sum(1) + left[:, :h].sum(1)
+    s = above[:, :w].sum(1, dtype=np.int32) + left[:, :h].sum(1, dtype=np.int32)
     return (((s + ((w + h) >> 1)) // (w + h)).reshape(n, 1, 1)
-            * np.ones((1, h, w), np.int64))
+            * np.ones((1, h, w), np.int32))
 
 
 def _v(above, left, n, h, w):
@@ -118,14 +127,14 @@ def _smooth(above, left, n, h, w, variant):
     below = left[:, h - 1].reshape(n, 1, 1)
     right = above[:, w - 1].reshape(n, 1, 1)
     if variant == I.SMOOTH_PRED:
-        wy = sw[h].astype(np.int64).reshape(1, h, 1)
-        wx = sw[w].astype(np.int64).reshape(1, 1, w)
+        wy = sw[h].astype(np.int32).reshape(1, h, 1)
+        wx = sw[w].astype(np.int32).reshape(1, 1, w)
         s = wy * a + (256 - wy) * below + wx * l + (256 - wx) * right
         return (s + 256) >> 9
     if variant == I.SMOOTH_V_PRED:
-        wy = sw[h].astype(np.int64).reshape(1, h, 1)
+        wy = sw[h].astype(np.int32).reshape(1, h, 1)
         return (wy * a + (256 - wy) * below + 128) >> 8
-    wx = sw[w].astype(np.int64).reshape(1, 1, w)
+    wx = sw[w].astype(np.int32).reshape(1, 1, w)
     return (wx * l + (256 - wx) * right + 128) >> 8
 
 
@@ -247,44 +256,77 @@ def _tx_gain(txs: int) -> float:
     return _inverse_gain(txs, txs)
 
 
-def _quant_mode_costs(src: np.ndarray, txs: int, modes, dcq: int, acq: int,
-                      lam_sse_x16: int, bd: int) -> dict:
-    """Quant-aware RD cost of coding every txs-sized region with each
-    candidate mode: real orthonormal DCT of the source-border-predicted
-    residual, real round-to-nearest quantization against the spec dequant
-    step, distortion = SSE of the quantization error (Parseval), rate =
-    a per-coefficient bit model. Returns {mode: (rows, cols) int64}."""
-    blocks, above, left, corner, rows, cols = _borders_for_size(src, txs, bd)
-    n = blocks.shape[0]
+# log2(1+x) rate LUT (float32): index = min(|level|, 4095). Levels above
+# 4095 are vanishingly rare (near-lossless DC); the clamp underestimates
+# their rate by <2 bits which never flips a decision at those rates.
+_LOG2_LUT = np.log2(1.0 + np.arange(4096, dtype=np.float64)).astype(np.float32)
+
+
+def _dct2_f32(res: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """(n, t, t) float32 2-D orthonormal DCT as two flat GEMMs."""
+    n, t, _ = res.shape
+    right = res.reshape(n * t, t) @ M.T                  # rows transformed
+    right = right.reshape(n, t, t).swapaxes(-2, -1).reshape(n * t, t)
+    both = (right @ M.T).reshape(n, t, t).swapaxes(-2, -1)
+    return both  # == M @ res @ M.T
+
+
+def _quant_ctx(txs: int, dcq: int, acq: int):
+    """Precomputed DCT basis + quantizer step/reciprocal for one tx size."""
     g = _tx_gain(txs)
     pels = txs * txs
     dq_shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
     cw = min(txs, 32)
-    M = _ortho_dct(txs)
+    M = _ortho_dct(txs).astype(np.float32)
     # orthonormal-domain quantizer step (matches forward_dct_levels)
-    qs = np.full((cw, cw), float(acq) * g / (1 << dq_shift))
-    qs[0, 0] = float(dcq) * g / (1 << dq_shift)
+    qs = np.full((cw, cw), float(acq) * g / (1 << dq_shift), np.float32)
+    qs[0, 0] = np.float32(float(dcq) * g / (1 << dq_shift))
+    return txs, M, qs, np.float32(1.0) / qs
+
+
+def _quant_cost_of_pred(blocks, pred, qctx, lam_sse_x16, rows, cols):
+    """One mode's quant-aware RD cost from its prediction: real
+    orthonormal DCT of the residual, round-to-nearest quantization
+    against the spec dequant step, distortion = SSE of the quantization
+    error (Parseval), rate = a per-coefficient bit model.
+
+    float32 throughout (residuals ≤ 2^12, DCT magnitudes < 2^19, SSEs
+    accumulated in float64): the decision currency is ~0.01%-accurate,
+    far inside the lambda noise floor, at ~3x the float64 speed."""
+    txs, M, qs, rq = qctx
+    res = (blocks - pred).astype(np.float32)
+    c = _dct2_f32(res, M)
+    if txs > 32:  # spec zeroes coefficients beyond 32 in each dim
+        c64 = c.astype(np.float64)
+        dropped = (c64 * c64).sum(axis=(1, 2)) - (c64[:, :32, :32] ** 2).sum(axis=(1, 2))
+        c = np.ascontiguousarray(c[:, :32, :32])
+    else:
+        dropped = 0.0
+    lv = np.rint(c * rq)
+    err = (c - lv * qs).astype(np.float64)
+    dist = (err * err).sum(axis=(1, 2)) + dropped
+    alv = np.abs(lv)
+    ilv = np.minimum(alv, 4095).astype(np.int32)
+    rate_x16 = (
+        (ilv > 0).sum(axis=(1, 2)) * np.float64(_COEF_NZ_X16)
+        + _LOG2_LUT[ilv].sum(axis=(1, 2), dtype=np.float64) * _COEF_MAG_X16
+        + _TXB_RATE_X16
+    )
+    cost = dist + (lam_sse_x16 * rate_x16) / 256.0
+    return np.rint(cost).astype(np.int64).reshape(rows, cols)
+
+
+def _quant_mode_costs(src: np.ndarray, txs: int, modes, dcq: int, acq: int,
+                      lam_sse_x16: int, bd: int) -> dict:
+    """Quant-aware RD cost of coding every txs-sized region with each
+    candidate mode. Returns {mode: (rows, cols) int64}."""
+    blocks, above, left, corner, rows, cols = _borders_for_size(src, txs, bd)
+    n = blocks.shape[0]
+    qctx = _quant_ctx(txs, dcq, acq)
     out = {}
     for m in modes:
         pred = predict_batch(m, above, left, corner, n, txs, txs, bd)
-        res = (blocks - pred).astype(np.float64)
-        c = M @ res @ M.T
-        if txs > 32:  # spec zeroes coefficients beyond 32 in each dim
-            dropped = (c * c).sum(axis=(1, 2)) - (c[:, :32, :32] ** 2).sum(axis=(1, 2))
-            c = c[:, :32, :32]
-        else:
-            dropped = 0.0
-        lv = np.round(c / qs)
-        err = c - lv * qs
-        dist = (err * err).sum(axis=(1, 2)) + dropped
-        alv = np.abs(lv)
-        rate_x16 = (
-            (alv > 0).sum(axis=(1, 2)) * _COEF_NZ_X16
-            + np.log2(1.0 + alv).sum(axis=(1, 2)) * _COEF_MAG_X16
-            + _TXB_RATE_X16
-        )
-        cost = dist + (lam_sse_x16 * rate_x16) / 256.0
-        out[m] = np.rint(cost).astype(np.int64).reshape(rows, cols)
+        out[m] = _quant_cost_of_pred(blocks, pred, qctx, lam_sse_x16, rows, cols)
     return out
 
 
@@ -305,31 +347,44 @@ def _agg_cost(a: np.ndarray, k: int, rows: int, cols: int) -> np.ndarray:
     return out
 
 
-def _refine_angles(src: np.ndarray, px: int, modes_p: np.ndarray, bd: int):
-    """Per-block angle-delta refinement for blocks whose SATD-chosen mode
-    is directional: try p_angle = base + 3*delta for delta in -3..3 and
-    keep the SATD winner (the delta symbol costs are near-uniform, so
-    pure SATD decides). Returns (rows, cols) int64 deltas."""
-    blocks, above, left, corner, rows, cols = _borders_for_size(src, px, bd)
-    n = blocks.shape[0]
-    flat_modes = modes_p.reshape(-1)
-    deltas = np.zeros(n, np.int64)
-    for m in np.unique(flat_modes):
-        m = int(m)
-        if not I.is_directional(m):
+def _refine_angles_leaves(src: np.ndarray, plan: "RDPlan", sizes, bd: int,
+                          mi_rows: int, mi_cols: int):
+    """Angle-delta refinement (try p_angle = base + 3*delta, delta -3..3,
+    keep the SATD winner — the delta symbol costs are near-uniform so
+    pure SATD decides), run ONLY on the leaf blocks the encode walk will
+    actually reach with a directional winner: the partition map is known
+    here, so off-tree blocks (the vast majority) are never predicted."""
+    leaves = _leaf_blocks(plan, mi_rows, mi_cols, max(sizes), min(sizes))
+    by_px: dict = {}
+    for (r, c, px) in leaves:
+        m = plan.y_mode.get((r, c, px))
+        if m is None or not I.is_directional(int(m)):
             continue
-        idx = np.nonzero(flat_modes == m)[0]
-        sb, sa, sl, sc = blocks[idx], above[idx], left[idx], corner[idx]
-        best = satd(sb - predict_batch(m, sa, sl, sc, len(idx), px, px, bd))
-        base = I.MODE_TO_ANGLE[m]
-        for d in (-3, -2, -1, 1, 2, 3):
-            pred = _directional(sa, sl, sc, len(idx), px, px, m, bd,
-                                angle=base + 3 * d)
-            c = satd(sb - pred)
-            upd = c < best
-            deltas[idx[upd]] = d
-            best = np.where(upd, c, best)
-    return deltas.reshape(rows, cols)
+        by_px.setdefault(px, []).append((r, c, int(m)))
+    for px, items in by_px.items():
+        blocks, above, left, corner, rows, cols = _borders_for_size(src, px, bd)
+        s4 = px // 4
+        flat_idx = np.array([(r // s4) * cols + (c // s4) for r, c, _ in items],
+                            np.int64)
+        modes = np.array([m for _, _, m in items], np.int32)
+        deltas = np.zeros(len(items), np.int64)
+        for m in np.unique(modes):
+            m = int(m)
+            sel = np.nonzero(modes == m)[0]
+            idx = flat_idx[sel]
+            sb, sa, sl, sc = blocks[idx], above[idx], left[idx], corner[idx]
+            best = satd(sb - predict_batch(m, sa, sl, sc, len(idx), px, px, bd))
+            base = I.MODE_TO_ANGLE[m]
+            for d in (-3, -2, -1, 1, 2, 3):
+                pred = _directional(sa, sl, sc, len(idx), px, px, m, bd,
+                                    angle=base + 3 * d)
+                c = satd(sb - pred)
+                upd = c < best
+                deltas[sel[upd]] = d
+                best = np.where(upd, c, best)
+        for k, (r, c, _m) in enumerate(items):
+            if deltas[k]:
+                plan.angle_y[(r, c, px)] = int(deltas[k])
 
 
 def _valid_depths(px: int) -> tuple:
@@ -369,7 +424,7 @@ def _borders_for_size(src: np.ndarray, px: int, bd: int):
     below-left runs (the D45/D203 mode families read them); frame edges
     replicate the base value (decoder uses 2^(bd-1)+/-1 there, close
     enough for decisions)."""
-    p = _pad_to(src, px).astype(np.int64)
+    p = _pad_to(src, px).astype(np.int32)
     H, W = p.shape
     rows, cols = H // px, W // px
     blocks = p.reshape(rows, px, cols, px).transpose(0, 2, 1, 3).reshape(-1, px, px)
@@ -377,17 +432,17 @@ def _borders_for_size(src: np.ndarray, px: int, bd: int):
     from numpy.lib.stride_tricks import sliding_window_view
 
     pr = np.pad(p, ((0, 0), (0, px)), mode="edge")
-    above = np.empty((rows, cols, 2 * px), np.int64)
+    above = np.empty((rows, cols, 2 * px), np.int32)
     ar = pr[np.arange(px, H, px) - 1]  # (rows-1, W+px)
     above[1:] = sliding_window_view(ar, 2 * px, axis=1)[:, ::px][:, :cols]
     above[0] = 1 << (bd - 1)
     pb = np.pad(p, ((0, px), (0, 0)), mode="edge")
-    left = np.empty((rows, cols, 2 * px), np.int64)
+    left = np.empty((rows, cols, 2 * px), np.int32)
     lc = pb[:, np.arange(px, W, px) - 1]  # (H+px, cols-1)
     # sliding_window_view appends the window axis last: (rows, cols-1, 2px)
     left[:, 1:] = sliding_window_view(lc, 2 * px, axis=0)[::px][:rows]
     left[:, 0] = 1 << (bd - 1)
-    corner = np.empty((rows, cols), np.int64)
+    corner = np.empty((rows, cols), np.int32)
     corner[1:, 1:] = p[np.arange(px, H, px) - 1][:, np.arange(px, W, px) - 1]
     corner[0, :] = 1 << (bd - 1)
     corner[:, 0] = 1 << (bd - 1)
@@ -433,11 +488,6 @@ def plan_luma(src: np.ndarray, qindex: int, speed: int, bd: int = 8) -> RDPlan:
     plan = RDPlan(block_px=min(sizes))
     lam_x16 = max(1, T.ac_q(qindex, bd) >> 1)  # bits->SATD scale ~ qstep/2 (calibrated on kodim)
 
-    per_size = {
-        px: _mode_costs_for_size(src, px, cfg["modes"], lam_x16, bd)
-        for px in sizes
-    }
-
     # -------- quant-aware stage: joint mode+depth per block + partition
     dcq = T.dc_q(qindex, bd)
     acq = T.ac_q(qindex, bd)
@@ -445,21 +495,98 @@ def plan_luma(src: np.ndarray, qindex: int, speed: int, bd: int = 8) -> RDPlan:
     mode_by_rd = speed <= 6  # joint (mode, depth) argmin vs SATD prefilter
     step16 = float(acq) * _tx_gain(16)
     lam_sse_x16 = max(1, int(round(_LAM_RD_C * step16 * step16 * 16)))
+    txs_cfg = sorted(
+        {px >> d for px in sizes for d in (_valid_depths(px) if search_depth else (0,))}
+    )
 
     if mode_by_rd:
+        # Two-pass gated search. Pass 1 runs the cheap SATD prefilter for
+        # every (mode, block size) and ranks each block's modes; pass 2
+        # runs the expensive quant-aware RD (real DCT + quantizer) ONLY
+        # for each block's top-K SATD modes — the 4x4..32x32 tile masks
+        # are the union of every parent block size's top-K sets, so each
+        # block always has >= K fully-priced (mode, depth) candidates.
         cand_modes = sorted(int(m) for m in cfg["modes"])
+        txs_needed = txs_cfg
+        per_size, qcost = {}, {}
+        top_k = len(cand_modes) if speed <= 2 else (6 if speed <= 4 else 4)
+        satd_by_size = {}   # px -> (nmodes, rows, cols) SATD+rate cost
+        grid_shape = {}
+        for px in sorted(set(sizes) | set(txs_needed)):
+            blocks, above, left, corner, rows, cols = _borders_for_size(src, px, bd)
+            n = blocks.shape[0]
+            grid_shape[px] = (rows, cols)
+            if px not in sizes:
+                continue
+            use_angle = px * px >= 64
+            sc = np.empty((len(cand_modes), n), np.int64)
+            for mi, m in enumerate(cand_modes):
+                pred = predict_batch(m, above, left, corner, n, px, px, bd)
+                c = satd(blocks - pred)
+                bits = _MODE_BITS_X16[m]
+                if I.is_directional(m) and use_angle:
+                    bits += _ANGLE_BITS_X16
+                sc[mi] = c + ((lam_x16 * bits) >> 4)
+            bi = sc.argmin(axis=0)
+            per_size[px] = (
+                np.array(cand_modes, np.int32)[bi].reshape(rows, cols),
+                sc[bi, np.arange(n)].reshape(rows, cols),
+            )
+            satd_by_size[px] = sc.reshape(len(cand_modes), rows, cols)
+
+        _BIG = np.int64(1) << 52  # dominates any real cost; 256x sum fits
+        for txs in txs_needed:
+            trows, tcols = grid_shape[txs]
+            if top_k >= len(cand_modes):
+                member = np.ones((len(cand_modes), trows, tcols), bool)
+            else:
+                # tile-granularity membership: OR of each parent size's
+                # per-block top-K, expanded (px/txs)^2-fold
+                member = np.zeros((len(cand_modes), trows, tcols), bool)
+                for px in sizes:
+                    d = int(np.log2(px // txs)) if px >= txs else -1
+                    if d < 0 or d not in (_valid_depths(px) if search_depth else (0,)):
+                        continue
+                    sc = satd_by_size[px]
+                    kth = np.partition(sc, top_k - 1, axis=0)[top_k - 1]
+                    mk = sc <= kth[None]  # (nmodes, prows, pcols)
+                    k = px // txs
+                    mk = np.repeat(np.repeat(mk, k, axis=1), k, axis=2)
+                    member |= mk[:, :trows, :tcols]
+            blocks, above, left, corner, rows, cols = _borders_for_size(src, txs, bd)
+            qctx = _quant_ctx(txs, dcq, acq)
+            qc = {}
+            for mi, m in enumerate(cand_modes):
+                sel = member[mi].reshape(-1)
+                if sel.all():
+                    pred = predict_batch(m, above, left, corner,
+                                         blocks.shape[0], txs, txs, bd)
+                    qc[m] = _quant_cost_of_pred(
+                        blocks, pred, qctx, lam_sse_x16, rows, cols)
+                    continue
+                idx = np.nonzero(sel)[0]
+                full = np.full(rows * cols, _BIG, np.int64)
+                if len(idx):
+                    sb, sa, sl, scn = blocks[idx], above[idx], left[idx], corner[idx]
+                    pred = predict_batch(m, sa, sl, scn, len(idx), txs, txs, bd)
+                    full[idx] = _quant_cost_of_pred(
+                        sb, pred, qctx, lam_sse_x16, len(idx), 1).reshape(-1)
+                qc[m] = full.reshape(rows, cols)
+            qcost[txs] = qc
     else:
+        per_size = {
+            px: _mode_costs_for_size(src, px, cfg["modes"], lam_x16, bd)
+            for px in sizes
+        }
         # only the modes the SATD stage actually chose somewhere
         cand_modes = sorted(
             {int(m) for px in sizes for m in np.unique(per_size[px][0])}
         )
-    txs_needed = sorted(
-        {px >> d for px in sizes for d in (_valid_depths(px) if search_depth else (0,))}
-    )
-    qcost = {
-        txs: _quant_mode_costs(src, txs, cand_modes, dcq, acq, lam_sse_x16, bd)
-        for txs in txs_needed
-    }
+        txs_needed = txs_cfg
+        qcost = {
+            txs: _quant_mode_costs(src, txs, cand_modes, dcq, acq, lam_sse_x16, bd)
+            for txs in txs_needed
+        }
     mbits_of = {
         m: _MODE_BITS_X16[m] + (_ANGLE_BITS_X16 if I.is_directional(m) else 0)
         for m in cand_modes
@@ -546,12 +673,10 @@ def plan_luma(src: np.ndarray, qindex: int, speed: int, bd: int = 8) -> RDPlan:
         for i in range(modes_p.shape[0]):
             for j in range(modes_p.shape[1]):
                 plan.y_mode[(i * r4, j * r4, px)] = int(modes_p[i, j])
-        if search_depth and any(I.is_directional(int(m)) for m in np.unique(modes_p)):
-            del_p = _refine_angles(src, px, modes_p, bd)
-            for i in range(del_p.shape[0]):
-                for j in range(del_p.shape[1]):
-                    if del_p[i, j]:
-                        plan.angle_y[(i * r4, j * r4, px)] = int(del_p[i, j])
+    if search_depth:
+        mi_rows = -(-src.shape[0] // 4)
+        mi_cols = -(-src.shape[1] // 4)
+        _refine_angles_leaves(src, plan, sizes, bd, mi_rows, mi_cols)
     return plan
 
 
