@@ -441,6 +441,124 @@ def extract_inter(A, Bd, tables):
     print(f"{'inter tables':20s} {len(tables)} total keys after phase 2")
 
 
+def extract_inter_recon(A, tables):
+    """Phase 3: inter-reconstruction spec constants (§7.11.3): the warp
+    divisor lookup (§7.11.3.7 Div_Lut), OBMC blend masks (§7.11.3.10
+    Obmc_Mask_N), smooth inter-intra weights (§7.11.3.13 Ii_Weights_1d),
+    and the wedge codebooks + master line profiles (§7.11.3.11). All are
+    located structurally in the system libaom rodata and validated against
+    the spec's stated shape properties."""
+    A8 = A.astype("<u2").tobytes()
+    Au8 = np.frombuffer(A8, dtype=np.uint8)
+    U = A  # u16 view
+
+    # Div_Lut[257]: 16384 .. 8192, strictly decreasing u16
+    found = None
+    for s in np.where(U == 16384)[0]:
+        seg = U[s : s + 257]
+        if (
+            len(seg) == 257
+            and seg[-1] == 8192
+            and np.all(np.diff(seg.astype(np.int64)) < 0)
+        ):
+            found = seg
+            break
+    if found is None:
+        raise RuntimeError("div_lut not found")
+    tables["div_lut"] = found.astype(np.uint16)
+    print(f"{'div_lut':20s} [257] {found[:3]}..{found[-1]}")
+
+    # Obmc_Mask_{32,16,8,4,2,1}: adjacent ascending-to-64 u8 arrays,
+    # anchored on the unique Obmc_Mask_8 profile.
+    i = A8.find(bytes([36, 42, 48, 53, 57, 61, 64, 64]))
+    if i < 0:
+        raise RuntimeError("obmc masks not found")
+    om = {
+        32: Au8[i - 48 : i - 16],
+        16: Au8[i - 16 : i],
+        8: Au8[i : i + 8],
+        4: Au8[i + 8 : i + 12],
+        2: Au8[i + 12 : i + 14],
+        1: Au8[i + 14 : i + 15],
+    }
+    for n, m in om.items():
+        if len(m) != n or m[-1] != 64 or np.any(np.diff(m.astype(np.int64)) < 0):
+            raise RuntimeError(f"obmc mask {n} malformed: {m}")
+    tables["obmc_mask"] = np.concatenate(
+        [om[1], om[2], om[4], om[8], om[16], om[32]]
+    ).astype(np.uint8)  # offset of mask_N = N - 1
+    print(f"{'obmc_mask':20s} concat[63] ok")
+
+    # Ii_Weights_1d[128]: descending 60..1 smooth inter-intra profile
+    i = A8.find(bytes([60, 58, 56, 54, 52, 50, 48, 47]))
+    if i < 0:
+        raise RuntimeError("ii_weights1d not found")
+    w = Au8[i : i + 128]
+    if w[-1] != 1 or np.any(np.diff(w.astype(np.int64)) > 0):
+        raise RuntimeError("ii_weights1d malformed")
+    tables["ii_weights1d"] = w.astype(np.uint8)
+    print(f"{'ii_weights1d':20s} [128] ok")
+
+    # Wedge master line profiles (64 each): 28 zeros + 8-value transition +
+    # 28 full-weight (oblique even/odd); vertical is reconstructed in its
+    # spec shape (29 zeros + 6 + 29) and cross-checked against the centered
+    # half-length copy libaom stores.
+    def master(prefix, lead):
+        j = A8.find(bytes(prefix))
+        if j < 0:
+            raise RuntimeError(f"wedge master {prefix} not found")
+        arr = Au8[j - lead : j - lead + 64].astype(np.uint8)
+        if np.any(arr[:lead] != 0) or np.any(arr[lead + len(prefix):] != 64):
+            raise RuntimeError(f"wedge master {prefix} malformed: {arr}")
+        return arr
+
+    tables["wedge_master_even"] = master([1, 4, 11, 27, 46, 58, 62, 63], 28)
+    tables["wedge_master_odd"] = master([1, 2, 6, 18, 37, 53, 60, 63], 28)
+    j = A8.find(bytes([2, 7, 21, 43, 57, 62, 64]))
+    if j < 0:
+        raise RuntimeError("wedge master vertical profile not found")
+    half = Au8[j - 13 : j + 19]
+    if np.any(half[:13] != 0) or np.any(half[19:] != 64):
+        raise RuntimeError(f"vertical half profile malformed: {half}")
+    vert = np.zeros(64, dtype=np.uint8)
+    vert[29:35] = [2, 7, 21, 43, 57, 62]
+    vert[35:] = 64
+    tables["wedge_master_vertical"] = vert
+    print(f"{'wedge_masters':20s} even/odd/vertical ok")
+
+    # Wedge codebooks: 3 x 16 x (direction, x_offset, y_offset) as int32,
+    # stored heqw, hltw, hgtw; anchored on the shared first four oblique
+    # entries + heqw's HORIZONTAL(4,2).
+    I32 = np.frombuffer(A8, dtype="<i4")
+    anchor = np.array([2, 4, 4, 3, 4, 4, 4, 4, 4, 5, 4, 4, 0, 4, 2], dtype="<i4")
+    hits = [
+        k
+        for k in range(len(I32) - 144)
+        if np.array_equal(I32[k : k + 15], anchor)
+    ]
+    # the anchor also matches hgtw's head (H 4,2 appears there too); take the
+    # first (heqw) and demand the three codebooks be adjacent
+    if not hits:
+        raise RuntimeError("wedge codebooks not found")
+    k = hits[0]
+    cb = I32[k : k + 144].reshape(3, 16, 3).copy()
+    # shape checks: every entry dir in 0..5, offsets in {2,4,6}
+    if not (
+        np.all((cb[:, :, 0] >= 0) & (cb[:, :, 0] <= 5))
+        and np.all(np.isin(cb[:, :, 1:], (2, 4, 6)))
+    ):
+        raise RuntimeError(f"wedge codebooks malformed")
+    # heqw has H(4,2),H(4,6),V(2,4),V(6,4) at 4..7; hltw V,V,V,H; hgtw H,H,H,V
+    if not (
+        list(cb[0, 4:8, 0]) == [0, 0, 1, 1]
+        and list(cb[1, 4:8, 0]) == [1, 1, 1, 0]
+        and list(cb[2, 4:8, 0]) == [0, 0, 0, 1]
+    ):
+        raise RuntimeError(f"wedge codebook order unexpected: {cb[:, 4:8, 0]}")
+    tables["wedge_codebooks"] = cb.astype(np.int16)  # [heqw, hltw, hgtw]
+    print(f"{'wedge_codebooks':20s} [3][16][3] ok")
+
+
 def main():
     A = rodata(find_aom())
     B = rodata(find_bundled_avif())
@@ -534,6 +652,7 @@ def main():
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     extract_inter(A, Bd, tables)
     extract_gaussian(B, tables)
+    extract_inter_recon(A, tables)
 
     np.savez_compressed(OUT, **tables)
     print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes, {len(tables)} tables)")
