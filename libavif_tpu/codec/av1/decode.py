@@ -1689,7 +1689,10 @@ class FrameDecoder:
 
     # ------------------------------------------------------- prediction
 
-    def _predict(self, plane, x, y, txw, txh):
+    def _predict(self, plane, x, y, txw, txh, no_corner_runs=False):
+        """Intra prediction of a (txh, txw) region. `no_corner_runs`
+        forces haveAboveRight/haveBelowLeft to 0 (§7.11.3.13 inter-intra
+        invokes §7.11.2 that way)."""
         b = self.block
         sx = self.ss_x if plane else 0
         sy = self.ss_y if plane else 0
@@ -1704,8 +1707,11 @@ class FrameDecoder:
         have_above = y > block_py or (b["avail_u"] if plane == 0 else self._avail_chroma(left=False))
         sb_y4 = (y - ((self.sb_r >> sy) * 4)) >> 2
         sb_x4 = (x - ((self.sb_c >> sx) * 4)) >> 2
-        decoded_ur = self._bd_get(plane, sb_y4 - 1, sb_x4 + (txw >> 2))
-        decoded_bl = self._bd_get(plane, sb_y4 + (txh >> 2), sb_x4 - 1)
+        if no_corner_runs:
+            decoded_ur = decoded_bl = False
+        else:
+            decoded_ur = self._bd_get(plane, sb_y4 - 1, sb_x4 + (txw >> 2))
+            decoded_bl = self._bd_get(plane, sb_y4 + (txh >> 2), sb_x4 - 1)
         max_x = self.cw[plane] - 1
         max_y = self.ch[plane] - 1
 

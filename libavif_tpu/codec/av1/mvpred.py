@@ -125,7 +125,12 @@ def global_mv(d, ref: int, bsize: int, r: int, c: int):
     if ref == R.NONE_FRAME or typ == R.IDENTITY:
         return (0, 0)
     if typ == R.TRANSLATION:
-        mv = (int(hdr.gm_params[ref][0]) >> 10, int(hdr.gm_params[ref][1]) >> 10)
+        # gm_params[0] is the x (column) translation, [1] the y (row), in
+        # 1/(1<<WARPEDMODEL_PREC_BITS) pel; mv is (row, col) in 1/8 pel
+        mv = (
+            int(hdr.gm_params[ref][1]) >> (R.WARPEDMODEL_PREC_BITS - 3),
+            int(hdr.gm_params[ref][0]) >> (R.WARPEDMODEL_PREC_BITS - 3),
+        )
         return lower_mv_precision(d, mv)
     bw4, bh4 = B.w4(bsize), B.h4(bsize)
     x = c * 4 + bw4 * 2 - 1
