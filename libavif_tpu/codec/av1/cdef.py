@@ -195,6 +195,68 @@ def find_dir_batch(blocks: np.ndarray, bd: int):
     return best.astype(np.int64), var
 
 
+def _apply_cdef_native(dec, _dir_cache) -> bool:
+    """Run the frame through native/cdef.inc avt_cdef_frame. Returns False
+    (leaving the frame untouched) when the native library is unavailable."""
+    import ctypes
+    import os
+
+    if os.environ.get("LIBAVIF_TPU_NATIVE_CDEF", "1") == "0":
+        return False
+    from ...native import load
+
+    lib = load()
+    if lib is None or not hasattr(lib, "avt_cdef_frame"):
+        return False
+    hdr = dec.hdr
+    c = hdr.cdef
+    n_planes = dec.n_planes
+    planes = []
+    for p in range(n_planes):
+        arr = dec.planes[p]
+        if arr.dtype != np.int32 or not arr.flags.c_contiguous:
+            return False
+        planes.append(arr)
+    while len(planes) < 3:
+        planes.append(planes[0])  # unused slot
+    geom = [n_planes, dec.ss_x, dec.ss_y, dec.bd, c.damping,
+            hdr.mi_rows, hdr.mi_cols]
+    for p in range(3):
+        src = dec.planes[min(p, n_planes - 1)]
+        geom += [src.shape[0], src.shape[1],
+                 dec.ch[min(p, n_planes - 1)], dec.cw[min(p, n_planes - 1)]]
+    geom = np.asarray(geom, dtype=np.int32)
+    skip = np.ascontiguousarray(dec.ctx.skip_of, dtype=np.uint8)
+    cdef_idx = np.ascontiguousarray(dec.cdef_idx, dtype=np.int16)
+    strengths = np.asarray(
+        list(c.y_pri) + list(c.y_sec) + list(c.uv_pri) + list(c.uv_sec),
+        dtype=np.int32,
+    )
+    nbr = (hdr.mi_rows + 1) // 2
+    nbc = (hdr.mi_cols + 1) // 2
+    if _dir_cache is not None and "ndirs" in _dir_cache:
+        dirs = _dir_cache["ndirs"]
+        var = _dir_cache["nvars"]
+    else:
+        dirs = np.full(nbr * nbc, -1, dtype=np.int32)
+        var = np.zeros(nbr * nbc, dtype=np.int32)
+        if _dir_cache is not None:
+            _dir_cache["ndirs"] = dirs
+            _dir_cache["nvars"] = var
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    def ptr(a):
+        return a.ctypes.data_as(i32p)
+
+    lib.avt_cdef_frame(
+        ptr(planes[0]), ptr(planes[1]), ptr(planes[2]), ptr(geom),
+        skip.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cdef_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ptr(strengths), ptr(dirs), ptr(var),
+    )
+    return True
+
+
 _DIR_DY = np.array([[d[k][0] for k in range(2)] for d in CDEF_DIRECTIONS],
                    dtype=np.int64)  # (8 dirs, 2 taps)
 _DIR_DX = np.array([[d[k][1] for k in range(2)] for d in CDEF_DIRECTIONS],
@@ -215,7 +277,9 @@ def apply_cdef(dec, _dir_cache=None) -> None:
     """Filter the whole frame (§7.15.1), batched over all 8x8 blocks.
 
     Exact same arithmetic as the scalar reference (find_dir/_filter_block
-    above, mirroring dav1d cdef_tmpl.c); corpus-verified bit-identical."""
+    above, mirroring dav1d cdef_tmpl.c); corpus-verified bit-identical.
+    Dispatches to the native C++ port (native/cdef.inc) when available;
+    the numpy path below is the reference implementation."""
     hdr = dec.hdr
     c = hdr.cdef
     if (
@@ -229,6 +293,8 @@ def apply_cdef(dec, _dir_cache=None) -> None:
             and not any(c.uv_sec)
         )
     ):
+        return
+    if _apply_cdef_native(dec, _dir_cache):
         return
     bd = dec.bd
     ctx = dec.ctx

@@ -435,10 +435,20 @@ class _StackBuilder:
                 combined[lst] = (self.ref_id_mvs[lst] + self.ref_diff_mvs[lst])[:2]
                 while len(combined[lst]) < 2:
                     combined[lst].append(self.global_mvs[lst])
-            while len(self.stack) < 2:
-                idx = len(self.stack)
-                self.stack.append((combined[0][idx], combined[1][idx]))
+            comp_list = [
+                (combined[0][0], combined[1][0]),
+                (combined[0][1], combined[1][1]),
+            ]
+            if len(self.stack) == 1:
+                # one real candidate: add comp_list[0], or [1] if it would
+                # duplicate the existing entry (§7.10.2.12 tail)
+                pick = comp_list[1] if comp_list[0] == self.stack[0] else comp_list[0]
+                self.stack.append(pick)
                 self.weights.append(2)
+            elif len(self.stack) == 0:
+                for pair in comp_list:
+                    self.stack.append(pair)
+                    self.weights.append(2)
         else:
             while len(self.stack) < 2:
                 self.stack.append((self.global_mvs[0], (0, 0)))
@@ -482,6 +492,27 @@ class _StackBuilder:
                 else:
                     self.stack.append((cand_mv, (0, 0)))
                     self.weights.append(2)
+
+
+def _has_top_right(d, r, c, bw4, bh4) -> bool:
+    """aom has_top_right (mvref_common.h): conservative partition-order
+    availability of the (r-1, c+bw4) scan point within the superblock."""
+    sb_mi = d.sb_mi
+    mask_row = r & (sb_mi - 1)
+    mask_col = c & (sb_mi - 1)
+    bs = max(bw4, bh4)
+    if bs > 16:
+        return False
+    has_tr = not ((mask_row & bs) and (mask_col & bs))
+    while bs < sb_mi:
+        if mask_col & bs:
+            if (mask_col & (2 * bs)) and (mask_row & (2 * bs)):
+                has_tr = False
+                break
+        else:
+            break
+        bs <<= 1
+    return has_tr
 
 
 def _clamp_mv(d, mv, r, c, bsize):
@@ -529,7 +560,7 @@ def find_mv_stack(d, r, c, bsize, ref_frames, is_compound) -> MvContext:
         sb.scan_col(-1, max_col_offset)
     found_left = sb.found_match
     sb.found_match = False
-    if max(bw4, bh4) <= 16:
+    if max(bw4, bh4) <= 16 and _has_top_right(d, r, c, bw4, bh4):
         sb.scan_point(-1, bw4)
     if sb.found_match:
         found_above = True

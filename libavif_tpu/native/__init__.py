@@ -44,9 +44,10 @@ def load():
             return None
         try:
             h = hashlib.sha256(_SRC.read_bytes())
-            inc = _DIR / "tile_walk.inc"
-            if inc.exists():
-                h.update(inc.read_bytes())
+            for name in ("tile_walk.inc", "cdef.inc"):
+                inc = _DIR / name
+                if inc.exists():
+                    h.update(inc.read_bytes())
             tag = h.hexdigest()[:16]
             so_path = _DIR / f"_msac_{tag}.so"
             if not so_path.exists():
@@ -148,6 +149,14 @@ def load():
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_void_p),
                     ctypes.POINTER(ctypes.c_double),
+                ]
+            if hasattr(lib, "avt_cdef_frame"):
+                lib.avt_cdef_frame.restype = ctypes.c_long
+                lib.avt_cdef_frame.argtypes = [
+                    _i32p, _i32p, _i32p, _i32p,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int16),
+                    _i32p, _i32p, _i32p,
                 ]
             lib.avt_tx_init.restype = None
             lib.avt_tx_init.argtypes = [

@@ -1519,3 +1519,4 @@ long avt_spec_txb_enc(
 }  // extern "C"
 
 #include "tile_walk.inc"
+#include "cdef.inc"
