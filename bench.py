@@ -129,8 +129,27 @@ def bench_breakdown(imgs):
         return [np.asarray(o) for o in outs]
 
     hosts = run_device()  # warm-up + host copies for the entropy stage
+    # Time the device stage the way the pipeline actually dispatches it:
+    # enqueue every frame's program asynchronously, then block once.
+    # device_s therefore includes relay transfers amortized across the
+    # batch (as in production), not per-frame round-trips.
+    def run_device_async():
+        outs = [
+            recon.encode_frame_device(
+                packed, np.int32(dc), np.int32(ac), geoms=geoms, n=n,
+                depth=8, lossless=False, speed=params.speed,
+            )
+            for geoms, packed in staged
+        ]
+        for o in outs:
+            try:
+                o.block_until_ready()
+            except AttributeError:
+                np.asarray(o)
+
+    run_device_async()
     t0 = time.perf_counter()
-    run_device()
+    run_device_async()
     device_s = time.perf_counter() - t0
 
     from concurrent.futures import ThreadPoolExecutor
@@ -167,8 +186,12 @@ def bench_breakdown(imgs):
     t0 = time.perf_counter()
     encode_frames_pipelined(imgs, params)
     total_s = time.perf_counter() - t0
-    util = max(device_s, host_s) / total_s if total_s else 0.0
-    return device_s, host_s, total_s, util
+    # overlap_speedup: (sum of the two stages run in isolation) over the
+    # pipelined wall time — 1.0 = no overlap, 2.0 = perfect overlap of
+    # two equal stages. Replaces the old "utilization" whose >1 values
+    # were an artifact of timing the device stage un-pipelined.
+    speedup = (device_s + host_s) / total_s if total_s else 0.0
+    return device_s, host_s, total_s, speedup
 
 
 def _drain_future(f):
@@ -206,6 +229,23 @@ def bench_cpu_baseline(imgs):
     return (len(imgs) * W * H / 1e6) / best
 
 
+def bench_spec(imgs):
+    """Product-default (spec AV1) encoder throughput at the same
+    operating point. Host-dominated today; reported so BENCH artifacts
+    capture what `Encoder()` ships by default, not just `-c native`."""
+    from libavif_tpu.api import encode
+
+    sub = imgs[:2]
+    encode(sub[0], quality=QUALITY, speed=SPEED)  # warm-up
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for im in sub:
+            encode(im, quality=QUALITY, speed=SPEED)
+        best = min(best, time.perf_counter() - t0)
+    return (len(sub) * W * H / 1e6) / best
+
+
 def _platform() -> str:
     """Claim the TPU; fall back to CPU when the relay refuses the session
     (the axon backend can be unavailable for stretches — a CPU-labeled
@@ -231,16 +271,23 @@ def main():
     baseline = bench_cpu_baseline(imgs)
     vs = (ours / baseline) if baseline else 0.0
     try:
-        device_s, host_s, total_s, util = bench_breakdown(imgs)
+        device_s, host_s, total_s, speedup = bench_breakdown(imgs)
         extra = {
             "device_s": round(device_s, 4),
             "host_entropy_s": round(host_s, 4),
             "pipelined_s": round(total_s, 4),
-            "overlap_utilization": round(util, 4),
+            "overlap_speedup": round(speedup, 4),
             "bottleneck": "host-entropy" if host_s > device_s else "device",
         }
     except Exception as e:  # breakdown must never sink the headline metric
         extra = {"breakdown_error": str(e)[:120]}
+    try:
+        spec = bench_spec(imgs)
+        extra["spec_encode_mp_s"] = round(spec, 4)
+        if baseline:
+            extra["spec_vs_libaom"] = round(spec / baseline, 4)
+    except Exception as e:
+        extra["spec_error"] = str(e)[:120]
     print(
         json.dumps(
             {
