@@ -422,15 +422,33 @@ def _find_warp_samples(d, r, c, bsize, rf0, mv):
             mid_x * 8 + cmv[1],
         )
         state["scanned"] += 1
-        if valid and state["samples"] < LEAST_SQUARES_SAMPLES_MAX:
+        # §7.10.4.2: the FIRST scanned candidate is kept even when
+        # invalid (it backs the NumSamples=1 fallback); later invalid
+        # candidates are dropped. A valid candidate lands at index
+        # NumSamples (overwriting an invalid first entry).
+        if not valid and state["scanned"] > 1:
+            return
+        if len(state["cands"]) == state["samples"]:
             state["cands"].append(sample)
+        else:
+            state["cands"][state["samples"]] = sample
+        if valid:
             state["samples"] += 1
 
+    do_top_left = 1
+    do_top_right = 1
     if r > d.mi_row0:
         src_sz = int(d.ctx.block_of[r - 1, c])
         src_w4 = B.w4(src_sz)
         if bw4 <= src_w4:
-            add_sample(-1, -(c & (src_w4 - 1)))
+            # wide above neighbor: it may cover the top-left / top-right
+            # corners, which then must not be re-sampled (§7.10.4)
+            col_offset = -(c & (src_w4 - 1))
+            if col_offset < 0:
+                do_top_left = 0
+            if col_offset + src_w4 > bw4:
+                do_top_right = 0
+            add_sample(-1, 0)
         else:
             i = 0
             while i < min(bw4, d.hdr.mi_cols - c):
@@ -442,7 +460,10 @@ def _find_warp_samples(d, r, c, bsize, rf0, mv):
         src_sz = int(d.ctx.block_of[r, c - 1])
         src_h4 = B.h4(src_sz)
         if bh4 <= src_h4:
-            add_sample(-(r & (src_h4 - 1)), -1)
+            row_offset = -(r & (src_h4 - 1))
+            if row_offset < 0:
+                do_top_left = 0
+            add_sample(0, -1)
         else:
             i = 0
             while i < min(bh4, d.hdr.mi_rows - r):
@@ -450,8 +471,19 @@ def _find_warp_samples(d, r, c, bsize, rf0, mv):
                 src_h4 = B.h4(src_sz)
                 add_sample(i, -1)
                 i += src_h4
-    if r > d.mi_row0 and c > d.mi_col0:
+    if do_top_left and r > d.mi_row0 and c > d.mi_col0:
         add_sample(-1, -1)
+    if (
+        do_top_right
+        and max(bw4, bh4) <= 16
+        and r > d.mi_row0
+        and M._has_top_right(d, r, c, bw4, bh4)
+    ):
+        add_sample(-1, bw4)
+    # all scanned candidates invalid: the first scanned one still counts
+    # (aom findSamples tail; keeps LOCALWARP codable with NumSamples=1)
+    if state["samples"] == 0 and state["cands"]:
+        state["samples"] = 1
     return state["samples"], state["cands"]
 
 
@@ -701,7 +733,9 @@ def _inter_block_mode_info(
         and _has_overlappable(d, r, c, bw4, bh4)
     ):
         num_samples, cands = _find_warp_samples(d, r, c, bsize, rf[0], mvs[0])
-        warp_samples = cands
+        # the LS fit consumes exactly NumSamples entries (the fallback
+        # keeps one provisional invalid candidate at index 0)
+        warp_samples = cands[:num_samples] if num_samples else cands[:0]
         if hdr.force_integer_mv or num_samples == 0 or not hdr.allow_warped_motion:
             use_obmc = dec.decode_symbol(
                 cdf.obmc[bsize], 2, adapt=d.adapt, what="obmc"

@@ -58,14 +58,18 @@ def _round2_signed(x, n):
 
 
 def resolve_divisor(d: int):
-    """§7.11.3.7: (divShift, divFactor) for a positive integer d."""
-    n = int(d).bit_length() - 1  # FloorLog2(d)
-    e = d - (1 << n)
+    """§7.11.3.7: (divShift, divFactor) for a non-zero integer d; the
+    factor carries d's sign (the warp-estimation determinant is allowed
+    to be negative — only det == 0 invalidates the model)."""
+    a = abs(int(d))
+    n = a.bit_length() - 1  # FloorLog2(|d|)
+    e = a - (1 << n)
     if n > DIV_LUT_BITS:
         f = _round2(e, n - DIV_LUT_BITS)
     else:
         f = e << (DIV_LUT_BITS - n)
-    return n + DIV_LUT_PREC_BITS, int(_div_lut()[f])
+    factor = int(_div_lut()[f])
+    return n + DIV_LUT_PREC_BITS, (-factor if d < 0 else factor)
 
 
 def shear_params(wm):
@@ -97,14 +101,21 @@ def _clamp16(v):
     return max(-32768, min(32767, int(v)))
 
 
+def _ls_square(a):
+    """§7.11.3.8 LS accumulator diagonal term. The +2a+8 bias models the
+    half-sample (+4 in 1/8-pel) offset; verified instruction-level
+    against dav1d's find_affine ((a*a)>>2 + 2*a + 8)."""
+    return ((a * a) >> 2) + 2 * a + 8
+
+
 def _ls_product(a, b):
-    """§7.10.4 least-squares accumulator term (plain product; validated
-    bit-exact against dav1d on LOCALWARP probe blocks)."""
-    return a * b
+    """§7.11.3.8 LS cross term ((a*b)>>2 + a + b + 4), dav1d-verified."""
+    return ((a * b) >> 2) + a + b + 4
 
 
 def _ls_product2(a, b):
-    return a * b
+    """§7.11.3.8 LS B-vector term ((a*b)>>2 + a + b + 8), dav1d-verified."""
+    return ((a * b) >> 2) + a + b + 8
 
 
 def find_warp_params(d, r, c, bsize, mv, samples):
@@ -130,9 +141,9 @@ def find_warp_params(d, r, c, bsize, mv, samples):
         dy = py - duy
         dx = px - dux
         if abs(sx - dx) < LS_MV_MAX and abs(sy - dy) < LS_MV_MAX:
-            A00 += _ls_product(sx, sx)
+            A00 += _ls_square(sx)
             A01 += _ls_product(sx, sy)
-            A11 += _ls_product(sy, sy)
+            A11 += _ls_square(sy)
             Bx0 += _ls_product2(sx, dx)
             Bx1 += _ls_product(sy, dx)
             By0 += _ls_product(sx, dy)
@@ -142,7 +153,7 @@ def find_warp_params(d, r, c, bsize, mv, samples):
         return False, None
 
     det = A00 * A11 - A01 * A01
-    if det <= 0:
+    if det == 0:  # §7.11.3.8: only a singular system invalidates the fit
         return False, None
     div_shift, div_factor = resolve_divisor(det)
     div_shift -= WARPEDMODEL_PREC_BITS
