@@ -154,29 +154,37 @@ class Sweeper:
             for a, b in zip(evs[ev][1], self.dv[ev].planes)
         )
 
-    def sweep(self, ev, all_sites=False):
+    def sweep(self, ev, all_sites=False, measure_ev=None):
+        """Override symbol reads in event `ev`; score bit-exactness at
+        `measure_ev` (default: ev itself). measure_ev > ev catches bugs
+        whose only footprint is mis-adapted CDF state inherited by a
+        later frame via primary_ref_frame."""
+        if measure_ev is None:
+            measure_ev = ev
         self.tgt_ev = ev
-        self.stop_after = ev
+        self.stop_after = measure_ev
         self.record = True
         self.sites.clear()
         self.blocks.clear()
-        base = self.diffs_at(ev)
+        base = self.diffs_at(measure_ev)
         self.record = False
-        print(f"event {ev}: baseline diffs {base}, {len(self.sites)} sites")
+        print(f"override event {ev}, measure event {measure_ev}: "
+              f"baseline diffs {base}, {len(self.sites)} sites")
         if not base:
             return []
-        # first pixel-diverging block bounds the sweep window
-        kind, planes = self.run()[ev]
-        dm = planes[0].astype(np.int64) != self.dv[ev].planes[0].astype(np.int64)
-        H, W = self.dv[ev].planes[0].shape
         cut = None
-        for (r, c, bsize) in self.blocks:
-            w, h = B.BLOCK_DIMS[bsize]
-            if dm[: H, : W][r * 4 : r * 4 + h, c * 4 : c * 4 + w].any():
-                sites_blk = [s for s in self.sites if s[4] == (r, c)]
-                if sites_blk:
-                    cut = max(s[0] for s in sites_blk)
-                break
+        if measure_ev == ev:
+            # first pixel-diverging block bounds the sweep window
+            kind, planes = self.run()[ev]
+            dm = planes[0].astype(np.int64) != self.dv[ev].planes[0].astype(np.int64)
+            H, W = self.dv[ev].planes[0].shape
+            for (r, c, bsize) in self.blocks:
+                w, h = B.BLOCK_DIMS[bsize]
+                if dm[: H, : W][r * 4 : r * 4 + h, c * 4 : c * 4 + w].any():
+                    sites_blk = [s for s in self.sites if s[4] == (r, c)]
+                    if sites_blk:
+                        cut = max(s[0] for s in sites_blk)
+                    break
         window = (
             self.sites if (all_sites or cut is None)
             else [s for s in self.sites if s[0] <= cut]
@@ -188,7 +196,7 @@ class Sweeper:
                 if alt == ridx:
                     continue
                 self.ovr = {"site": s, "row": alt}
-                nd = self.diffs_at(ev)
+                nd = self.diffs_at(measure_ev)
                 self.ovr = {}
                 if nd == 0:
                     print(f"HIT site {s} ({what}, blk {blk}) row {ridx}->{alt}")
@@ -207,7 +215,9 @@ def main():
         if ev is None:
             print("ALL EVENTS BIT-EXACT")
             return 0
-    sw.sweep(ev, all_sites="--all-sites" in sys.argv)
+    measure = (int(sys.argv[sys.argv.index("--measure") + 1])
+               if "--measure" in sys.argv else None)
+    sw.sweep(ev, all_sites="--all-sites" in sys.argv, measure_ev=measure)
     return 0
 
 
