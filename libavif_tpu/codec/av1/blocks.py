@@ -40,7 +40,9 @@ def h4(bsize: int) -> int:
 
 
 # y-mode size group for y_mode_cdf (aom size_group_lookup)
-SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 1, 1, 2, 2, 3, 3]
+# aom size_group_lookup: extended sizes 4x16/16x4 -> 0, 8x32/32x8 -> 1,
+# 16x64/64x16 -> 2 (one group below their square-area cousins)
+SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 0, 0, 1, 1, 2, 2]
 
 # max square tx size category for tx_size_cdf (aom: bsize_to_tx_size_cat)
 # cat = log2(min(max_tx_dim, 32)) - 2 ... minus 1 for the cdf index

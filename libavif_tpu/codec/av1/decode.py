@@ -690,6 +690,8 @@ class FrameDecoder:
         has_cols = c + half < self.mi_col1
         bsl = w4.bit_length() - 1  # 8x8 -> 1
         if w4 == 1:
+            # 4x4 leaves are only reached through SPLIT recursion
+            self.cur_partition = B.PARTITION_SPLIT
             self._decode_block(r, c, bsize)
             return
         if has_rows and has_cols:
@@ -718,6 +720,8 @@ class FrameDecoder:
         hw = w >> 1
         qw = w >> 2
         bs = B.block_size
+        # containing-partition type for has_top_right (aom mbmi->partition)
+        self.cur_partition = part
         if part == B.PARTITION_NONE:
             self._decode_block(r, c, bsize)
         elif part == B.PARTITION_HORZ:

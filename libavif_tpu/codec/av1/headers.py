@@ -541,11 +541,13 @@ def _parse_skip_mode(f, h: FrameHeader, seq: SequenceHeader, state) -> None:
 
 
 def _inverse_recenter(r: int, v: int) -> int:
+    """§4.10.8 inverse_recenter: even v steps up from r, odd v steps
+    down (matches libaom inv_recenter_nonneg)."""
     if v > 2 * r:
         return v
     if v & 1:
-        return r + ((v + 1) >> 1)
-    return r - (v >> 1)
+        return r - ((v + 1) >> 1)
+    return r + (v >> 1)
 
 
 def _decode_subexp(f, num_syms: int) -> int:

@@ -793,7 +793,7 @@ def _inter_block_mode_info(
     # ---- interpolation filters (§5.11.30)
     filters = [hdr.interp_filter, hdr.interp_filter]
     if hdr.interp_filter == 4:  # SWITCHABLE
-        needs = _needs_interp_filter(d, y_mode, rf, bsize, mvctx)
+        needs = _needs_interp_filter(d, y_mode, rf, bsize, skip_mode, motion_mode)
         ndirs = 2 if d.seq.enable_dual_filter else 1
         for direction in range(ndirs):
             if needs:
@@ -919,15 +919,19 @@ def _comp_index_ctx(d, r, c, rf, avail_u, avail_l) -> int:
     return ctx
 
 
-def _needs_interp_filter(d, y_mode, rf, bsize, mvctx) -> bool:
-    """§5.11.30 needs_interp_filter: motion must be non-global or the
-    block small, and not all-integer."""
+def _needs_interp_filter(d, y_mode, rf, bsize, skip_mode, motion_mode) -> bool:
+    """§5.11.30 needs_interp_filter: skip-mode and local-warp blocks read
+    no filter symbol; large global-motion blocks only when the model is
+    translational (GLOBAL_GLOBALMV checks either ref)."""
+    if skip_mode or motion_mode == LOCALWARP:
+        return False
     large = min(B.BLOCK_DIMS[bsize]) >= 8
-    if y_mode in (M.GLOBALMV, M.GLOBAL_GLOBALMV) and large:
-        return d.hdr.gm_type[rf[0]] == R.TRANSLATION or (
-            rf[1] > R.INTRA_FRAME and d.hdr.gm_type[rf[1]] == R.TRANSLATION
-        ) if False else (
+    if large and y_mode == M.GLOBALMV:
+        return d.hdr.gm_type[rf[0]] == R.TRANSLATION
+    if large and y_mode == M.GLOBAL_GLOBALMV:
+        return (
             d.hdr.gm_type[rf[0]] == R.TRANSLATION
+            or d.hdr.gm_type[rf[1]] == R.TRANSLATION
         )
     return True
 

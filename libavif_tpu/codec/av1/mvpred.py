@@ -194,9 +194,14 @@ class _StackBuilder:
                 break
             cand_bs = int(d.ctx.block_of[mv_row, mv_col])
             cand_w4 = B.w4(cand_bs)
-            length = min(2, cand_w4)
+            # aom scan_row_mbmi / dav1d scan_row: len = min(block bw4,
+            # candidate bw4), raised to the scan step (4 for >=16-wide
+            # blocks, 2 for outer rows). A constant 2 here over-weights
+            # candidates of 4-wide blocks (weight 4 vs 2) — a drl-ctx /
+            # sort drift that desyncs VERT_4/HORZ_4 streams.
+            length = min(bw4, cand_w4)
             if use_step16:
-                length = max(4, cand_w4)
+                length = max(4, length)
             elif abs(delta_row) > 1:
                 length = max(length, 2)
             weight = 2
@@ -225,9 +230,10 @@ class _StackBuilder:
                 break
             cand_bs = int(d.ctx.block_of[mv_row, mv_col])
             cand_h4 = B.h4(cand_bs)
-            length = min(2, cand_h4)
+            # mirror of scan_row: len = min(block bh4, candidate bh4)
+            length = min(bh4, cand_h4)
             if use_step16:
-                length = max(4, cand_h4)
+                length = max(4, length)
             elif abs(delta_col) > 1:
                 length = max(length, 2)
             weight = 2
@@ -417,6 +423,13 @@ class _StackBuilder:
             idx = 0
             limit = num4x4
             while idx < limit:
+                # single-ref extension stops the moment two candidates
+                # exist (aom setup_ref_mv_list: loop condition
+                # *refmv_count < MAX_MV_REF_CANDIDATES, re-checked before
+                # every candidate block); compound fills its side lists
+                # over the full scan instead
+                if not self.comp and len(self.stack) >= 2:
+                    break
                 if pass_ == 0:
                     mv_row, mv_col = self.r - 1, self.c + idx
                 else:
@@ -497,8 +510,12 @@ class _StackBuilder:
 
 
 def _has_top_right(d, r, c, bw4, bh4) -> bool:
-    """aom has_top_right (mvref_common.h): conservative partition-order
-    availability of the (r-1, c+bw4) scan point within the superblock."""
+    """aom has_top_right (mvref_common.c): partition-order availability of
+    the (r-1, c+bw4) scan point within the superblock, including the
+    rectangular-partition overrides (is_last_vertical_rect /
+    is_first_horizontal_rect, both position-derived as in set_mi_row_col)
+    and the PARTITION_VERT_A bottom-left-square case (needs the block's
+    containing partition type, threaded through d.cur_partition)."""
     sb_mi = d.sb_mi
     mask_row = r & (sb_mi - 1)
     mask_col = c & (sb_mi - 1)
@@ -514,6 +531,18 @@ def _has_top_right(d, r, c, bw4, bh4) -> bool:
         else:
             break
         bs <<= 1
+    if bw4 < bh4:
+        # a vertical-pair rect that is not the last one always has its
+        # top-right decoded (the block above it spans that area)
+        if ((c + bw4) & (bh4 - 1)) != 0:  # !is_last_vertical_rect
+            has_tr = True
+    if bw4 > bh4:
+        # a horizontal-pair rect after the first never has a top-right
+        if (r & (bw4 - 1)) != 0:  # !is_first_horizontal_rect
+            has_tr = False
+    if getattr(d, "cur_partition", None) == B.PARTITION_VERT_A:
+        if bw4 == bh4 and (mask_row & bs):
+            has_tr = False
     return has_tr
 
 
