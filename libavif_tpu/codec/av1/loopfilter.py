@@ -144,13 +144,20 @@ def loop_filter_frame(dec, *, scalar: bool = False) -> None:
     else:
         impl = _filter_plane
     for plane in range(dec.n_planes):
+        # §7.14.1 plane gate on the FRAME base levels: a zero-level plane
+        # is skipped entirely — ref/mode deltas and delta-lf cannot
+        # resurrect it (matches aom av1_loop_filter_frame / dav1d)
+        if plane == 0 and not lf.levels[0] and not lf.levels[1]:
+            continue
+        if plane == 1 and not lf.levels[2]:
+            continue
+        if plane == 2 and not lf.levels[3]:
+            continue
         for direction in (0, 1):  # 0 = vertical edges, 1 = horizontal
             if plane == 0:
                 base_lvl = lf.levels[direction]
             else:
                 base_lvl = lf.levels[2 if plane == 1 else 3]
-            if base_lvl == 0 and not lf.delta_enabled:
-                continue
             impl(dec, plane, direction, base_lvl, bd)
 
 
@@ -193,7 +200,8 @@ def _deblock_pass_native(dec, plane, direction, base_lvl, bd):
         s_along, s_across = sx, sy
         mi_rows, mi_cols = hdr.mi_cols, hdr.mi_rows
     lf_idx = direction if plane == 0 else plane + 1
-    seg_feature = (1 + direction) if plane == 0 else (plane + 3)
+    # seg_lvl_lf_lut: Y_V=1, Y_H=2, ALT_LF_U=3, ALT_LF_V=4
+    seg_feature = (1 + direction) if plane == 0 else (plane + 2)
     feat_on = np.array(
         [1 if hdr.seg_feature_enabled[s][seg_feature] else 0 for s in range(8)],
         np.int32,
@@ -238,7 +246,8 @@ def _levels_grid(dec, plane, direction, base_lvl, mr, mc):
     lf = hdr.lf
     ctx = dec.ctx
     lf_idx = direction if plane == 0 else plane + 1
-    seg_feature = (1 + direction) if plane == 0 else (plane + 3)
+    # seg_lvl_lf_lut: Y_V=1, Y_H=2, ALT_LF_U=3, ALT_LF_V=4
+    seg_feature = (1 + direction) if plane == 0 else (plane + 2)
     lvl = np.full(mr.shape, base_lvl, np.int32)
     if hdr.delta_lf_present:
         d = ctx.delta_lf_of[mr, mc, lf_idx if hdr.delta_lf_multi else 0]
@@ -510,7 +519,8 @@ def _filter_plane_scalar(dec, plane, direction, base_lvl, bd):
 
     lf_idx = direction if plane == 0 else plane + 1
     # SEG_LVL_ALT_LF_{Y_V,Y_H,U,V} = features 1..4
-    seg_feature = (1 + direction) if plane == 0 else (plane + 3)
+    # seg_lvl_lf_lut: Y_V=1, Y_H=2, ALT_LF_U=3, ALT_LF_V=4
+    seg_feature = (1 + direction) if plane == 0 else (plane + 2)
 
     def level_at(mr, mc):
         lvl = base_lvl
