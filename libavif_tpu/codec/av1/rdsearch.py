@@ -361,6 +361,21 @@ def _refine_angles_leaves(src: np.ndarray, plan: "RDPlan", sizes, bd: int,
         if m is None or not I.is_directional(int(m)):
             continue
         by_px.setdefault(px, []).append((r, c, int(m)))
+    if plan.dev_deltas is not None:
+        # deltas were computed on device for every block of every size:
+        # just look up the argmin for each directional leaf
+        dir_modes, dmaps = plan.dev_deltas
+        midx = {m: i for i, m in enumerate(dir_modes)}
+        for px, items in by_px.items():
+            dm = dmaps.get(px)
+            if dm is None:
+                continue
+            s4 = px // 4
+            for (r, c, m) in items:
+                d = int(dm[midx[m], r // s4, c // s4])
+                if d:
+                    plan.angle_y[(r, c, px)] = d
+        return
     for px, items in by_px.items():
         blocks, above, left, corner, rows, cols = _borders_for_size(src, px, bd)
         s4 = px // 4
@@ -408,6 +423,8 @@ class RDPlan:
     tx_depth: dict = field(default_factory=dict)  # (r4, c4, block_px) -> 0|1|2
     angle_y: dict = field(default_factory=dict)   # (r4, c4, block_px) -> -3..3
     block_px: int = 16                            # fallback uniform size
+    # device-precomputed angle-delta argmins: (dir_modes, {px: (nd, r, c)})
+    dev_deltas: tuple = None
 
 
 def _pad_to(plane: np.ndarray, px: int) -> np.ndarray:
@@ -499,7 +516,33 @@ def plan_luma(src: np.ndarray, qindex: int, speed: int, bd: int = 8) -> RDPlan:
         {px >> d for px in sizes for d in (_valid_depths(px) if search_depth else (0,))}
     )
 
+    dev = None
     if mode_by_rd:
+        # Device path: ONE jitted whole-frame program computes every
+        # (mode, size) SATD, every (mode, txs) quant cost and the
+        # angle-delta argmins as batched GEMMs/gathers (rdsearch_device).
+        try:
+            from . import rdsearch_device as RDD
+
+            dev = RDD.plan_costs_device(src, qindex, speed, bd)
+        except Exception:
+            dev = None
+    if dev is not None:
+        cand_modes = dev["cand_modes"]
+        per_size, qcost = {}, {}
+        mode_arr = np.array(cand_modes, np.int32)
+        for px in sizes:
+            sc = dev["satd"][px]
+            bi = sc.argmin(axis=0)
+            rows, cols = sc.shape[1:]
+            per_size[px] = (
+                mode_arr[bi],
+                np.take_along_axis(sc, bi[None], axis=0)[0],
+            )
+        qcost = dev["qcost"]
+        txs_needed = txs_cfg
+        plan.dev_deltas = (dev["dir_modes"], dev["delta"])
+    elif mode_by_rd:
         # Two-pass gated search. Pass 1 runs the cheap SATD prefilter for
         # every (mode, block size) and ranks each block's modes; pass 2
         # runs the expensive quant-aware RD (real DCT + quantizer) ONLY
@@ -797,6 +840,82 @@ def plan_chroma_cfl(src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
         groups.setdefault((r - r % 4, c - c % 4), []).append((r, c, px))
 
     out = {}
+
+    # ---- batched fast path: single-leaf groups fully inside the frame,
+    # grouped by size (the overwhelming majority of leaves). Identical
+    # arithmetic to the scalar loop below, evaluated for all blocks of
+    # one size at once.
+    singles: dict = {}
+    rest = []
+    for key, leafs in groups.items():
+        if len(leafs) == 1:
+            r, c, px = leafs[0]
+            cy0, cx0 = (r * 4) >> ss_y, (c * 4) >> ss_x
+            if cy0 + (px >> ss_y) <= h and cx0 + (px >> ss_x) <= w:
+                singles.setdefault(px, []).append((key, cy0, cx0))
+                continue
+        rest.append((key, leafs))
+    groups = dict(rest)
+
+    for px, items in singles.items():
+        ch, cw = px >> ss_y, px >> ss_x
+        ys = np.array([t[1] for t in items])
+        xs = np.array([t[2] for t in items])
+        ii = ys[:, None, None] + np.arange(ch)[None, :, None]
+        jj = xs[:, None, None] + np.arange(cw)[None, None, :]
+        L = ly[ii, jj]
+        npel = ch * cw
+        npl = max(npel.bit_length() - 1, 0)
+        avg = (L.sum(axis=(1, 2)) + (1 << npl >> 1)) >> npl
+        ac = L - avg[:, None, None]
+        var = (ac * ac).sum(axis=(1, 2)).astype(np.float64)
+        CU = u64[ii, jj]
+        CV = v64[ii, jj]
+        n = len(items)
+        alphas = np.zeros((2, n), np.int64)
+        gains = np.zeros(n, np.float64)
+        for pi, C in enumerate((CU, CV)):
+            res = C - C.mean(axis=(1, 2))[:, None, None]
+            sse_dc = (res * res).sum(axis=(1, 2))
+            dot = (ac * res).sum(axis=(1, 2))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                a0 = np.clip(np.rint(64.0 * dot / np.maximum(var, 1e-9)),
+                             -16, 16).astype(np.int64)
+            best_a = np.zeros(n, np.int64)
+            best_sse = sse_dc.copy()
+            cands = np.stack([a0, np.maximum(a0 - 1, -16),
+                              np.minimum(a0 + 1, 16)])
+            alpha_pen = lam_sse * (_CFL_ALPHA_BITS_X16 / 16.0)
+            for k in range(3):
+                cand = cands[k]
+                dup = np.zeros(n, bool)
+                for k2 in range(k):
+                    dup |= cands[k2] == cand
+                live = (cand != 0) & ~dup & (var > 0)
+                if not live.any():
+                    continue
+                acl = ac * cand[:, None, None]
+                p = np.sign(acl) * ((np.abs(acl) + 32) >> 6)
+                e = res - p
+                sse = (e * e).sum(axis=(1, 2)) + alpha_pen
+                upd = live & (sse < best_sse)
+                best_a[upd] = cand[upd]
+                best_sse[upd] = sse[upd]
+            alphas[pi] = best_a
+            gains += sse_dc - best_sse
+        bits = _CFL_SIGN_BITS_X16
+        for k, (key, _, _) in enumerate(items):
+            au, av = int(alphas[0][k]), int(alphas[1][k])
+            base = (uv_plan or {}).get(key, 0)
+            if var[k] <= 0:
+                if base:
+                    out[key] = (int(base), 0, 0)
+                continue
+            if (au or av) and gains[k] > lam_sse * (bits / 16.0):
+                out[key] = (13, au, av)
+            elif base:
+                out[key] = (int(base), 0, 0)
+
     for key, leafs in groups.items():
         acs, resus, resvs = [], [], []
         for (r, c, px) in leafs:

@@ -1,0 +1,435 @@
+"""Device (JAX/XLA) batch kernels for the spec encoder's RD pre-pass.
+
+Moves plan_luma's hot loops — batched intra prediction for every
+candidate mode, SATD, and the quant-aware RD stage (orthonormal DCT +
+quantizer + bit model) — onto the accelerator as a SINGLE jitted
+program per frame shape. All blocks of every searched size, all modes,
+and all transform sizes are evaluated together as large batched GEMMs
+and gathers (the MXU-friendly formulation of libaom's per-block intra
+RD, codec_aom.c:695-726 role). One device round-trip returns one packed
+f32 vector with every cost table; the partition/depth dynamic program
+stays on the host (tiny, decision-heavy).
+
+Numerics: SATD values are exact integers (< 2^24) in f32. The quant
+stage accumulates SSE/rate in f32 (the numpy reference uses f64); the
+resulting int costs can differ in ulps, which may flip near-tie RD
+decisions vs the host path. Output remains conformant AV1 either way —
+the planner only *chooses*; reconstruction stays spec-exact.
+
+Set LIBAVIF_TPU_DEVICE_RD=0 to force the numpy path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+from . import intra as I
+
+__all__ = ["plan_costs_device", "available"]
+
+
+def available() -> bool:
+    if os.environ.get("LIBAVIF_TPU_DEVICE_RD", "1") == "0":
+        return False
+    try:
+        import jax  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+# ----------------------------------------------------------- jit body
+
+
+def _hadamard(n):
+    h = np.array([[1]], dtype=np.float32)
+    h2 = np.array([[1, 1], [1, -1]], dtype=np.float32)
+    while h.shape[0] < n:
+        h = np.kron(h2, h)
+    return h
+
+
+_DIR_DELTAS = (-3, -2, -1, 1, 2, 3)
+
+
+def _dir_index_tables(mode, px, angle):
+    """Static gather index/shift tables for one directional (mode, angle)
+    at size px (mirrors rdsearch._directional; ext arrays are
+    [corner, border(2px), pad] so ref i -> i+1)."""
+    dr = I._dr_derivative()
+    h = w = px
+    ext_len = 1 + 2 * px + max(0, (w + h + 16) - 2 * px)
+    ii = np.arange(h).reshape(h, 1)
+    jj = np.arange(w).reshape(1, w)
+    if angle < 90:
+        dx = int(dr[angle])
+        idx = (ii + 1) * dx
+        base = np.minimum((idx >> 6) + jj, w + h - 1)
+        shift = np.broadcast_to((idx >> 1) & 0x1F, (h, w))
+        b0 = np.clip(base + 1, 0, ext_len - 1)
+        b1 = np.clip(base + 2, 0, ext_len - 1)
+        return ("a", b0, b1, shift, None, None, None, None)
+    if angle > 180:
+        dy = int(dr[270 - angle])
+        idx = (jj + 1) * dy
+        base = np.minimum((idx >> 6) + ii, w + h - 1)
+        shift = np.broadcast_to((idx >> 1) & 0x1F, (h, w))
+        b0 = np.clip(base + 1, 0, ext_len - 1)
+        b1 = np.clip(base + 2, 0, ext_len - 1)
+        return ("l", b0, b1, shift, None, None, None, None)
+    dx = int(dr[180 - angle])
+    dy = int(dr[angle - 90])
+    idx = (jj << 6) - (ii + 1) * dx
+    base = idx >> 6
+    shift = np.broadcast_to((idx >> 1) & 0x1F, (h, w))
+    b0 = np.clip(base + 1, 0, ext_len - 1)
+    b1 = np.clip(base + 2, 0, ext_len - 1)
+    idx2 = (ii << 6) - (jj + 1) * dy
+    base2 = idx2 >> 6
+    shift2 = np.broadcast_to((idx2 >> 1) & 0x1F, (h, w))
+    c0 = np.clip(base2 + 1, 0, ext_len - 1)
+    c1 = np.clip(base2 + 2, 0, ext_len - 1)
+    return ("b", b0, b1, shift, c0, c1, shift2, base >= -1)
+
+
+def _ortho_dct(n):
+    k = np.arange(n).reshape(-1, 1)
+    i = np.arange(n).reshape(1, -1)
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2)
+    return m.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled(H, W, speed, bd, nplanes_unused=0):
+    """Build + jit the whole-frame cost program for one frame shape."""
+    import jax
+    import jax.numpy as jnp
+    from jax.lax import Precision
+
+    from .rdsearch import (_MODE_BITS_X16, _ANGLE_BITS_X16, _COEF_NZ_X16,
+                           _COEF_MAG_X16, _TXB_RATE_X16, _LOG2_LUT,
+                           _valid_depths, speed_config)
+
+    cfg = speed_config(speed)
+    sizes = tuple(sorted(cfg["sizes"]))
+    cand_modes = tuple(sorted(int(m) for m in cfg["modes"]))
+    search_depth = speed <= 7
+    txs_cfg = tuple(sorted(
+        {px >> d for px in sizes for d in (_valid_depths(px) if search_depth else (0,))}
+    ))
+    all_px = tuple(sorted(set(sizes) | set(txs_cfg)))
+    base = 1 << (bd - 1)
+    sm_w = {k: v.astype(np.int32) for k, v in I._sm_weights().items()}
+    dir_modes = tuple(m for m in cand_modes if I.is_directional(m))
+
+    # layout of the packed output vector
+    layout = []   # (kind, key, shape)
+    off = 0
+
+    def reserve(kind, key, shape):
+        nonlocal off
+        n = int(np.prod(shape))
+        layout.append((kind, key, shape, off, off + n))
+        off += n
+
+    grid = {}
+    for px in all_px:
+        rows = -(-H // px)
+        cols = -(-W // px)
+        grid[px] = (rows, cols)
+        if px in sizes:
+            reserve("satd", px, (len(cand_modes), rows * cols))
+            if px * px >= 64 and dir_modes:
+                reserve("delta", px, (len(dir_modes), rows * cols))
+    for txs in txs_cfg:
+        rows, cols = grid[txs]
+        reserve("dist", txs, (len(cand_modes), rows * cols))
+        reserve("rate", txs, (len(cand_modes), rows * cols))
+    total = off
+
+    def borders(p, px):
+        """blocks (n,px,px) i32, above (n,2px), left (n,2px), corner (n,)."""
+        rows, cols = grid[px]
+        Hp, Wp = rows * px, cols * px
+        blocks = p.reshape(rows, px, cols, px).transpose(0, 2, 1, 3)
+        pr = jnp.concatenate([p, jnp.repeat(p[:, -1:], px, axis=1)], axis=1)
+        # above rows at y = k*px - 1 (k>=1); windows of 2px at col c*px
+        ys = np.arange(1, rows) * px - 1
+        cols_idx = (np.arange(cols) * px)[:, None] + np.arange(2 * px)[None, :]
+        above = pr[ys][:, cols_idx]                     # (rows-1, cols, 2px)
+        above = jnp.concatenate(
+            [jnp.full((1, cols, 2 * px), base, jnp.int32), above], axis=0)
+        pb = jnp.concatenate([p, jnp.repeat(p[-1:, :], px, axis=0)], axis=0)
+        xs = np.arange(1, cols) * px - 1
+        rows_idx = (np.arange(rows) * px)[:, None] + np.arange(2 * px)[None, :]
+        left = pb[:, xs][rows_idx]                      # (rows, 2px, cols-1)
+        left = left.transpose(0, 2, 1)                  # (rows, cols-1, 2px)
+        left = jnp.concatenate(
+            [jnp.full((rows, 1, 2 * px), base, jnp.int32), left], axis=1)
+        corner = p[ys][:, xs]                           # (rows-1, cols-1)
+        corner = jnp.concatenate(
+            [jnp.full((1, cols - 1), base, jnp.int32), corner], axis=0)
+        corner = jnp.concatenate(
+            [jnp.full((rows, 1), base, jnp.int32), corner], axis=1)
+        n = rows * cols
+        return (blocks.reshape(n, px, px), above.reshape(n, 2 * px),
+                left.reshape(n, 2 * px), corner.reshape(n))
+
+    def predict(mode, above, left, corner, px, angle=None):
+        n = above.shape[0]
+        h = w = px
+        if mode == I.DC_PRED:
+            s = above[:, :w].sum(1) + left[:, :h].sum(1)
+            return ((s + ((w + h) >> 1)) // (w + h))[:, None, None] * jnp.ones(
+                (1, h, w), jnp.int32)
+        if mode == I.V_PRED:
+            return jnp.broadcast_to(above[:, None, :w], (n, h, w))
+        if mode == I.H_PRED:
+            return jnp.broadcast_to(left[:, :h, None], (n, h, w))
+        if mode == I.PAETH_PRED:
+            a = above[:, None, :w]
+            l = left[:, :h, None]
+            c = corner[:, None, None]
+            bse = a + l - c
+            pa = jnp.abs(bse - a)
+            pl = jnp.abs(bse - l)
+            pc = jnp.abs(bse - c)
+            return jnp.where((pa <= pl) & (pa <= pc),
+                             jnp.broadcast_to(a, (n, h, w)),
+                             jnp.where(pl <= pc, jnp.broadcast_to(l, (n, h, w)),
+                                       jnp.broadcast_to(c, (n, h, w))))
+        if mode in I.SMOOTH_MODES:
+            a = above[:, None, :w]
+            l = left[:, :h, None]
+            below = left[:, h - 1][:, None, None]
+            right = above[:, w - 1][:, None, None]
+            if mode == I.SMOOTH_PRED:
+                wy = sm_w[h].reshape(1, h, 1)
+                wx = sm_w[w].reshape(1, 1, w)
+                s = wy * a + (256 - wy) * below + wx * l + (256 - wx) * right
+                return (s + 256) >> 9
+            if mode == I.SMOOTH_V_PRED:
+                wy = sm_w[h].reshape(1, h, 1)
+                return (wy * a + (256 - wy) * below + 128) >> 8
+            wx = sm_w[w].reshape(1, 1, w)
+            return (wx * l + (256 - wx) * right + 128) >> 8
+        # directional
+        if angle is None:
+            angle = I.MODE_TO_ANGLE[mode]
+        kind, b0, b1, shift, c0, c1, shift2, use_a = _dir_index_tables(
+            mode, px, angle)
+        ext_a = jnp.concatenate(
+            [corner[:, None], above,
+             jnp.repeat(above[:, -1:], max(0, (w + h + 16) - 2 * px), axis=1)],
+            axis=1)
+        ext_l = jnp.concatenate(
+            [corner[:, None], left,
+             jnp.repeat(left[:, -1:], max(0, (w + h + 16) - 2 * px), axis=1)],
+            axis=1)
+        sh = jnp.asarray(shift, jnp.int32)
+        if kind == "a":
+            v = (ext_a[:, b0] * (32 - sh) + ext_a[:, b1] * sh + 16) >> 5
+        elif kind == "l":
+            v = (ext_l[:, b0] * (32 - sh) + ext_l[:, b1] * sh + 16) >> 5
+        else:
+            sh2 = jnp.asarray(shift2, jnp.int32)
+            va = (ext_a[:, b0] * (32 - sh) + ext_a[:, b1] * sh + 16) >> 5
+            vl = (ext_l[:, c0] * (32 - sh2) + ext_l[:, c1] * sh2 + 16) >> 5
+            v = jnp.where(jnp.asarray(use_a)[None], va, vl)
+        return jnp.clip(v, 0, (1 << bd) - 1)
+
+    H8 = jnp.asarray(_hadamard(8))
+    H4 = jnp.asarray(_hadamard(4))
+    log2_lut = jnp.asarray(_LOG2_LUT)
+
+    def satd(res, px):
+        t = min(8, px)
+        Hm = H8 if t == 8 else H4
+        n = res.shape[0]
+        r = res.astype(jnp.float32).reshape(n, px // t, t, px // t, t)
+        r = r.transpose(0, 1, 3, 2, 4).reshape(-1, t, t)
+        tr = jnp.einsum("ab,nbc,dc->nad", Hm, r, Hm,
+                        precision=Precision.HIGHEST)
+        s = jnp.abs(tr).astype(jnp.int32).reshape(n, -1).sum(axis=1)
+        return s // (t * 2)
+
+    dct_m = {txs: jnp.asarray(_ortho_dct(min(txs, 64))) for txs in txs_cfg}
+
+    def quant_cost(res, txs, qs, rq):
+        """dist (n,), rate_x16 (n,) as f32 (txs <= 32 in practice)."""
+        n = res.shape[0]
+        M = dct_m[txs]
+        c = jnp.einsum("ab,nbc,dc->nad", M, res.astype(jnp.float32), M,
+                       precision=Precision.HIGHEST)
+        if txs > 32:
+            dropped = (c * c).reshape(n, -1).sum(1) - (
+                c[:, :32, :32] ** 2).reshape(n, -1).sum(1)
+            c = c[:, :32, :32]
+        else:
+            dropped = 0.0
+        lv = jnp.round(c * rq)
+        err = c - lv * qs
+        dist = (err * err).reshape(n, -1).sum(1) + dropped
+        alv = jnp.abs(lv)
+        ilv = jnp.minimum(alv, 4095).astype(jnp.int32)
+        rate = ((ilv > 0).reshape(n, -1).sum(1).astype(jnp.float32)
+                * np.float32(_COEF_NZ_X16)
+                + log2_lut[ilv].reshape(n, -1).sum(1) * np.float32(_COEF_MAG_X16)
+                + np.float32(_TXB_RATE_X16))
+        return dist, rate
+
+    def body(src, lam_x16, qs_list, rq_list):
+        out = jnp.zeros((total,), jnp.float32)
+        pads = {}
+        for px in all_px:
+            rows, cols = grid[px]
+            ph, pw = rows * px, cols * px
+            p = src
+            if ph > H:
+                p = jnp.concatenate([p, jnp.repeat(p[-1:], ph - H, axis=0)], 0)
+            if pw > W:
+                p = jnp.concatenate([p, jnp.repeat(p[:, -1:], pw - W, axis=1)], 1)
+            pads[px] = p
+
+        bordered = {px: borders(pads[px], px) for px in all_px}
+
+        for (kind, key, shape, lo, hi) in layout:
+            if kind == "satd":
+                px = key
+                blocks, above, left, corner = bordered[px]
+                use_angle = px * px >= 64
+                rowsv = []
+                for m in cand_modes:
+                    pred = predict(m, above, left, corner, px)
+                    cst = satd(blocks - pred, px)
+                    bits = _MODE_BITS_X16[m]
+                    if I.is_directional(m) and use_angle:
+                        bits += _ANGLE_BITS_X16
+                    rowsv.append(cst + ((lam_x16 * bits) >> 4))
+                out = out.at[lo:hi].set(
+                    jnp.stack(rowsv).astype(jnp.float32).reshape(-1))
+            elif kind == "delta":
+                px = key
+                blocks, above, left, corner = bordered[px]
+                rowsv = []
+                for m in dir_modes:
+                    basea = I.MODE_TO_ANGLE[m]
+                    costs = [satd(blocks - predict(m, above, left, corner, px), px)]
+                    dts = [0]
+                    for d in _DIR_DELTAS:
+                        pred = predict(m, above, left, corner, px,
+                                       angle=basea + 3 * d)
+                        costs.append(satd(blocks - pred, px))
+                        dts.append(d)
+                    st = jnp.stack(costs)          # (7, n)
+                    bi = jnp.argmin(st, axis=0)
+                    rowsv.append(jnp.asarray(np.array(dts, np.int32))[bi])
+                out = out.at[lo:hi].set(
+                    jnp.stack(rowsv).astype(jnp.float32).reshape(-1))
+            elif kind == "dist":
+                txs = key
+                blocks, above, left, corner = bordered[txs]
+                qs = qs_list[txs_cfg.index(txs)]
+                rq = rq_list[txs_cfg.index(txs)]
+                dists = []
+                rates = []
+                for m in cand_modes:
+                    pred = predict(m, above, left, corner, txs)
+                    dist, rate = quant_cost(blocks - pred, txs, qs, rq)
+                    dists.append(dist)
+                    rates.append(rate)
+                out = out.at[lo:hi].set(jnp.stack(dists).reshape(-1))
+                # matching rate entry comes right after in layout
+                (k2, key2, shape2, lo2, hi2) = layout[
+                    [i for i, e in enumerate(layout)
+                     if e[0] == "rate" and e[1] == txs][0]]
+                out = out.at[lo2:hi2].set(jnp.stack(rates).reshape(-1))
+            # "rate" handled with dist
+        return out
+
+    fn = jax.jit(body)
+    meta = dict(layout=layout, total=total, sizes=sizes, txs_cfg=txs_cfg,
+                cand_modes=cand_modes, dir_modes=dir_modes, grid=grid)
+    return fn, meta
+
+
+def plan_costs_device(src: np.ndarray, qindex: int, speed: int, bd: int):
+    """Run the whole-frame cost program. Returns dict with:
+    satd[px] -> (nmodes, rows, cols) int64 cost (SATD + lambda*rate),
+    delta[px] -> (ndirmodes, rows, cols) int angle-delta argmin,
+    qcost[txs][mode] -> (rows, cols) int64, plus 'cand_modes'/'dir_modes'.
+    None when no device / disabled / unsupported shape."""
+    if not available():
+        return None
+    from .rdsearch import _quant_ctx, _valid_depths, speed_config
+    from . import tables as T
+
+    try:
+        import jax
+        import jax.numpy as jnp
+    except Exception:
+        return None
+    H, W = src.shape
+    # Each frame shape compiles its own XLA program (~seconds). Only
+    # worth it for real frames; small images (and the test suite's tiny
+    # fixtures) stay on the numpy path. Override via env for testing.
+    min_pels = int(os.environ.get("LIBAVIF_TPU_DEVICE_RD_MIN_PELS", "131072"))
+    if H < 8 or W < 8 or H * W < min_pels:
+        return None
+    try:
+        fn, meta = _compiled(H, W, speed, bd)
+    except Exception:
+        return None
+    cfg = speed_config(speed)
+    lam_x16 = max(1, T.ac_q(qindex, bd) >> 1)
+    dcq = T.dc_q(qindex, bd)
+    acq = T.ac_q(qindex, bd)
+    step16 = float(acq) * __import__(
+        "libavif_tpu.codec.av1.rdsearch", fromlist=["_tx_gain"])._tx_gain(16)
+    from .rdsearch import _LAM_RD_C
+
+    lam_sse_x16 = max(1, int(round(_LAM_RD_C * step16 * step16 * 16)))
+    qs_list = []
+    rq_list = []
+    for txs in meta["txs_cfg"]:
+        _, _, qs, rq = _quant_ctx(txs, dcq, acq)
+        qs_list.append(jnp.asarray(qs))
+        rq_list.append(jnp.asarray(rq))
+    try:
+        out = fn(jnp.asarray(src.astype(np.int32)), np.int32(lam_x16),
+                 tuple(qs_list), tuple(rq_list))
+        flat = np.asarray(out)
+    except Exception:
+        return None
+    res = {"satd": {}, "delta": {}, "qcost": {},
+           "cand_modes": list(meta["cand_modes"]),
+           "dir_modes": list(meta["dir_modes"]),
+           "lam_sse_x16": lam_sse_x16}
+    for (kind, key, shape, lo, hi) in meta["layout"]:
+        arr = flat[lo:hi].reshape(shape)
+        rows, cols = meta["grid"][key]
+        if kind == "satd":
+            res["satd"][key] = arr.astype(np.int64).reshape(-1, rows, cols)
+        elif kind == "delta":
+            res["delta"][key] = arr.astype(np.int64).reshape(-1, rows, cols)
+        elif kind == "dist":
+            res.setdefault("_dist", {})[key] = arr
+        elif kind == "rate":
+            res.setdefault("_rate", {})[key] = arr
+    for txs in meta["txs_cfg"]:
+        dist = res["_dist"][txs].astype(np.float64)
+        rate = res["_rate"][txs].astype(np.float64)
+        rows, cols = meta["grid"][txs]
+        cost = np.rint(dist + (lam_sse_x16 * rate) / 256.0).astype(np.int64)
+        res["qcost"][txs] = {
+            m: cost[i].reshape(rows, cols)
+            for i, m in enumerate(meta["cand_modes"])
+        }
+    res.pop("_dist", None)
+    res.pop("_rate", None)
+    return res
