@@ -773,10 +773,12 @@ def _inter_block_mode_info(
                 compound_type = COMPOUND_AVERAGE
         else:
             if bsize in WEDGE_SIZES:
-                use_wedge = dec.decode_symbol(
+                # §5.11.29 / aom: type = COMPOUND_WEDGE + S() — symbol 0
+                # is WEDGE, symbol 1 DIFFWTD
+                ct_sym = dec.decode_symbol(
                     cdf.compound_type[bsize], 2, adapt=d.adapt, what="compound_type"
                 )
-                compound_type = COMPOUND_WEDGE if use_wedge else COMPOUND_DIFFWTD
+                compound_type = COMPOUND_DIFFWTD if ct_sym else COMPOUND_WEDGE
             else:
                 compound_type = COMPOUND_DIFFWTD
             if compound_type == COMPOUND_WEDGE:

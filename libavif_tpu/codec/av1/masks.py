@@ -91,14 +91,20 @@ def _codebook(bsize: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _signflip(bsize: int) -> tuple:
-    """Per-index sign normalization: flip so the sign-0 mask's mean weight
-    does not exceed half (the convention libaom/dav1d establish when
-    building their mask banks)."""
+    """Per-index sign normalization, matching libaom init_wedge_signs
+    exactly: aom averages the COMPLEMENT bank's first row + first column
+    (avg = (sum + (w+h-1)/2) / (w+h-1), integer) and sets its flip to
+    (avg < 32); its bank[1] holds the master and bank[0] the complement,
+    and the final mask is bank[sign ^ flip]. In our master-based
+    convention (master kept when sign == _signflip) that works out to
+    _signflip = 1 - aom_flip."""
     w, h = B.BLOCK_DIMS[bsize]
     flips = []
     for idx in range(16):
-        m = _cut_mask(bsize, idx)
-        flips.append(int(m.mean() > 32))
+        m = 64 - _cut_mask(bsize, idx)  # aom bank[0] = complement
+        s = int(m[0, :].sum() + m[1:, 0].sum())
+        avg = (s + (w + h - 1) // 2) // (w + h - 1)
+        flips.append(1 - int(avg < 32))
     return tuple(flips)
 
 
