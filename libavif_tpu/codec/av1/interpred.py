@@ -113,9 +113,10 @@ def _predict_one(d, plane, x, y, w, h, mvs, rf, filters, compound_idx, b=None):
                 mask = b["seg_mask"]
         if plane:
             mask = MK.subsample_mask(mask, sx, sy)
-        inter = (p0 * mask + (64 - mask) * p1 + 32) >> 6
+        # §7.11.3.14: ONE Round2 at (6 + InterPostRound) — a two-step
+        # Round2(·,6) then Round2(·,post) double-rounds and drifts ±1
         post = 2 * MC.FILTER_BITS - MC._rounding(d.bd, True)[0] - 7
-        out = MC._round2(inter, post)
+        out = MC._round2(p0 * mask + (64 - mask) * p1, 6 + post)
         return np.clip(out, 0, maxpx).astype(np.int32)
     if compound_idx:
         weights = (8, 8)

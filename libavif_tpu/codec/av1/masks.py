@@ -104,7 +104,7 @@ def _signflip(bsize: int) -> tuple:
         m = 64 - _cut_mask(bsize, idx)  # aom bank[0] = complement
         s = int(m[0, :].sum() + m[1:, 0].sum())
         avg = (s + (w + h - 1) // 2) // (w + h - 1)
-        flips.append(1 - int(avg < 32))
+        flips.append(int(avg < 32))
     return tuple(flips)
 
 
