@@ -219,7 +219,9 @@ def _apply_cdef_native(dec, _dir_cache) -> bool:
         planes.append(arr)
     while len(planes) < 3:
         planes.append(planes[0])  # unused slot
-    geom = [n_planes, dec.ss_x, dec.ss_y, dec.bd, c.damping,
+    # high-bitdepth damping: strengths scale by << (bd-8), and so does the
+    # damping (aom cdef.c coeff_shift / dav1d cdef_apply bitdepth_min_8)
+    geom = [n_planes, dec.ss_x, dec.ss_y, dec.bd, c.damping + (dec.bd - 8),
             hdr.mi_rows, hdr.mi_cols]
     for p in range(3):
         src = dec.planes[min(p, n_planes - 1)]
@@ -345,7 +347,7 @@ def apply_cdef(dec, _dir_cache=None) -> None:
         sy = dec.ss_y if plane else 0
         if plane == 0:
             pri0, sec0 = y_pri0, y_sec0
-            damping = c.damping
+            damping = c.damping + (bd - 8)  # aom coeff_shift rule
             # luma: primary strength adjusted by direction variance
             i_adj = np.minimum(_ulog2_vec(var >> 6), 12)
             pri = np.where(var > 0, (pri0 * (4 + i_adj) + 8) >> 4, 0)
@@ -353,7 +355,7 @@ def apply_cdef(dec, _dir_cache=None) -> None:
             pdir = np.where(pri0 > 0, dirs, 0)  # dir only searched when pri>0
         else:
             pri0, sec0 = uv_pri0, uv_sec0
-            damping = c.damping - 1
+            damping = c.damping + (bd - 8) - 1
             pri = pri0
             if sx and not sy:
                 pdir = _UV_DIR_422[dirs]

@@ -37,6 +37,7 @@ from . import transforms as TXF
 from .decode import (
     COEFF_BASE_RANGE,
     EXT_TX_INV,
+    INTER_EXT_TX_INV,
     MODE_TO_TXFM,
     NUM_BASE_LEVELS,
     TX_CLASS_2D,
@@ -562,6 +563,58 @@ class LossyPlanner(LosslessPlanner):
         dq_shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
         cw, chh = min(txw, 32), min(txh, 32)
 
+        # inter blocks (§5.11.47 inter sets): luma codes DCT (v1 search);
+        # chroma copies the co-located luma type restricted to its set —
+        # mirror of decode._tx_type_inter so recon matches a conformant
+        # decoder
+        d = getattr(self, "dec", None)
+        if d is not None and d.block.get("is_inter", False):
+            sqr_up = min(max(txw, txh), 64)
+            sqr = min(txw, txh)
+            if sqr_up > 32:
+                itx_set = 0
+            elif self.hdr.reduced_tx_set or sqr_up == 32:
+                itx_set = 3
+            elif sqr == 16:
+                itx_set = 2
+            else:
+                itx_set = 1
+            if plane == 0 or itx_set == 0:
+                tx_type = TXF.DCT_DCT
+            else:
+                mr = max(d.block["r"], (y << d.ss_y) >> 2)
+                mc = max(d.block["c"], (x << d.ss_x) >> 2)
+                t = int(d.txtype_mi[min(mr, self.hdr.mi_rows - 1),
+                                    min(mc, self.hdr.mi_cols - 1)])
+                tx_type = t if t in INTER_EXT_TX_INV[itx_set] else TXF.DCT_DCT
+            levels, _ = forward_levels(
+                res, txw, txh, tx_type, dcq, acq, dq_shift,
+                lam_sse=self.lam_sse, scan=self._scan_for(tx_type, cw, chh),
+            )
+            self.last_tx_type = tx_type
+            if self.native_txb:
+                self.last_levels = np.ascontiguousarray(
+                    levels.reshape(-1), dtype=np.int64
+                )
+                self.script = []
+                self.pos = 0
+                return
+            tx_sym = None
+            if plane == 0 and itx_set and d.block["qindex"] > 0:
+                tx_sym = INTER_EXT_TX_INV[itx_set].index(tx_type)
+            self.script = self._script_txb_sized(
+                levels, txw, txh, plane, 0, tx_type, tx_sym=tx_sym
+            )
+            self.pos = 0
+            # luma records its type for chroma's compute_tx_type lookup
+            # (the scripted path bypasses decode's fused recorder; eob==0
+            # txbs record DCT, matching _coeffs' early return)
+            if plane == 0:
+                tt = tx_type if levels.any() else TXF.DCT_DCT
+                d.txtype_mi[y >> 2 : (y + txh) >> 2,
+                            x >> 2 : (x + txw) >> 2] = tt
+            return
+
         # transform-type decision (§5.11.47 sets): chroma derives its type
         # from the uv mode (compute_tx_type) so the forward MUST match the
         # inverse a conformant decoder applies; luma RD-searches the
@@ -624,7 +677,7 @@ class LossyPlanner(LosslessPlanner):
         self.pos = 0
 
     def _script_txb_sized(self, levels, txw, txh, plane, tx_set,
-                          tx_type=TXF.DCT_DCT) -> list:
+                          tx_type=TXF.DCT_DCT, tx_sym=None) -> list:
         cw, chh = min(txw, 32), min(txh, 32)
         scan = self._scan_for(tx_type, cw, chh)
         flat = levels.flatten()
@@ -633,7 +686,9 @@ class LossyPlanner(LosslessPlanner):
         if not nz:
             return [("sym", 1)]
         script = [("sym", 0)]
-        if plane == 0 and tx_set > 0:
+        if tx_sym is not None:  # inter: caller-resolved inter-set index
+            script.append(("sym", tx_sym))
+        elif plane == 0 and tx_set > 0:
             script.append(("sym", EXT_TX_INV[tx_set].index(tx_type)))
         eob = nz[-1] + 1
         if eob <= 2:
@@ -1043,9 +1098,33 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
     w(0, 1)  # render_and_frame_size_different
     if allow_scc:
         w(0, 1)  # allow_intrabc = 0 (allow_screen path reads this bit)
+    coded_w = (seq.max_frame_width * 8 + superres_denom // 2) // superres_denom
+    _write_header_tail(
+        w, seq, base_q_idx, coded_w,
+        tx_mode_select=tx_mode_select, segmentation=segmentation,
+        enable_lr=enable_lr, enable_cdef=enable_cdef,
+        tile_cols_log2=tile_cols_log2, tile_rows_log2=tile_rows_log2,
+        cdef_strengths=cdef_strengths, film_grain=film_grain,
+        lf_levels=lf_levels,
+    )
+    s.flush_bits()
+    return s.data()
+
+
+def _write_header_tail(w, seq: SequenceHeader, base_q_idx: int, coded_w: int,
+                       *, tx_mode_select=True, segmentation=None,
+                       enable_lr=False, enable_cdef=False,
+                       tile_cols_log2=0, tile_rows_log2=0,
+                       cdef_strengths=None, film_grain=None,
+                       lf_levels=None, is_inter=False) -> None:
+    """Shared uncompressed-header tail (§5.9.2 from tile_info to
+    trailing film grain): tile info, quantization, segmentation,
+    delta-q/lf, loop filter, CDEF, LR, tx_mode — plus the inter-only
+    reference_select and identity global-motion fields when `is_inter`.
+    Mirror of headers.parse_frame_header's tail for the configurations we
+    emit."""
     # tile info: uniform spacing, smallest tile counts — over the CODED
     # (post-downscale) geometry
-    coded_w = (seq.max_frame_width * 8 + superres_denom // 2) // superres_denom
     mi_cols = 2 * ((coded_w + 7) >> 3)
     mi_rows = 2 * ((seq.max_frame_height + 7) >> 3)
     sb_shift = 5 if seq.use_128x128_superblock else 4
@@ -1152,11 +1231,19 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
             if not seq.monochrome and seq.subsampling_x and seq.subsampling_y:
                 w(0, 1)  # lr_uv_shift (chroma units 64 too)
         w(1 if tx_mode_select else 0, 1)  # tx_mode
+    if is_inter:
+        assert base_q_idx > 0, "inter frames are never coded lossless here"
+        w(0, 1)  # frame_reference_mode: single reference only (§5.9.23)
+        # skip_mode_params: no bit (requires reference_select + order hints)
+        # allow_warped_motion: no bit (seq.enable_warped_motion off)
+        assert not seq.enable_warped_motion and not seq.enable_order_hint
     w(0, 1)  # reduced_tx_set
+    if is_inter:
+        # global_motion_params (§5.9.24): identity for every reference
+        for _ in range(7):
+            w(0, 1)  # is_global
     if seq.film_grain_params_present:
         _write_film_grain(w, film_grain, seq)
-    s.flush_bits()
-    return s.data()
 
 
 def _write_film_grain(w, fg, seq: SequenceHeader) -> None:

@@ -370,6 +370,7 @@ def _read_mv(d, pred_mv, nmv=None) -> tuple:
     dec = d.dec
     if nmv is None:
         nmv = d.cdf.nmv
+    d.cur_mv_pred = pred_mv  # encoder-planner hook (interenc.InterPlanner)
     joint = dec.decode_symbol(nmv.joints, 4, adapt=d.adapt, what="mv_joint")
     diff_row = _read_mv_component(d, 0, nmv) if joint in (2, 3) else 0
     diff_col = _read_mv_component(d, 1, nmv) if joint in (1, 3) else 0
@@ -604,6 +605,7 @@ def _inter_block_mode_info(
     rf = _read_ref_frames(d, r, c, bsize, seg_id, skip_mode)
     is_compound = rf[1] > R.INTRA_FRAME
     mvctx = M.find_mv_stack(d, r, c, bsize, rf, is_compound)
+    d.cur_mvctx = mvctx  # encoder-planner hook (interenc.InterPlanner)
 
     # ---- Y mode (§5.11.24)
     if skip_mode:

@@ -1,0 +1,440 @@
+"""Inter-frame (animation) spec-AV1 encoding.
+
+Role of the reference's sequence encode path (codec_aom.c:656-1351 +
+write.c:2104-2114, where libaom inter-codes animation samples): frame 0
+is a KEY frame, later frames INTER-code against the previous
+reconstruction — single reference (LAST), translational motion
+(NEWMV / NEARESTMV / GLOBALMV), fixed EIGHTTAP filters, no compound.
+
+The encoder drives the shared FrameDecoder through the MirrorCoder
+exactly like the still encoder (encode.py `_encode_still`): the plan
+only answers the decoder's symbol queries, so the bitstream is
+consistent-by-construction with the (dav1d-verified) decode stack, and
+the reconstruction that lands in the reference store is bit-identical
+to what a conformant decoder computes.
+
+Bitstream shape (chosen so every syntax path stays in the verified
+subset):
+  - sequence header: not-still, order hints DISABLED, no warped motion /
+    dual filter / interintra / masked compound / jnt_comp / ref-mvs
+  - inter frames: primary_ref_frame = NONE (fresh default CDFs, like
+    error-resilient streams), refresh slot 0, all 7 ref indices -> 0,
+    quarter-pel MVs (allow_high_precision_mv = 0), single tile,
+    reference_select = 0, identity global motion
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...constants import AvifError, Result
+from ...containers.obu import (
+    SequenceHeader,
+    parse_sequence_header,
+    write_obu,
+    write_sequence_header,
+)
+from ...utils.streams import RWStream
+from . import blocks as B
+from . import refs as R
+from .decode import FrameDecoder, TileContexts
+from .encode import (
+    MirrorCoder,
+    NativeMsacEncoder,
+    RDPlanner,
+    _enc_tile_native,
+    _make_tile_encoder,
+    _search_cdef,
+    _search_lf,
+    _write_header_tail,
+)
+from .headers import parse_frame_header
+from .still import OBU_FRAME, OBU_SEQUENCE_HEADER, OBU_TEMPORAL_DELIMITER
+
+# ------------------------------------------------------------ headers
+
+
+def _sequence_header(w: int, h: int, *, monochrome, subsampling_x,
+                     subsampling_y, bit_depth, color_primaries,
+                     transfer_characteristics, matrix_coefficients,
+                     color_range, enable_cdef) -> SequenceHeader:
+    """Animation sequence header (§5.5): the restricted toolset above."""
+    if bit_depth == 12:
+        profile = 2
+    elif monochrome or (subsampling_x and subsampling_y):
+        profile = 0
+    elif not subsampling_x and not subsampling_y:
+        profile = 1
+    else:
+        profile = 2
+    return SequenceHeader(
+        seq_profile=profile,
+        still_picture=False,
+        reduced_still_picture_header=False,
+        high_bitdepth=bit_depth > 8,
+        twelve_bit=bit_depth == 12,
+        max_frame_width=w,
+        max_frame_height=h,
+        frame_width_bits=16,
+        frame_height_bits=16,
+        use_128x128_superblock=False,
+        enable_filter_intra=False,
+        enable_intra_edge_filter=True,
+        enable_interintra_compound=False,
+        enable_masked_compound=False,
+        enable_warped_motion=False,
+        enable_dual_filter=False,
+        enable_order_hint=False,
+        force_screen_content_tools=0,
+        force_integer_mv=0,
+        enable_superres=False,
+        enable_cdef=enable_cdef,
+        enable_restoration=False,
+        monochrome=monochrome,
+        color_description_present=True,
+        color_primaries=color_primaries,
+        transfer_characteristics=transfer_characteristics,
+        matrix_coefficients=matrix_coefficients,
+        color_range=color_range,
+        subsampling_x=subsampling_x if not monochrome else 1,
+        subsampling_y=subsampling_y if not monochrome else 1,
+        chroma_sample_position=0,
+        separate_uv_delta_q=False,
+        film_grain_params_present=False,
+    )
+
+
+def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
+                            base_q_idx: int, *, enable_cdef=False,
+                            cdef_strengths=None, lf_levels=None) -> bytes:
+    """Non-reduced uncompressed header (§5.9.2) for a KEY or INTER frame
+    in our animation configuration (mirror of headers.parse_frame_header;
+    the caller re-parses the bytes to guarantee agreement)."""
+    s = RWStream()
+    w = s.write_bits
+    is_inter = frame_type == R.INTER_FRAME
+    w(0, 1)  # show_existing_frame
+    w(frame_type, 2)
+    w(1, 1)  # show_frame
+    # error_resilient_mode: implied 1 for shown KEY frames, else written
+    if is_inter:
+        w(0, 1)
+    w(0, 1)  # disable_cdf_update
+    # allow_screen_content_tools: no bit (seq.force_screen_content_tools=0)
+    w(0, 1)  # frame_size_override_flag
+    # order_hint: no bits (enable_order_hint off)
+    if is_inter:
+        w(7, 3)  # primary_ref_frame = PRIMARY_REF_NONE (fresh CDFs)
+        w(0x01, 8)  # refresh_frame_flags: slot 0 holds the last recon
+        for _ in range(7):
+            w(0, 3)  # ref_frame_idx[i] = 0 (every name maps to LAST recon)
+        # frame size from seq max dims (override=0), no superres bits
+        w(0, 1)  # render_and_frame_size_different
+        w(0, 1)  # allow_high_precision_mv = 0 (quarter-pel)
+        w(0, 1)  # is_filter_switchable = 0
+        w(0, 2)  # interpolation_filter = EIGHTTAP
+        w(0, 1)  # is_motion_mode_switchable = 0
+        # use_ref_frame_mvs: no bit (seq.enable_ref_frame_mvs off)
+    else:
+        # KEY: primary_ref/refresh implied; frame size + render size
+        w(0, 1)  # render_and_frame_size_different
+        # allow_intrabc: no bit (allow_screen_content_tools = 0)
+    w(1, 1)  # disable_frame_end_update_cdf (primary_ref NONE anyway)
+    _write_header_tail(
+        w, seq, base_q_idx, seq.max_frame_width,
+        tx_mode_select=True, enable_cdef=enable_cdef,
+        cdef_strengths=cdef_strengths, lf_levels=lf_levels,
+        is_inter=is_inter,
+    )
+    s.flush_bits()
+    return s.data()
+
+
+# ------------------------------------------------------------ planning
+
+INTER_BLOCK_PX = 16  # fixed translational grid (mi units: 4)
+
+
+def _sad(a, b) -> int:
+    return int(np.abs(a.astype(np.int32) - b.astype(np.int32)).sum())
+
+
+def _ref_block(ref: np.ndarray, y: int, x: int, h: int, w: int) -> np.ndarray:
+    """Full-pel motion-compensated block with edge extension (§7.11.3
+    clamps reads to the reference bounds, which for integer MVs equals
+    clamped-index gather)."""
+    rh, rw = ref.shape
+    rows = np.clip(np.arange(y, y + h), 0, rh - 1)
+    cols = np.clip(np.arange(x, x + w), 0, rw - 1)
+    return ref[np.ix_(rows, cols)]
+
+
+def plan_inter_luma(src: np.ndarray, ref: np.ndarray, qindex: int,
+                    speed: int) -> dict:
+    """Per-16x16-cell motion plan: {(mi_r, mi_c): (is_inter, mv8r, mv8c)}.
+
+    Diamond full-pel search (role of libaom's fullpel motion search behind
+    codec_aom.c's rate control) seeded from the left/above neighbours,
+    then an intra/inter decision against a DC-prediction SAD proxy."""
+    h, w = src.shape
+    src = src.astype(np.int32)
+    ref = ref.astype(np.int32)
+    plan: dict = {}
+    prev_row_mv: dict = {}
+    max_step = 16 if speed <= 6 else 8
+    for by in range(0, h, INTER_BLOCK_PX):
+        left_mv = (0, 0)
+        for bx in range(0, w, INTER_BLOCK_PX):
+            bh = min(INTER_BLOCK_PX, h - by)
+            bw = min(INTER_BLOCK_PX, w - bx)
+            blk = src[by : by + bh, bx : bx + bw]
+            cands = {(0, 0), left_mv, prev_row_mv.get(bx, (0, 0))}
+            best_mv, best = (0, 0), None
+            for mv in cands:
+                d = _sad(blk, _ref_block(ref, by + mv[0], bx + mv[1], bh, bw))
+                if best is None or d < best:
+                    best, best_mv = d, mv
+            step = max_step
+            while step >= 1:
+                improved = True
+                while improved:
+                    improved = False
+                    for dy, dx in ((-step, 0), (step, 0), (0, -step), (0, step)):
+                        mv = (best_mv[0] + dy, best_mv[1] + dx)
+                        d = _sad(
+                            blk, _ref_block(ref, by + mv[0], bx + mv[1], bh, bw)
+                        )
+                        if d < best:
+                            best, best_mv = d, mv
+                            improved = True
+                step //= 2
+            # intra proxy: DC prediction residual
+            sad_dc = int(np.abs(blk - int(np.round(blk.mean()))).sum())
+            # a quarter of the DC SAD as a flat rate bias toward inter:
+            # inter blocks code fewer mode/coef bits at equal distortion
+            is_inter = best <= sad_dc + (sad_dc >> 2)
+            left_mv = best_mv
+            prev_row_mv[bx] = best_mv
+            plan[(by >> 2, bx >> 2)] = (
+                int(is_inter), best_mv[0] * 8, best_mv[1] * 8
+            )
+    return plan
+
+
+class InterPlanner(RDPlanner):
+    """RDPlanner overlay for INTER frames: fixed 16x16 partition, per-cell
+    intra/inter decision and translational MVs from `plan_inter_luma`;
+    intra cells reuse the RD plan's modes; residual scripting inherited
+    (LossyPlanner.begin_txb computes inter tx sets from dec.block)."""
+
+    def __init__(self, sources, hdr, seq, qindex, speed, iplan):
+        super().__init__(sources, hdr, seq, qindex, speed)
+        self.iplan = iplan
+        self._mv_queue: list = []
+        self._mode = None
+
+    # mv helpers -------------------------------------------------------
+
+    def _cell(self):
+        r, c, _ = self.dec.block_pos
+        return self.iplan.get((r - r % 4, c - c % 4), (0, 0, 0))
+
+    def _target(self):
+        e = self._cell()
+        return (e[1], e[2])
+
+    @staticmethod
+    def _component_syms(d: int) -> list:
+        """§5.11.32 read_mv_component in reverse (quarter-pel streams:
+        has_fp, no hp bit — the low magnitude bit is implied 1, so every
+        coded diff has even magnitude)."""
+        sign = 1 if d < 0 else 0
+        mag = abs(d)
+        assert mag and (mag & 1) == 0, f"mv diff must be even nonzero: {d}"
+        m = mag - 1
+        if m < 16:
+            return [sign, 0, m >> 3, (m >> 1) & 3]
+        cls = m.bit_length() - 4
+        base = 2 << (cls + 2)
+        z = m - base
+        assert z & 1
+        dv = z >> 3
+        return (
+            [sign, cls]
+            + [(dv >> i) & 1 for i in range(cls)]
+            + [(z >> 1) & 3]
+        )
+
+    # symbol answers ---------------------------------------------------
+
+    def next_symbol(self, n, what=None):
+        if isinstance(what, tuple) and what[0] == "partition":
+            px = B.BLOCK_DIMS[what[1]][0]
+            return 3 if px > INTER_BLOCK_PX else 0
+        if what == "is_inter":
+            return 1 if self._cell()[0] else 0
+        if what == "newmv":
+            tgt = self._target()
+            st = self.dec.cur_mvctx
+            if st.num_found > 0 and tuple(st.stack[0][0]) == tgt:
+                self._mode = "NEAREST"
+            elif tgt == tuple(st.global_mvs[0]):
+                self._mode = "GLOBAL"
+            else:
+                self._mode = "NEW"
+            return 0 if self._mode == "NEW" else 1
+        if what == "zeromv":
+            return 0 if self._mode == "GLOBAL" else 1
+        if what == "refmv":
+            return 0  # NEARESTMV (stack entry 0)
+        if what == "drl":
+            return 0  # keep ref_mv_idx = 0
+        if what == "mv_joint":
+            pred = self.dec.cur_mv_pred
+            tgt = self._target()
+            dr, dc = tgt[0] - pred[0], tgt[1] - pred[1]
+            self._mv_queue = []
+            if dr:
+                self._mv_queue += self._component_syms(dr)
+            if dc:
+                self._mv_queue += self._component_syms(dc)
+            return (2 if dr else 0) | (1 if dc else 0)
+        if what in ("mv_sign", "mv_class", "mv_c0", "mv_fp", "mv_bit"):
+            return self._mv_queue.pop(0)
+        # txfm_split -> 0 (largest inter tx), single0/2/3 -> 0 (LAST),
+        # everything else (y_mode / uv / tx_depth / coef) -> RD plan
+        return super().next_symbol(n, what)
+
+
+# ------------------------------------------------------------ driver
+
+
+def encode_inter_sequence(frames, qindex: int, *, speed: int = 6,
+                          monochrome=False, subsampling_x=1,
+                          subsampling_y=1, bit_depth=8,
+                          color_primaries=2, transfer_characteristics=2,
+                          matrix_coefficients=2, color_range=1,
+                          enable_deblock=True, enable_cdef=True,
+                          cdef_search=True) -> list:
+    """Encode a GOP: frames[0] as KEY, the rest as INTER against the
+    previous reconstruction. Returns one OBU payload per frame (the
+    first includes the sequence header). Sample k decodes bit-exactly by
+    any conformant decoder fed samples 0..k in order."""
+    if not frames:
+        return []
+    y0 = np.asarray(frames[0][0])
+    h, w = y0.shape
+    seq = _sequence_header(
+        w, h, monochrome=monochrome, subsampling_x=subsampling_x,
+        subsampling_y=subsampling_y, bit_depth=bit_depth,
+        color_primaries=color_primaries,
+        transfer_characteristics=transfer_characteristics,
+        matrix_coefficients=matrix_coefficients, color_range=color_range,
+        enable_cdef=enable_cdef,
+    )
+    seq_payload = write_sequence_header(seq)
+    seq = parse_sequence_header(seq_payload)  # reader/writer agreement
+    state = R.DecoderState()
+    state.seq = seq
+    cdef_on = enable_cdef and cdef_search
+    out = []
+    for k, planes in enumerate(frames):
+        frame_type = R.KEY_FRAME if k == 0 else R.INTER_FRAME
+        iplan = None
+        if frame_type == R.INTER_FRAME:
+            ref_y = state.refs[0].planes[0]
+            iplan = plan_inter_luma(
+                np.asarray(planes[0]), ref_y, qindex, speed
+            )
+        payload = _encode_one_frame(
+            seq, state, frame_type, planes, qindex, speed, iplan,
+            enable_deblock=enable_deblock, enable_cdef=enable_cdef,
+            cdef_search=cdef_on,
+        )
+        s = RWStream()
+        write_obu(s, OBU_TEMPORAL_DELIMITER, b"")
+        if k == 0:
+            write_obu(s, OBU_SEQUENCE_HEADER, seq_payload)
+        write_obu(s, OBU_FRAME, payload)
+        out.append(s.data())
+    return out
+
+
+def _encode_one_frame(seq, state, frame_type, planes, qindex, speed, iplan,
+                      *, enable_deblock, enable_cdef, cdef_search) -> bytes:
+    """One frame through the mirrored traversal + in-loop filters + §7.20
+    reference update (mirror of encode._encode_still's tile loop, plus
+    the cross-frame state StreamDecoder._decode_frame maintains)."""
+    from .restoration import read_lr, reset_lr_refs, setup_lr
+
+    hdr_payload = _write_frame_header_seq(
+        seq, frame_type, qindex, enable_cdef=enable_cdef
+    )
+    hdr = parse_frame_header(hdr_payload, seq, state)
+    dec = FrameDecoder(seq, hdr, state=state)
+    srcs = [np.asarray(p, dtype=np.int32) for p in planes]
+    if frame_type == R.KEY_FRAME:
+        planner = RDPlanner(srcs, hdr, seq, qindex, speed)
+    else:
+        planner = InterPlanner(srcs, hdr, seq, qindex, speed, iplan)
+    dec.planner = planner
+    planner.dec = dec
+    dec.ctx = TileContexts(hdr.mi_rows, hdr.mi_cols, dec.n_planes)
+    dec.adapt = True
+    setup_lr(dec)
+    dec.mi_col0, dec.mi_col1 = 0, hdr.mi_cols
+    dec.mi_row0, dec.mi_row1 = 0, hdr.mi_rows
+    dec.ctx.reset_tile_lines()
+    dec.cdf = dec.frame_cdf_init.copy()
+    dec.current_qindex = hdr.quant.base_q_idx
+    dec.delta_lf = [0, 0, 0, 0]
+    dec.read_deltas = False
+    enc = _make_tile_encoder()
+    planner.native_txb = isinstance(enc, NativeMsacEncoder)
+    dec.dec = MirrorCoder(enc, planner)
+    reset_lr_refs(dec)
+    native_ok = frame_type == R.KEY_FRAME and _enc_tile_native(
+        dec, planner, enc
+    )
+    if not native_ok:
+        for r in range(0, hdr.mi_rows, dec.sb_mi):
+            for c in range(0, hdr.mi_cols, dec.sb_mi):
+                dec._clear_block_decoded(r, c)
+                read_lr(dec, r, c)
+                dec._decode_partition(r, c, B.block_size(dec.sb_px, dec.sb_px))
+        assert planner.pos == len(planner.script), "unconsumed txb script"
+    tile_data = enc.finish(strip=False)
+
+    lf_levels = (0, 0, 0)
+    if enable_deblock:
+        lf_levels = _search_lf(dec, srcs, qindex)
+        if any(lf_levels):
+            hdr_payload = _write_frame_header_seq(
+                seq, frame_type, qindex, enable_cdef=enable_cdef,
+                lf_levels=lf_levels,
+            )
+            hdr2 = parse_frame_header(hdr_payload, seq, state)
+            dec.hdr.lf = hdr2.lf
+            from .loopfilter import loop_filter_frame
+
+            loop_filter_frame(dec)
+    if enable_cdef and cdef_search:
+        chosen = _search_cdef(dec, srcs, qindex, speed)
+        hdr_payload = _write_frame_header_seq(
+            seq, frame_type, qindex, enable_cdef=True,
+            cdef_strengths=chosen, lf_levels=lf_levels,
+        )
+        hdr2 = parse_frame_header(hdr_payload, seq, state)
+        dec.hdr.cdef = hdr2.cdef
+        from .cdef import apply_cdef
+
+        apply_cdef(dec)
+
+    # §7.20 reference update: the slot stores exactly what a conformant
+    # decoder's reference store would hold after this frame
+    dec.mf_mvs, dec.mf_refs = dec.finish_motion_field()
+    final_cdfs = dec.frame_cdf_init.copy()  # disable_frame_end_update_cdf
+    final_cdfs.reset_counters()
+    slot = R.make_ref_slot(dec, hdr, seq, final_cdfs)
+    state.update(hdr.refresh_frame_flags, slot)
+    return hdr_payload + tile_data

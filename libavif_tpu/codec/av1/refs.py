@@ -109,6 +109,50 @@ class DecoderState:
                 self.refs[i] = slot
 
 
+def make_ref_slot(dec, hdr, seq, final_cdfs) -> RefSlot:
+    """Build the §7.20 reference slot for a just-decoded (or just-encoded
+    — the encoder mirrors the decoder exactly) frame. Shared by
+    stream.StreamDecoder and interenc.encode_inter_sequence so both sides
+    derive identical cross-frame state."""
+    slot = RefSlot(
+        planes=[p.copy() for p in dec_planes_cropped(dec, hdr)],
+        frame_type=hdr.frame_type,
+        order_hint=hdr.order_hint,
+        # references store the post-superres (upscaled) frame (§7.20);
+        # the scaled-reference MC guard keys off this width
+        width=hdr.upscaled_width,
+        height=hdr.height,
+        upscaled_width=hdr.upscaled_width,
+        render_width=hdr.render_width,
+        render_height=hdr.render_height,
+        mi_cols=hdr.mi_cols,
+        mi_rows=hdr.mi_rows,
+        bit_depth=seq.bit_depth,
+        subsampling_x=seq.subsampling_x,
+        subsampling_y=seq.subsampling_y,
+        showable=hdr.showable_frame,
+        order_hints=np.array(hdr.order_hints, dtype=np.int32),
+        gm_params=hdr.gm_params.copy(),
+        seg_enabled=hdr.segmentation_enabled,
+        seg_feature_enabled=[list(r) for r in hdr.seg_feature_enabled],
+        seg_feature_data=[list(r) for r in hdr.seg_feature_data],
+        lf_ref_deltas=list(hdr.lf.ref_deltas),
+        lf_mode_deltas=list(hdr.lf.mode_deltas),
+        seg_ids=dec.seg_ids,
+        mvs=dec.mf_mvs,
+        ref_frames=dec.mf_refs,
+        cdfs=final_cdfs,
+    )
+    slot.header = hdr
+    slot.film_grain = hdr.film_grain
+    return slot
+
+
+def dec_planes_cropped(dec, hdr):
+    """The decoder's visible (cropped) planes."""
+    return [p[: dec.ph[i], : dec.pw[i]] for i, p in enumerate(dec.planes)]
+
+
 def get_relative_dist(seq, a: int, b: int) -> int:
     """§5.9.3: signed order-hint distance a-b in modular arithmetic."""
     if not seq.enable_order_hint:

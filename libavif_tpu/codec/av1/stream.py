@@ -182,37 +182,7 @@ class StreamDecoder:
             final_cdfs = dec.saved_tile_cdfs[hdr.tile.context_update_tile_id]
         final_cdfs = final_cdfs.copy()
         final_cdfs.reset_counters()  # av1_reset_cdf_symbol_counters
-        slot = R.RefSlot(
-            planes=[p.copy() for p in planes],
-            frame_type=hdr.frame_type,
-            order_hint=hdr.order_hint,
-            # references store the post-superres (upscaled) frame (§7.20);
-            # the scaled-reference MC guard keys off this width
-            width=hdr.upscaled_width,
-            height=hdr.height,
-            upscaled_width=hdr.upscaled_width,
-            render_width=hdr.render_width,
-            render_height=hdr.render_height,
-            mi_cols=hdr.mi_cols,
-            mi_rows=hdr.mi_rows,
-            bit_depth=seq.bit_depth,
-            subsampling_x=seq.subsampling_x,
-            subsampling_y=seq.subsampling_y,
-            showable=hdr.showable_frame,
-            order_hints=np.array(hdr.order_hints, dtype=np.int32),
-            gm_params=hdr.gm_params.copy(),
-            seg_enabled=hdr.segmentation_enabled,
-            seg_feature_enabled=[list(r) for r in hdr.seg_feature_enabled],
-            seg_feature_data=[list(r) for r in hdr.seg_feature_data],
-            lf_ref_deltas=list(hdr.lf.ref_deltas),
-            lf_mode_deltas=list(hdr.lf.mode_deltas),
-            seg_ids=dec.seg_ids,
-            mvs=dec.mf_mvs,
-            ref_frames=dec.mf_refs,
-            cdfs=final_cdfs,
-        )
-        slot.header = hdr
-        slot.film_grain = hdr.film_grain
+        slot = R.make_ref_slot(dec, hdr, state.seq, final_cdfs)
         state.update(hdr.refresh_frame_flags, slot)
         if hdr.film_grain_apply and hdr.film_grain is not None:
             # §7.18.3: grain is an output transform — the reference store
