@@ -407,9 +407,11 @@ class Encoder:
             self._single = True
 
     def _encode_pending(self) -> None:
-        """Batch-encode all queued frames (device/host pipelined; see
-        codec.frame.encode_frames_pipelined)."""
-        from ..codec.frame import encode_frames_pipelined
+        """Batch-encode all queued frames: color samples inter-code in
+        GOPs split at sync samples (codec.frame.encode_sequence_frames;
+        reference: libaom sequence encode, codec_aom.c:1312), alpha stays
+        all-intra (device/host pipelined)."""
+        from ..codec.frame import encode_frames_pipelined, encode_sequence_frames
 
         todo = [f for f in self._frames if f.obus is None]
         if not todo:
@@ -425,11 +427,26 @@ class Encoder:
             else:
                 groups.append([f])
         for grp in groups:
-            color = encode_frames_pipelined([f.image for f in grp], grp[0].params)
-            if self._first_hdr is None:
-                self._first_hdr = color[0][1]
-            for f, (obus, _) in zip(grp, color):
-                f.obus = obus
+            # GOP split at requested keyframes: inter prediction never
+            # crosses a sync sample (random access + parallel/hosts GOP
+            # sharding rely on this)
+            gops: list[list[_PendingFrame]] = []
+            for f in grp:
+                if gops and not f.keyframe:
+                    gops[-1].append(f)
+                else:
+                    gops.append([f])
+            for gop in gops:
+                # a settings change mid-animation starts a fresh GOP:
+                # its leader codes (and is marked) as a sync sample
+                gop[0].keyframe = True
+                color = encode_sequence_frames(
+                    [f.image for f in gop], gop[0].params
+                )
+                if self._first_hdr is None:
+                    self._first_hdr = color[0][1]
+                for f, (obus, _) in zip(gop, color):
+                    f.obus = obus
         qa = self.quality if self.quality_alpha < 0 else self.quality_alpha
         alpha_groups: list[list[_PendingFrame]] = []
         for f in todo:

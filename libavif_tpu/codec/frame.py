@@ -481,6 +481,52 @@ def _encode_frame_spec_lossy(image: Image, params: FrameParams) -> tuple[bytes, 
     return payload, find_sequence_header(payload)
 
 
+def encode_sequence_frames(
+    images: list[Image], params: FrameParams
+) -> list[tuple[bytes, SequenceHeader]]:
+    """Encode one GOP: frame 0 as a KEY frame, the rest INTER-coded
+    against the previous reconstruction (reference: libaom sequence
+    encode behind codec_aom.c:656-1351 + write.c:2104-2114). Falls back
+    to per-frame stills when inter coding does not apply (own-format
+    codec, lossless, or a single frame)."""
+    spec_on = params.codec == "spec" or (
+        params.codec == "auto" and _spec_av1_enabled()
+    )
+    if not spec_on or params.lossless or len(images) < 2:
+        return encode_frames_pipelined(images, params)
+    from .av1.interenc import encode_inter_sequence
+
+    im0 = images[0]
+    if im0.depth not in (8, 10, 12):
+        raise AvifError(Result.UNSUPPORTED_DEPTH, f"depth {im0.depth}")
+    info = pixel_format_info(im0.yuv_format)
+    quantizer = ((100 - params.quality) * 63 + 50) // 100
+    qindex = max(1, min(255, quantizer * 4))
+    if params.cq_level is not None:
+        qindex = max(1, min(255, int(params.cq_level) * 4))
+    cdef_on = params.cdef is not False and params.speed <= 8
+    frames = [
+        [im.yuv_planes[c] for c in range(_coded_planes(im))] for im in images
+    ]
+    payloads = encode_inter_sequence(
+        frames, qindex, speed=params.speed,
+        monochrome=info.monochrome,
+        subsampling_x=info.chroma_shift_x,
+        subsampling_y=info.chroma_shift_y,
+        bit_depth=im0.depth,
+        color_primaries=int(im0.color_primaries),
+        transfer_characteristics=int(im0.transfer_characteristics),
+        matrix_coefficients=int(im0.matrix_coefficients),
+        color_range=1 if im0.yuv_range == Range.FULL else 0,
+        enable_deblock=params.deblock is not False,
+        enable_cdef=cdef_on, cdef_search=cdef_on,
+    )
+    from ..containers.obu import find_sequence_header
+
+    hdr = find_sequence_header(payloads[0])
+    return [(p, hdr) for p in payloads]
+
+
 def encode_frame(image: Image, params: FrameParams) -> tuple[bytes, SequenceHeader]:
     """Encode one still frame. Returns (obu_bytes, sequence_header)."""
     if image.depth not in (8, 10, 12):

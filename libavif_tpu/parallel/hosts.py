@@ -59,7 +59,7 @@ def _host_worker(payload):
         jax.config.update("jax_platforms", "cpu")
     except Exception:
         pass
-    from ..codec.frame import FrameParams, encode_frames_pipelined
+    from ..codec.frame import FrameParams, encode_sequence_frames
     from ..constants import PixelFormat
     from ..image import Image
 
@@ -72,7 +72,9 @@ def _host_worker(payload):
                 img.yuv_planes[c][:] = p
         imgs.append(img)
     params = FrameParams(**params_dict)
-    out = encode_frames_pipelined(imgs, params)
+    # each chunk is one GOP: leader KEY, rest inter-coded (falls back to
+    # all-intra stills for the own-format/lossless paths)
+    out = encode_sequence_frames(imgs, params)
     return [(obus, hdr) for obus, hdr in out]
 
 
@@ -80,13 +82,18 @@ def encode_animation_host_sharded(encoder, n_hosts: int = 2,
                                   devices_per_host: int = 2) -> bytes:
     """Encode an Encoder's queued animation frames with the GOP chunks
     sharded across `n_hosts` simulated hosts, then assemble the container
-    on host 0. Output is bit-identical to encoder.finish() run locally."""
+    on host 0. Sharding fixes the GOP schedule: every chunk leader is a
+    forced keyframe (inter prediction never crosses hosts), and the output
+    is bit-identical to encoder.finish() run locally with that same
+    keyframe schedule."""
     frames = encoder._frames
     if not frames:
         raise ValueError("no frames queued")
     params = encoder._params(encoder.quality)
     pdict = asdict(params)
     gops = shard_gops(len(frames), n_hosts)
+    for r in gops:
+        frames[r[0]].keyframe = True  # sync-sample table matches the GOPs
 
     def pack(f):
         img = f.image

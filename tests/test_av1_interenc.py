@@ -1,0 +1,198 @@
+"""Inter-frame animation ENCODE conformance + API integration.
+
+The sequence encoder (codec/av1/interenc.py; reference: libaom's
+sequence encode behind codec_aom.c:656-1351) must produce streams every
+conformant decoder reconstructs bit-exactly: each case cross-checks our
+own StreamDecoder against the standalone dav1d oracle, then the API
+tests assert the animation container path inter-codes (smaller than
+all-intra) and stays seekable.
+"""
+
+import numpy as np
+import pytest
+from numpy.lib.stride_tricks import sliding_window_view
+
+from libavif_tpu.codec.av1.interenc import encode_inter_sequence
+from libavif_tpu.codec.av1.stream import StreamDecoder
+from libavif_tpu.interop import dav1d_oracle
+
+
+def _smooth(a):
+    p = np.pad(a, 2, mode="edge")
+    return sliding_window_view(p, (5, 5)).mean(axis=(2, 3))
+
+
+def make_frames(n=4, w=128, h=96, depth=8, ssx=1, ssy=1, mono=False,
+                seed=3, move=(2, 3)):
+    rng = np.random.default_rng(seed)
+    maxv = (1 << depth) - 1
+    base = _smooth(rng.integers(0, maxv + 1, (h + 64, w + 64)).astype(np.float64))
+    dt = np.uint16 if depth > 8 else np.uint8
+    out = []
+    for t in range(n):
+        y = base[move[0] * t : move[0] * t + h,
+                 move[1] * t : move[1] * t + w].astype(dt)
+        if mono:
+            out.append([y])
+            continue
+        cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
+        u = base[10 + t : 10 + t + ch, 5 : 5 + cw].astype(dt)
+        v = base[20 : 20 + ch, 8 + 2 * t : 8 + 2 * t + cw].astype(dt)
+        out.append([y, u, v])
+    return out
+
+
+def assert_dav1d_exact(frames, payloads):
+    if not dav1d_oracle.available():
+        pytest.skip("dav1d oracle unavailable")
+    dav = dav1d_oracle.decode_obus(payloads)
+    sd = StreamDecoder()
+    ours = []
+    for p in payloads:
+        ours += [s[0] for s in sd.decode_obus(p)]
+    assert len(dav) == len(ours) == len(frames)
+    for i, (rf, of) in enumerate(zip(dav, ours)):
+        for pi in range(len(of)):
+            a = np.asarray(rf.planes[pi], np.int64)
+            b = np.asarray(of[pi], np.int64)
+            assert a.shape == b.shape, (i, pi, a.shape, b.shape)
+            diff = int((a != b).sum())
+            assert diff == 0, f"frame {i} plane {pi}: {diff} px differ"
+
+
+class TestSequenceConformance:
+    @pytest.mark.parametrize("speed", [2, 4, 6, 8])
+    def test_speed_sweep(self, speed):
+        frames = make_frames(3)
+        assert_dav1d_exact(frames, encode_inter_sequence(frames, 100, speed=speed))
+
+    def test_inter_smaller_than_key(self):
+        # chroma in make_frames moves differently from luma (worst case
+        # for luma-derived MVs), so only the weaker bound holds here; the
+        # static-scene test asserts the strong one
+        frames = make_frames(4)
+        payloads = encode_inter_sequence(frames, 100, speed=6)
+        assert all(len(p) < len(payloads[0]) for p in payloads[1:])
+
+    def test_odd_dims(self):
+        frames = make_frames(3, w=133, h=67, seed=7)
+        assert_dav1d_exact(frames, encode_inter_sequence(frames, 80, speed=6))
+
+    def test_large_motion(self):
+        frames = make_frames(3, w=160, h=128, seed=5, move=(7, 11))
+        assert_dav1d_exact(frames, encode_inter_sequence(frames, 60, speed=6))
+
+    @pytest.mark.parametrize("ssx,ssy", [(0, 0), (1, 0)])
+    def test_444_422(self, ssx, ssy):
+        frames = make_frames(3, w=96, h=80, ssx=ssx, ssy=ssy, seed=2)
+        assert_dav1d_exact(
+            frames,
+            encode_inter_sequence(
+                frames, 100, speed=6, subsampling_x=ssx, subsampling_y=ssy
+            ),
+        )
+
+    def test_monochrome(self):
+        frames = make_frames(3, w=96, h=80, mono=True, seed=3)
+        assert_dav1d_exact(
+            frames, encode_inter_sequence(frames, 100, speed=6, monochrome=True)
+        )
+
+    @pytest.mark.parametrize("depth", [10, 12])
+    def test_high_bitdepth(self, depth):
+        frames = make_frames(3, w=64, h=64, depth=depth, seed=4)
+        assert_dav1d_exact(
+            frames, encode_inter_sequence(frames, 120, speed=6, bit_depth=depth)
+        )
+
+    def test_static_scene(self):
+        frames = [make_frames(1, seed=9)[0]] * 4
+        payloads = encode_inter_sequence(frames, 40, speed=6)
+        assert_dav1d_exact(frames, payloads)
+        # a static scene codes later frames in a handful of bytes
+        assert all(len(p) < len(payloads[0]) // 4 for p in payloads[1:])
+
+
+class TestAnimationApi:
+    def _images(self, n=5, w=128, h=96, seed=3):
+        from libavif_tpu.constants import PixelFormat
+        from libavif_tpu.image import Image
+
+        out = []
+        for planes in make_frames(n, w, h, seed=seed):
+            img = Image(w, h, 8, PixelFormat.YUV420)
+            img.allocate_planes("yuv")
+            for c in range(3):
+                img.yuv_planes[c][:] = planes[c]
+            out.append(img)
+        return out
+
+    def test_roundtrip_and_size(self):
+        from libavif_tpu.api import Decoder, Encoder
+
+        imgs = self._images()
+        enc = Encoder()
+        enc.quality = 60
+        enc.timescale = 10
+        for im in imgs:
+            enc.add_image(im, 1)
+        data = enc.finish()
+
+        enc2 = Encoder()
+        enc2.quality = 60
+        enc2.timescale = 10
+        enc2.keyframe_interval = 1  # force all-intra for comparison
+        for im in imgs:
+            enc2.add_image(im, 1)
+        intra = enc2.finish()
+        assert len(data) < 0.8 * len(intra), (len(data), len(intra))
+
+        dec = Decoder()
+        dec.parse(data)
+        assert dec.image_count == len(imgs)
+        i = 0
+        while dec.next_image():
+            rec = dec.image.yuv_planes[0].astype(np.float64)
+            src = imgs[i].yuv_planes[0].astype(np.float64)
+            mse = ((rec - src) ** 2).mean()
+            assert 10 * np.log10(255**2 / mse) > 30, f"frame {i} too lossy"
+            i += 1
+        assert i == len(imgs)
+
+    def test_random_access(self):
+        from libavif_tpu.api import Decoder, Encoder
+
+        imgs = self._images()
+        enc = Encoder()
+        enc.quality = 60
+        enc.timescale = 10
+        for im in imgs:
+            enc.add_image(im, 1)
+        data = enc.finish()
+        dec = Decoder()
+        dec.parse(data)
+        img3 = dec.nth_image(3)  # seek restarts at the keyframe, rolls fwd
+        rec = img3.yuv_planes[0].astype(np.float64)
+        src = imgs[3].yuv_planes[0].astype(np.float64)
+        assert 10 * np.log10(255**2 / ((rec - src) ** 2).mean()) > 30
+
+    def test_forced_keyframes_split_gops(self):
+        from libavif_tpu.api import Decoder, Encoder
+        from libavif_tpu.constants import ADD_IMAGE_FLAG_FORCE_KEYFRAME
+
+        imgs = self._images(n=6)
+        enc = Encoder()
+        enc.quality = 60
+        enc.timescale = 10
+        for i, im in enumerate(imgs):
+            enc.add_image(
+                im, 1, ADD_IMAGE_FLAG_FORCE_KEYFRAME if i == 3 else 0
+            )
+        data = enc.finish()
+        dec = Decoder()
+        dec.parse(data)
+        assert dec.nearest_keyframe(5) == 3
+        n = 0
+        while dec.next_image():
+            n += 1
+        assert n == 6

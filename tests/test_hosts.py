@@ -34,11 +34,20 @@ def test_shard_gops_partition():
 
 
 def test_host_sharded_animation_bit_identical():
+    # sharding fixes the GOP schedule (chunk leaders become forced
+    # keyframes so inter prediction never crosses hosts); the serial
+    # baseline must encode the same schedule
+    leaders = {r[0] for r in shard_gops(5, 2)}
+    from libavif_tpu.constants import ADD_IMAGE_FLAG_FORCE_KEYFRAME
+
     e1 = Encoder()
     e1.quality = 70
     e1.timescale = 30
-    for f in _frames():
-        e1.add_image(f, duration=1)
+    for i, f in enumerate(_frames()):
+        e1.add_image(
+            f, duration=1,
+            flags=ADD_IMAGE_FLAG_FORCE_KEYFRAME if i in leaders else 0,
+        )
     single = e1.finish()
 
     e2 = Encoder()
