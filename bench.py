@@ -231,17 +231,19 @@ def bench_cpu_baseline(imgs):
 
 def bench_spec(imgs):
     """Product-default (spec AV1) encoder throughput at the same
-    operating point. Host-dominated today; reported so BENCH artifacts
-    capture what `Encoder()` ships by default, not just `-c native`."""
-    from libavif_tpu.api import encode
+    operating point, through the pipelined batch path (each frame's
+    device RD program is dispatched ahead, overlapping host entropy —
+    codec/frame.py encode_frames_pipelined; reported so BENCH artifacts
+    capture what `Encoder()` ships by default, not just `-c native`)."""
+    from libavif_tpu.codec.frame import FrameParams, encode_frames_pipelined
 
-    sub = imgs[:2]
-    encode(sub[0], quality=QUALITY, speed=SPEED)  # warm-up
+    sub = imgs[:4]
+    params = FrameParams(quality=QUALITY, speed=SPEED, codec="spec")
+    encode_frames_pipelined(sub[:1], params)  # warm-up: jit compile
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        for im in sub:
-            encode(im, quality=QUALITY, speed=SPEED)
+        encode_frames_pipelined(sub, params)
         best = min(best, time.perf_counter() - t0)
     return (len(sub) * W * H / 1e6) / best
 

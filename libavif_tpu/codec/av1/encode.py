@@ -735,7 +735,7 @@ class RDPlanner(LossyPlanner):
     shared FrameDecoder computes it from true recon borders — the plan
     only picks WHICH partition/modes to code."""
 
-    def __init__(self, sources, hdr, seq, qindex, speed):
+    def __init__(self, sources, hdr, seq, qindex, speed, dev_handle=None):
         super().__init__(sources, hdr, seq)
         from . import rdsearch as R
 
@@ -744,7 +744,8 @@ class RDPlanner(LossyPlanner):
         self.max_px = max(self.sizes)
         self.tx_type_rd = speed <= 6  # realtime band keeps the DCT-only forward
         bd = seq.bit_depth
-        self.plan = R.plan_luma(sources[0], qindex, speed, bd=bd)
+        self.plan = R.plan_luma(sources[0], qindex, speed, bd=bd,
+                                dev_handle=dev_handle)
         self.uv_plan = {}
         if len(sources) == 3:
             base = {}
@@ -1347,6 +1348,7 @@ def _encode_still(
     film_grain=None,
     superres_denom: int = 8,
     upscaled_width: int | None = None,
+    dev_handle=None,
 ) -> bytes:
     """Encode YUV planes as a spec-conformant AV1 still payload
     (temporal delimiter + sequence header + frame OBU). With
@@ -1436,7 +1438,8 @@ def _encode_still(
     if base_q_idx == 0:
         planner = LosslessPlanner(srcs)
     elif speed is not None:
-        planner = RDPlanner(srcs, hdr, seq, base_q_idx, speed)
+        planner = RDPlanner(srcs, hdr, seq, base_q_idx, speed,
+                            dev_handle=dev_handle)
     else:
         planner = LossyPlanner(srcs, hdr, seq, block_px=block_px, tx_depth=tx_depth)
     dec.planner = planner

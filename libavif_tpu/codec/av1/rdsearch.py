@@ -489,7 +489,8 @@ def _mode_costs_for_size(src: np.ndarray, px: int, modes, lam_x16: int, bd: int)
     return best_mode.reshape(rows, cols), best_cost.reshape(rows, cols)
 
 
-def plan_luma(src: np.ndarray, qindex: int, speed: int, bd: int = 8) -> RDPlan:
+def plan_luma(src: np.ndarray, qindex: int, speed: int, bd: int = 8,
+              dev_handle=None) -> RDPlan:
     """Mode + partition + tx-depth plan for the luma plane.
 
     Two stages: (1) SATD prefilter picks the intra mode per block per
@@ -521,10 +522,15 @@ def plan_luma(src: np.ndarray, qindex: int, speed: int, bd: int = 8) -> RDPlan:
         # Device path: ONE jitted whole-frame program computes every
         # (mode, size) SATD, every (mode, txs) quant cost and the
         # angle-delta argmins as batched GEMMs/gathers (rdsearch_device).
+        # Batch encoders dispatch the program ahead of time and pass the
+        # handle so device RD overlaps host entropy across frames.
         try:
             from . import rdsearch_device as RDD
 
-            dev = RDD.plan_costs_device(src, qindex, speed, bd)
+            if dev_handle is not None:
+                dev = RDD.materialize_plan_costs(dev_handle)
+            else:
+                dev = RDD.plan_costs_device(src, qindex, speed, bd)
         except Exception:
             dev = None
     if dev is not None:

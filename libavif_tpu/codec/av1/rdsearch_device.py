@@ -28,7 +28,10 @@ import numpy as np
 
 from . import intra as I
 
-__all__ = ["plan_costs_device", "available"]
+__all__ = [
+    "plan_costs_device", "dispatch_plan_costs", "materialize_plan_costs",
+    "available",
+]
 
 
 def available() -> bool:
@@ -359,11 +362,18 @@ def _compiled(H, W, speed, bd, nplanes_unused=0):
 
 
 def plan_costs_device(src: np.ndarray, qindex: int, speed: int, bd: int):
-    """Run the whole-frame cost program. Returns dict with:
+    """Run the whole-frame cost program synchronously. Returns dict with:
     satd[px] -> (nmodes, rows, cols) int64 cost (SATD + lambda*rate),
     delta[px] -> (ndirmodes, rows, cols) int angle-delta argmin,
     qcost[txs][mode] -> (rows, cols) int64, plus 'cand_modes'/'dir_modes'.
     None when no device / disabled / unsupported shape."""
+    return materialize_plan_costs(dispatch_plan_costs(src, qindex, speed, bd))
+
+
+def dispatch_plan_costs(src: np.ndarray, qindex: int, speed: int, bd: int):
+    """Queue the whole-frame cost program on the device and return an
+    opaque handle (None when no device / disabled / unsupported shape);
+    materialize_plan_costs(handle) blocks and unpacks the tables."""
     if not available():
         return None
     from .rdsearch import _quant_ctx, _valid_depths, speed_config
@@ -403,6 +413,21 @@ def plan_costs_device(src: np.ndarray, qindex: int, speed: int, bd: int):
     try:
         out = fn(jnp.asarray(src.astype(np.int32)), np.int32(lam_x16),
                  tuple(qs_list), tuple(rq_list))
+    except Exception:
+        return None
+    # async handle: XLA has queued the program; materialization blocks.
+    # Callers encoding frame batches dispatch every frame's program up
+    # front so device RD for frame k+1 overlaps host entropy for frame k
+    # (same pipelining the own-format codec uses, frame.py:222).
+    return (out, meta, lam_sse_x16)
+
+
+def materialize_plan_costs(handle):
+    """Block on a dispatch_plan_costs handle and unpack the cost tables."""
+    if handle is None:
+        return None
+    out, meta, lam_sse_x16 = handle
+    try:
         flat = np.asarray(out)
     except Exception:
         return None

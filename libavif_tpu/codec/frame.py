@@ -237,7 +237,28 @@ def encode_frames_pipelined(
         # spec-conformant AV1 is the default lossy output (matching the
         # reference, whose only encoder is libaom: write.c:2104-2114);
         # codec="native" opts into the TPU-pipelined own format below.
-        return [_encode_frame_spec_lossy(im, params) for im in images]
+        # Dispatch every frame's device RD program up front (XLA async
+        # dispatch queues them) so device compute for frame k+1 overlaps
+        # host entropy for frame k — same pipelining as the native path.
+        handles = [None] * len(images)
+        if len(images) > 1 and params.speed is not None and params.speed <= 6:
+            try:
+                from .av1.rdsearch_device import dispatch_plan_costs
+
+                qindex = _spec_qindex(params)
+                handles = [
+                    dispatch_plan_costs(
+                        np.asarray(im.yuv_planes[0], dtype=np.int32),
+                        qindex, params.speed, im.depth,
+                    )
+                    for im in images
+                ]
+            except Exception:
+                handles = [None] * len(images)
+        return [
+            _encode_frame_spec_lossy(im, params, dev_handle=h)
+            for im, h in zip(images, handles)
+        ]
     if params.lossless and images and spec_on:
         return [_encode_frame_spec_lossless(im, params) for im in images]
     staged = []
@@ -444,18 +465,25 @@ def _decode_frame_spec(
     return out
 
 
-def _encode_frame_spec_lossy(image: Image, params: FrameParams) -> tuple[bytes, SequenceHeader]:
-    """Spec-conformant lossy AV1 payload (codec/av1/encode.py RD search);
-    quality maps to base_q_idx with the reference's quality->quantizer
-    rule (avif.h AVIF_QUANTIZER scale, write.c quality mapping)."""
-    from .av1.encode import encode_lossy_still
-
-    info = pixel_format_info(image.yuv_format)
-    planes = [image.yuv_planes[c] for c in range(_coded_planes(image))]
+def _spec_qindex(params: FrameParams) -> int:
+    """quality -> base_q_idx with the reference's quality->quantizer rule
+    (avif.h AVIF_QUANTIZER scale, write.c quality mapping)."""
     quantizer = ((100 - params.quality) * 63 + 50) // 100
     qindex = max(1, min(255, quantizer * 4))
     if params.cq_level is not None:  # codec option "cq-level" (aom scale)
         qindex = max(1, min(255, int(params.cq_level) * 4))
+    return qindex
+
+
+def _encode_frame_spec_lossy(
+    image: Image, params: FrameParams, dev_handle=None
+) -> tuple[bytes, SequenceHeader]:
+    """Spec-conformant lossy AV1 payload (codec/av1/encode.py RD search)."""
+    from .av1.encode import encode_lossy_still
+
+    info = pixel_format_info(image.yuv_format)
+    planes = [image.yuv_planes[c] for c in range(_coded_planes(image))]
+    qindex = _spec_qindex(params)
     tcl, trl = _tile_config(params, image.width, image.height)
     # encoder-side CDEF (role of libaom's always-on pickcdef behind
     # codec_aom.c): post-encode strength search, skipped only at the
@@ -475,6 +503,7 @@ def _encode_frame_spec_lossy(image: Image, params: FrameParams) -> tuple[bytes, 
         transfer_characteristics=int(image.transfer_characteristics),
         matrix_coefficients=int(image.matrix_coefficients),
         color_range=1 if image.yuv_range == Range.FULL else 0,
+        dev_handle=dev_handle,
     )
     from ..containers.obu import find_sequence_header
 
