@@ -124,7 +124,10 @@ def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
     w(0, 1)  # frame_size_override_flag
     # order_hint: no bits (enable_order_hint off)
     if is_inter:
-        w(7, 3)  # primary_ref_frame = PRIMARY_REF_NONE (fresh CDFs)
+        # primary_ref_frame = 0: inherit slot 0's end-of-frame CDFs and
+        # gm/lf/seg reference values (§7.20 load_previous) — entropy
+        # state adapts across the GOP instead of resetting every frame
+        w(0, 3)
         w(0x01, 8)  # refresh_frame_flags: slot 0 holds the last recon
         for _ in range(7):
             w(0, 3)  # ref_frame_idx[i] = 0 (every name maps to LAST recon)
@@ -139,7 +142,7 @@ def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
         # KEY: primary_ref/refresh implied; frame size + render size
         w(0, 1)  # render_and_frame_size_different
         # allow_intrabc: no bit (allow_screen_content_tools = 0)
-    w(1, 1)  # disable_frame_end_update_cdf (primary_ref NONE anyway)
+    w(0, 1)  # disable_frame_end_update_cdf = 0 (save end CDFs, §7.20)
     _write_header_tail(
         w, seq, base_q_idx, seq.max_frame_width,
         tx_mode_select=True, enable_cdef=enable_cdef,
@@ -169,19 +172,44 @@ def _ref_block(ref: np.ndarray, y: int, x: int, h: int, w: int) -> np.ndarray:
     return ref[np.ix_(rows, cols)]
 
 
-def plan_inter_luma(src: np.ndarray, ref: np.ndarray, qindex: int,
-                    speed: int) -> dict:
-    """Per-16x16-cell motion plan: {(mi_r, mi_c): (is_inter, mv8r, mv8c)}.
+def plan_inter_luma(src_planes, ref_planes, qindex: int, speed: int,
+                    ss_x: int = 1, ss_y: int = 1, bd: int = 8) -> dict:
+    """Per-16x16-cell motion plan:
+    {(mi_r, mi_c): (is_inter, mv8r, mv8c, skip)}.
 
     Diamond full-pel search (role of libaom's fullpel motion search behind
     codec_aom.c's rate control) seeded from the left/above neighbours,
-    then an intra/inter decision against a DC-prediction SAD proxy."""
+    then an intra/inter decision against a DC-prediction SAD proxy.
+    `skip` marks exact-copy cells (zero residual on every plane at an
+    integer chroma offset): the block codes as skip=1 — motion only, no
+    coefficient syntax at all."""
+    src = np.asarray(src_planes[0], dtype=np.int32)
+    ref = np.asarray(ref_planes[0], dtype=np.int32)
     h, w = src.shape
-    src = src.astype(np.int32)
-    ref = ref.astype(np.int32)
     plan: dict = {}
     prev_row_mv: dict = {}
     max_step = 16 if speed <= 6 else 8
+    n_planes = len(src_planes)
+
+    # quantize-to-zero test with EXACTLY begin_txb's forward (DCT +
+    # RDOQ-lambda), so skip=1 reconstructs identically to coding the txbs
+    from . import rdsearch as RD
+    from . import tables as T
+    from .encode import _inverse_gain, forward_levels
+
+    dcq = T.dc_q(qindex, bd)
+    acq = T.ac_q(qindex, bd)
+    step16 = float(acq) * _inverse_gain(16, 16)
+    lam_sse = 1.6 * RD._LAM_RD_C * step16 * step16
+
+    def zero_check(sblk, rblk, plane):
+        res = sblk.astype(np.int64) - rblk.astype(np.int64)
+        th, tw = res.shape
+        lv, _ = forward_levels(
+            res, tw, th, 0, dcq, acq, 0, lam_sse=lam_sse,
+            scan=T.default_scan(min(tw, 32), min(th, 32)),
+        )
+        return not lv.any()
     for by in range(0, h, INTER_BLOCK_PX):
         left_mv = (0, 0)
         for bx in range(0, w, INTER_BLOCK_PX):
@@ -213,10 +241,35 @@ def plan_inter_luma(src: np.ndarray, ref: np.ndarray, qindex: int,
             # a quarter of the DC SAD as a flat rate bias toward inter:
             # inter blocks code fewer mode/coef bits at equal distortion
             is_inter = best <= sad_dc + (sad_dc >> 2)
+            skip = 0
+            if (
+                is_inter
+                and bh == INTER_BLOCK_PX and bw == INTER_BLOCK_PX
+                and best_mv[0] % (1 << ss_y) == 0
+                and best_mv[1] % (1 << ss_x) == 0
+                and zero_check(blk, _ref_block(
+                    ref, by + best_mv[0], bx + best_mv[1], bh, bw), 0)
+            ):
+                # full cell whose residual quantizes to zero on every
+                # plane: code skip=1 (motion only — begin_txb would emit
+                # all-zero txbs anyway, so the reconstruction matches)
+                skip = 1
+                for p in range(1, n_planes):
+                    sp = np.asarray(src_planes[p], dtype=np.int32)
+                    rp = np.asarray(ref_planes[p], dtype=np.int32)
+                    cy, cx = by >> ss_y, bx >> ss_x
+                    ch_, cw_ = bh >> ss_y, bw >> ss_x
+                    rb = _ref_block(
+                        rp, cy + (best_mv[0] >> ss_y),
+                        cx + (best_mv[1] >> ss_x), ch_, cw_,
+                    )
+                    if not zero_check(sp[cy : cy + ch_, cx : cx + cw_], rb, p):
+                        skip = 0
+                        break
             left_mv = best_mv
             prev_row_mv[bx] = best_mv
             plan[(by >> 2, bx >> 2)] = (
-                int(is_inter), best_mv[0] * 8, best_mv[1] * 8
+                int(is_inter), best_mv[0] * 8, best_mv[1] * 8, skip
             )
     return plan
 
@@ -237,7 +290,7 @@ class InterPlanner(RDPlanner):
 
     def _cell(self):
         r, c, _ = self.dec.block_pos
-        return self.iplan.get((r - r % 4, c - c % 4), (0, 0, 0))
+        return self.iplan.get((r - r % 4, c - c % 4), (0, 0, 0, 0))
 
     def _target(self):
         e = self._cell()
@@ -273,6 +326,9 @@ class InterPlanner(RDPlanner):
             return 3 if px > INTER_BLOCK_PX else 0
         if what == "is_inter":
             return 1 if self._cell()[0] else 0
+        if what == "skip":
+            e = self._cell()  # exact-copy cells code motion only
+            return e[3] if e[0] else 0
         if what == "newmv":
             tgt = self._target()
             st = self.dec.cur_mvctx
@@ -342,9 +398,11 @@ def encode_inter_sequence(frames, qindex: int, *, speed: int = 6,
         frame_type = R.KEY_FRAME if k == 0 else R.INTER_FRAME
         iplan = None
         if frame_type == R.INTER_FRAME:
-            ref_y = state.refs[0].planes[0]
             iplan = plan_inter_luma(
-                np.asarray(planes[0]), ref_y, qindex, speed
+                planes, state.refs[0].planes, qindex, speed,
+                ss_x=seq.subsampling_x if not seq.monochrome else 1,
+                ss_y=seq.subsampling_y if not seq.monochrome else 1,
+                bd=seq.bit_depth,
             )
         payload = _encode_one_frame(
             seq, state, frame_type, planes, qindex, speed, iplan,
@@ -371,7 +429,13 @@ def _encode_one_frame(seq, state, frame_type, planes, qindex, speed, iplan,
         seq, frame_type, qindex, enable_cdef=enable_cdef
     )
     hdr = parse_frame_header(hdr_payload, seq, state)
-    dec = FrameDecoder(seq, hdr, state=state)
+    # inherited entropy state (§7.20, mirror of stream._decode_frame)
+    cdf_init = None
+    if hdr.primary_ref_frame != 7:
+        prev = state.refs[hdr.ref_frame_idx[hdr.primary_ref_frame]]
+        if prev is not None and prev.cdfs is not None:
+            cdf_init = prev.cdfs.copy()
+    dec = FrameDecoder(seq, hdr, state=state, cdf_init=cdf_init)
     srcs = [np.asarray(p, dtype=np.int32) for p in planes]
     if frame_type == R.KEY_FRAME:
         planner = RDPlanner(srcs, hdr, seq, qindex, speed)
@@ -433,7 +497,11 @@ def _encode_one_frame(seq, state, frame_type, planes, qindex, speed, iplan,
     # §7.20 reference update: the slot stores exactly what a conformant
     # decoder's reference store would hold after this frame
     dec.mf_mvs, dec.mf_refs = dec.finish_motion_field()
-    final_cdfs = dec.frame_cdf_init.copy()  # disable_frame_end_update_cdf
+    if hdr.disable_frame_end_update_cdf:
+        final_cdfs = dec.frame_cdf_init.copy()
+    else:
+        # single tile, context_update_tile_id 0: the post-walk CDF state
+        final_cdfs = dec.cdf.copy()
     final_cdfs.reset_counters()
     slot = R.make_ref_slot(dec, hdr, seq, final_cdfs)
     state.update(hdr.refresh_frame_flags, slot)
