@@ -241,37 +241,118 @@ def plan_inter_luma(src_planes, ref_planes, qindex: int, speed: int,
             # a quarter of the DC SAD as a flat rate bias toward inter:
             # inter blocks code fewer mode/coef bits at equal distortion
             is_inter = best <= sad_dc + (sad_dc >> 2)
-            skip = 0
-            if (
-                is_inter
-                and bh == INTER_BLOCK_PX and bw == INTER_BLOCK_PX
-                and best_mv[0] % (1 << ss_y) == 0
-                and best_mv[1] % (1 << ss_x) == 0
-                and zero_check(blk, _ref_block(
-                    ref, by + best_mv[0], bx + best_mv[1], bh, bw), 0)
-            ):
-                # full cell whose residual quantizes to zero on every
-                # plane: code skip=1 (motion only — begin_txb would emit
-                # all-zero txbs anyway, so the reconstruction matches)
-                skip = 1
-                for p in range(1, n_planes):
-                    sp = np.asarray(src_planes[p], dtype=np.int32)
-                    rp = np.asarray(ref_planes[p], dtype=np.int32)
-                    cy, cx = by >> ss_y, bx >> ss_x
-                    ch_, cw_ = bh >> ss_y, bw >> ss_x
-                    rb = _ref_block(
-                        rp, cy + (best_mv[0] >> ss_y),
-                        cx + (best_mv[1] >> ss_x), ch_, cw_,
-                    )
-                    if not zero_check(sp[cy : cy + ch_, cx : cx + cw_], rb, p):
-                        skip = 0
-                        break
             left_mv = best_mv
             prev_row_mv[bx] = best_mv
-            plan[(by >> 2, bx >> 2)] = (
-                int(is_inter), best_mv[0] * 8, best_mv[1] * 8, skip
-            )
-    return plan
+            plan[(by >> 2, bx >> 2)] = [
+                int(is_inter), best_mv[0] * 8, best_mv[1] * 8, 0, best
+            ]
+
+    if speed <= 7:
+        _subpel_refine(src, ref, plan, bd)
+
+    # skip pass: cells whose residual quantizes to zero on every plane
+    # (needs the final MV; subpel MVs interpolate, so they never pass the
+    # integer-chroma-offset gate below)
+    for (r4, c4), e in plan.items():
+        by, bx = r4 << 2, c4 << 2
+        bh = min(INTER_BLOCK_PX, h - by)
+        bw = min(INTER_BLOCK_PX, w - bx)
+        mv8r, mv8c = e[1], e[2]
+        if (
+            not e[0]
+            or bh != INTER_BLOCK_PX or bw != INTER_BLOCK_PX
+            or mv8r % 8 or mv8c % 8
+            or (mv8r >> 3) % (1 << ss_y) or (mv8c >> 3) % (1 << ss_x)
+        ):
+            e[4] = None
+            continue
+        mvy, mvx = mv8r >> 3, mv8c >> 3
+        blk = src[by : by + bh, bx : bx + bw]
+        skip = int(zero_check(
+            blk, _ref_block(ref, by + mvy, bx + mvx, bh, bw), 0))
+        if skip:
+            # code skip=1 (motion only — begin_txb would emit all-zero
+            # txbs anyway, so the reconstruction matches)
+            for p in range(1, n_planes):
+                sp = np.asarray(src_planes[p], dtype=np.int32)
+                rp = np.asarray(ref_planes[p], dtype=np.int32)
+                cy, cx = by >> ss_y, bx >> ss_x
+                ch_, cw_ = bh >> ss_y, bw >> ss_x
+                rb = _ref_block(rp, cy + (mvy >> ss_y), cx + (mvx >> ss_x),
+                                ch_, cw_)
+                if not zero_check(sp[cy : cy + ch_, cx : cx + cw_], rb, p):
+                    skip = 0
+                    break
+        e[3] = skip
+        e[4] = None
+    return {k: tuple(v[:4]) for k, v in plan.items()}
+
+
+def _subpel_refine(src, ref, plan, bd):
+    """Quarter-pel refinement: half-pel then quarter-pel diamond around
+    each cell's full-pel winner, evaluated against the EXACT decoder MC
+    (inter.predict_single, EIGHTTAP/EIGHTTAP). Whole-frame fractional
+    planes are built lazily per (fy, fx) phase and shared by every cell —
+    a candidate at integer base (iy, ix) is a gather into that plane, so
+    the stage is a handful of frame interps + vectorized SADs instead of
+    per-block filtering."""
+    from .inter import predict_single
+
+    h, w = src.shape
+    cells = [
+        (k, e) for k, e in plan.items()
+        if e[0]
+        and (k[0] << 2) + INTER_BLOCK_PX <= h
+        and (k[1] << 2) + INTER_BLOCK_PX <= w
+    ]
+    if not cells:
+        return
+    n = len(cells)
+    by = np.array([k[0] << 2 for k, _ in cells])
+    bx = np.array([k[1] << 2 for k, _ in cells])
+    rix = np.arange(INTER_BLOCK_PX)
+    blks = src[
+        (by[:, None, None] + rix[None, :, None]),
+        (bx[:, None, None] + rix[None, None, :]),
+    ].astype(np.int64)
+    mv8 = np.array([[e[1], e[2]] for _, e in cells], dtype=np.int64)
+    cost = np.array([e[4] for _, e in cells], dtype=np.int64)
+    planes: dict = {}
+
+    def phase_plane(fy, fx):
+        if (fy, fx) not in planes:
+            planes[(fy, fx)] = predict_single(
+                ref, 0, 0, w, h, (fy, fx), 0, 0, (0, 0), bd
+            ).astype(np.int64)
+        return planes[(fy, fx)]
+
+    for step in (4, 2):  # half-pel, then quarter-pel
+        for dy, dx in ((-step, 0), (step, 0), (0, -step), (0, step),
+                       (-step, -step), (-step, step), (step, -step),
+                       (step, step)):
+            c8 = mv8 + (dy, dx)
+            fy, fx = c8[:, 0] & 7, c8[:, 1] & 7
+            iy, ix = c8[:, 0] >> 3, c8[:, 1] >> 3
+            # group cells by fractional phase: one shared plane per phase
+            for ky in np.unique(fy):
+                for kx in np.unique(fx[fy == ky]):
+                    sel = np.nonzero((fy == ky) & (fx == kx))[0]
+                    pl = phase_plane(int(ky), int(kx))
+                    rows = np.clip(
+                        (by[sel] + iy[sel])[:, None, None] + rix[None, :, None],
+                        0, h - 1,
+                    )
+                    cols = np.clip(
+                        (bx[sel] + ix[sel])[:, None, None] + rix[None, None, :],
+                        0, w - 1,
+                    )
+                    sad = np.abs(pl[rows, cols] - blks[sel]).sum(axis=(1, 2))
+                    better = sad < cost[sel]
+                    upd = sel[better]
+                    cost[upd] = sad[better]
+                    mv8[upd] = c8[upd]
+    for i, (_, e) in enumerate(cells):
+        e[1], e[2], e[4] = int(mv8[i, 0]), int(mv8[i, 1]), int(cost[i])
 
 
 class InterPlanner(RDPlanner):
