@@ -462,10 +462,13 @@ class FrameDecoder:
         from .restoration import apply_loop_restoration, setup_lr
 
         setup_lr(self)
-        for idx, data in tile_payloads:
-            tr, tc = divmod(idx, ti.cols)
-            self._decode_tile(tr, tc, data)
-            self.saved_tile_cdfs[idx] = self.cdf
+        if len(tile_payloads) < 2 or not self._decode_tiles_parallel(
+            tile_payloads
+        ):
+            for idx, data in tile_payloads:
+                tr, tc = divmod(idx, ti.cols)
+                self._decode_tile(tr, tc, data)
+                self.saved_tile_cdfs[idx] = self.cdf
         if self.hdr.segmentation_enabled:
             self.seg_ids = self.ctx.seg_of.copy()
         self.mf_mvs, self.mf_refs = self.finish_motion_field()
@@ -531,6 +534,82 @@ class FrameDecoder:
                 self._decode_partition(r, c, sz)
 
     # ------------------------------------------- native tile walk bridge
+
+    _PAR_GRID_FIELDS = (
+        "y_modes", "uv_modes", "block_of", "tx_w", "tx_h", "skip_of",
+        "blk_r0", "blk_c0", "uvtx_w", "uvtx_h", "seg_of",
+    )
+
+    def _decode_tiles_parallel(self, tile_payloads) -> bool:
+        """Tiles are fully independent in AV1 (entropy, prediction and
+        neighbor contexts all reset at tile edges), so run the native
+        walk for every tile concurrently — the ctypes call releases the
+        GIL and the walk's scratch is thread_local. Each tile gets a
+        private TileContexts + CDF set; per-mi grids merge back after.
+        Plays the role of dav1d's tile threads behind the reference's
+        maxThreads setting (codec_dav1d.c:232). Returns False to take
+        the sequential path (ineligible frame or a tile bailed)."""
+        if os.environ.get("LIBAVIF_TPU_TILE_THREADS", "1") == "0":
+            return False
+        if not self._tile_native_eligible():
+            return False
+        ti = self.hdr.tile
+        lib = _fused_lib()
+        main_ctx = getattr(self, "ctx", None)
+        if main_ctx is None:
+            main_ctx = TileContexts(self.hdr.mi_rows, self.hdr.mi_cols,
+                                    self.n_planes)
+        self.adapt = not self.hdr.disable_cdf_update
+        jobs = []
+        for idx, data in tile_payloads:
+            tr, tc = divmod(idx, ti.cols)
+            tctx = TileContexts(self.hdr.mi_rows, self.hdr.mi_cols,
+                                self.n_planes)
+            cdf = self.frame_cdf_init.copy()
+            self.mi_col0 = ti.col_starts[tc] * self.sb_mi
+            self.mi_col1 = min(ti.col_starts[tc + 1] * self.sb_mi,
+                               self.hdr.mi_cols)
+            self.mi_row0 = ti.row_starts[tr] * self.sb_mi
+            self.mi_row1 = min(ti.row_starts[tr + 1] * self.sb_mi,
+                               self.hdr.mi_rows)
+            self.ctx = tctx
+            self.cdf = cdf
+            ip, arrs = self._tile_walk_args()
+            buf = (np.frombuffer(data, dtype=np.uint8) if data
+                   else np.zeros(1, np.uint8))
+            bounds = (self.mi_row0, self.mi_row1, self.mi_col0, self.mi_col1)
+            jobs.append((idx, tctx, cdf, ip, arrs, buf, len(data), bounds))
+        self.ctx = main_ctx
+        cdef_snap = self.cdef_idx.copy()
+
+        def run(j):
+            _, _, _, ip, arrs, buf, nbytes, _ = j
+            ptrs = (C.c_void_p * len(arrs))(*[a.ctypes.data for a in arrs])
+            return lib.avt_spec_tile(
+                buf.ctypes.data_as(C.POINTER(C.c_uint8)), nbytes * 8,
+                ip.ctypes.data_as(C.POINTER(C.c_int32)), ptrs,
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        nw = min(len(jobs), os.cpu_count() or 8)
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            rcs = list(pool.map(run, jobs))
+        if any(rc < 0 for rc in rcs):
+            raise AvifError(Result.BMFF_PARSE_FAILED, "malformed tile payload")
+        if any(rc != 0 for rc in rcs):
+            # a tile bailed on unsupported block syntax (palette/intrabc):
+            # restore shared state and re-run everything sequentially
+            self.cdef_idx[:] = cdef_snap
+            return False
+        for idx, tctx, cdf, _, _, _, _, (r0, r1, c0, c1) in jobs:
+            for name in self._PAR_GRID_FIELDS:
+                getattr(main_ctx, name)[r0:r1, c0:c1] = (
+                    getattr(tctx, name)[r0:r1, c0:c1]
+                )
+            self.saved_tile_cdfs[idx] = cdf
+            self.cdf = cdf
+        return True
 
     def _tile_native_eligible(self) -> bool:
         """The C++ tile walk (native/tile_walk.inc avt_spec_tile) covers

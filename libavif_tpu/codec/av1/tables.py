@@ -67,6 +67,29 @@ class NmvCdfs:
         assert int(self.joints[0]) == 28672 and int(self.sign[0][0]) == 16384
 
 
+def _fast_copy(v):
+    """Deep copy specialized for the CDF banks: ndarray -> .copy(),
+    containers element-wise, plain objects field-wise; immutables shared."""
+    if isinstance(v, np.ndarray):
+        return v.copy()
+    if isinstance(v, (int, float, bool, str, bytes, type(None))):
+        return v
+    if isinstance(v, dict):
+        return {k: _fast_copy(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_fast_copy(x) for x in v]
+    if isinstance(v, tuple):
+        return tuple(_fast_copy(x) for x in v)
+    if hasattr(v, "__dict__"):
+        n = object.__new__(type(v))
+        for k, x in v.__dict__.items():
+            n.__dict__[k] = _fast_copy(x)
+        return n
+    import copy as _c
+
+    return _c.deepcopy(v)
+
+
 class DefaultCdfs:
     """Structured access to the default CDF tables.
 
@@ -220,9 +243,10 @@ class DefaultCdfs:
         self.qctx_selected = True
 
     def copy(self) -> "DefaultCdfs":
-        import copy as _c
-
-        return _c.deepcopy(self)
+        # structure-aware copy: this runs once per tile per frame, and
+        # generic deepcopy's memo machinery over the ~73 arrays costs
+        # more than the actual memcpy
+        return _fast_copy(self)
 
     def reset_counters(self) -> None:
         """Zero every row's adaptation counter (aom
