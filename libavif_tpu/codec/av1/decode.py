@@ -304,6 +304,27 @@ def _cfl_sign_v(js):
     return (js + 1) - 3 * _cfl_sign_u(js)
 
 
+_WORK_POOL = None
+_WORK_POOL_LOCK = __import__("threading").Lock()
+
+
+def work_pool():
+    """Shared thread pool for native parallel passes (tile walks,
+    per-plane deblock): per-frame executor creation costs ~1 ms, which
+    matters at double-digit-MP/s decode rates."""
+    global _WORK_POOL
+    if _WORK_POOL is None:
+        with _WORK_POOL_LOCK:
+            if _WORK_POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                _WORK_POOL = ThreadPoolExecutor(
+                    max_workers=max(4, min(16, os.cpu_count() or 4)),
+                    thread_name_prefix="avt-native",
+                )
+    return _WORK_POOL
+
+
 class TileContexts:
     """Per-tile entropy/neighbor contexts; tiles are fully independent."""
 
@@ -590,11 +611,7 @@ class FrameDecoder:
                 ip.ctypes.data_as(C.POINTER(C.c_int32)), ptrs,
             )
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        nw = min(len(jobs), os.cpu_count() or 8)
-        with ThreadPoolExecutor(max_workers=nw) as pool:
-            rcs = list(pool.map(run, jobs))
+        rcs = list(work_pool().map(run, jobs))
         if any(rc < 0 for rc in rcs):
             raise AvifError(Result.BMFF_PARSE_FAILED, "malformed tile payload")
         if any(rc != 0 for rc in rcs):

@@ -143,6 +143,7 @@ def loop_filter_frame(dec, *, scalar: bool = False) -> None:
         impl = _deblock_pass_native
     else:
         impl = _filter_plane
+    planes = []
     for plane in range(dec.n_planes):
         # §7.14.1 plane gate on the FRAME base levels: a zero-level plane
         # is skipped entirely — ref/mode deltas and delta-lf cannot
@@ -153,12 +154,26 @@ def loop_filter_frame(dec, *, scalar: bool = False) -> None:
             continue
         if plane == 2 and not lf.levels[3]:
             continue
-        for direction in (0, 1):  # 0 = vertical edges, 1 = horizontal
+        planes.append(plane)
+
+    def one_plane(plane):
+        # vertical edges strictly before horizontal within a plane
+        # (§7.14); planes touch disjoint buffers, so they run in parallel
+        # on the native path (the ctypes call releases the GIL)
+        for direction in (0, 1):
             if plane == 0:
                 base_lvl = lf.levels[direction]
             else:
                 base_lvl = lf.levels[2 if plane == 1 else 3]
             impl(dec, plane, direction, base_lvl, bd)
+
+    if impl is _deblock_pass_native and len(planes) > 1:
+        from .decode import work_pool
+
+        list(work_pool().map(one_plane, planes))
+    else:
+        for plane in planes:
+            one_plane(plane)
 
 
 def _native_deblock_ok() -> bool:

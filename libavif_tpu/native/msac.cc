@@ -1156,16 +1156,26 @@ void avt_inverse_transform(const int32_t* dq, int txw, int txh,
   int ch = txh < 32 ? txh : 32;
   static thread_local int64_t full[64 * 64];
   static thread_local int64_t mid[64 * 64];
-  for (int i = 0; i < txh * txw; i++) full[i] = 0;
-  for (int i = 0; i < ch; i++)
+  memset(full, 0, sizeof(int64_t) * txh * txw);
+  // typical blocks carry coefficients only in the top rows: rows whose
+  // inputs are all zero transform to zero (linearity), so skip their 1-D
+  // row pass entirely (dav1d's eob-height pruning)
+  int nzh = 0;
+  for (int i = 0; i < ch; i++) {
+    int any = 0;
     for (int j = 0; j < cw; j++) {
       int64_t v = dq[i * cw + j];
-      if (rect_scale) v = (v * 2896 + 2048) >> 12;
-      full[i * txw + j] = v;
+      if (v) {
+        any = 1;
+        if (rect_scale) v = (v * 2896 + 2048) >> 12;
+        full[i * txw + j] = v;
+      }
     }
+    if (any) nzh = i + 1;
+  }
   const int64_t rng = 1LL << (bd + 7);
   int64_t rin[64], rout[64];
-  for (int i = 0; i < txh; i++) {
+  for (int i = 0; i < nzh; i++) {
     for (int j = 0; j < txw; j++) rin[j] = full[i * txw + j];
     txfm1d(row_kind, rin, rout, txw);
     for (int j = 0; j < txw; j++) {
@@ -1175,6 +1185,7 @@ void avt_inverse_transform(const int32_t* dq, int txw, int txh,
       mid[i * txw + j] = v;
     }
   }
+  if (nzh < txh) memset(mid + nzh * txw, 0, sizeof(int64_t) * (txh - nzh) * txw);
   for (int j = 0; j < txw; j++) {
     for (int i = 0; i < txh; i++) rin[i] = mid[i * txw + j];
     txfm1d(col_kind, rin, rout, txh);
