@@ -444,15 +444,27 @@ class FrameDecoder:
             for i in range(7):
                 slot = state.refs[hdr.ref_frame_idx[i]]
                 self.ref_planes[R.LAST_FRAME + i] = slot
-                if slot is not None and (
-                    slot.width != hdr.width
-                    or slot.height != hdr.height
-                    or slot.bit_depth != seq.bit_depth
+                if slot is None:
+                    continue
+                if (
+                    slot.bit_depth != seq.bit_depth
                     or slot.subsampling_x != seq.subsampling_x
                     or slot.subsampling_y != seq.subsampling_y
                 ):
                     raise AvifError(
-                        Result.NOT_IMPLEMENTED, "scaled/mismatched reference frame"
+                        Result.BMFF_PARSE_FAILED, "mismatched reference format"
+                    )
+                # scaled references are legal within §5.9.8's limits
+                # (MC goes through inter._mc_raw_scaled); outside them
+                # the stream is malformed
+                if (
+                    2 * hdr.width < slot.upscaled_width
+                    or 2 * hdr.height < slot.height
+                    or hdr.width > 16 * slot.upscaled_width
+                    or hdr.height > 16 * slot.height
+                ):
+                    raise AvifError(
+                        Result.BMFF_PARSE_FAILED, "reference scale out of range"
                     )
             if hdr.primary_ref_frame != H.PRIMARY_REF_NONE:
                 prev = state.refs[hdr.ref_frame_idx[hdr.primary_ref_frame]]
@@ -501,14 +513,33 @@ class FrameDecoder:
         pre_cdef = [p.copy() for p in self.planes]
         apply_cdef(self)
         if self.hdr.upscaled_width != self.hdr.width:
-            # §7.16: superres upscale after CDEF, before loop restoration
-            if any(t != 0 for t in self.hdr.lr.frame_restoration_type[: self.n_planes]):
-                raise AvifError(
-                    Result.NOT_IMPLEMENTED, "superres + loop restoration"
-                )
-            from .superres import upscale_frame
+            # §7.16: superres upscale after CDEF, before loop restoration.
+            # LR then runs in the UPSCALED domain; its stripe-boundary
+            # rows come from the upscaled deblocked (pre-CDEF) frame
+            # (§7.17 UpscaledCurrFrame), so upscale that too.
+            from .superres import upscale_frame, upscale_plane
 
+            pre_up = None
+            if any(t != 0 for t in
+                   self.hdr.lr.frame_restoration_type[: self.n_planes]):
+                pre_up = []
+                for p in range(self.n_planes):
+                    sx = self.ss_x if p else 0
+                    in_w = (self.hdr.width + sx) >> sx
+                    out_w = (self.hdr.upscaled_width + sx) >> sx
+                    buf = pre_cdef[p]
+                    up = np.zeros(
+                        (buf.shape[0], max(out_w, buf.shape[1])),
+                        dtype=buf.dtype,
+                    )
+                    up[: self.ch[p], :out_w] = upscale_plane(
+                        buf, in_w, out_w, self.bd, self.ch[p],
+                        clamp_w=self.cw[p],
+                    )
+                    pre_up.append(up)
             upscale_frame(self)
+            if pre_up is not None:
+                apply_loop_restoration(self, pre_up)
         else:
             apply_loop_restoration(self, pre_cdef)
         return [

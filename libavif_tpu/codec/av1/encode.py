@@ -1113,7 +1113,7 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
 
 
 def _write_header_tail(w, seq: SequenceHeader, base_q_idx: int, coded_w: int,
-                       *, tx_mode_select=True, segmentation=None,
+                       *, coded_h=None, tx_mode_select=True, segmentation=None,
                        enable_lr=False, enable_cdef=False,
                        tile_cols_log2=0, tile_rows_log2=0,
                        cdef_strengths=None, film_grain=None,
@@ -1127,7 +1127,9 @@ def _write_header_tail(w, seq: SequenceHeader, base_q_idx: int, coded_w: int,
     # tile info: uniform spacing, smallest tile counts — over the CODED
     # (post-downscale) geometry
     mi_cols = 2 * ((coded_w + 7) >> 3)
-    mi_rows = 2 * ((seq.max_frame_height + 7) >> 3)
+    if coded_h is None:
+        coded_h = seq.max_frame_height
+    mi_rows = 2 * ((coded_h + 7) >> 3)
     sb_shift = 5 if seq.use_128x128_superblock else 4
     sb_cols = (mi_cols + (1 << sb_shift) - 1) >> sb_shift
     sb_rows = (mi_rows + (1 << sb_shift) - 1) >> sb_shift

@@ -53,6 +53,79 @@ def _round2(x, n: int):
     return (x + (1 << (n - 1))) >> n
 
 
+def _round2s(v: int, n: int) -> int:
+    """§4.10.9 Round2Signed."""
+    m = (-v + (1 << (n - 1))) >> n
+    return (v + (1 << (n - 1))) >> n if v >= 0 else -m
+
+
+REF_SCALE_SHIFT = 14
+SCALE_SUBPEL_BITS = 10
+
+
+def _mc_raw_scaled(
+    ref: np.ndarray,
+    x: int,
+    y: int,
+    w: int,
+    h: int,
+    mv,
+    sub_x: int,
+    sub_y: int,
+    filters,
+    bit_depth: int,
+    is_compound: bool,
+    ref_w: int,
+    ref_h: int,
+    cur_w: int,
+    cur_h: int,
+):
+    """Scaled-reference motion compensation (§7.11.3.3 motion vector
+    scaling + §7.11.3.4 scaled block_inter_predict): per-position 1/1024
+    stepping through the reference with 1/16-phase subpel filters. Role
+    of dav1d's put_8tap_scaled behind codec_dav1d.c:58. `ref_w`/`ref_h`
+    are the reference's LUMA upscaled dims, `cur_w`/`cur_h` the current
+    frame's LUMA coded dims."""
+    r0, r1 = _rounding(bit_depth, is_compound)
+    xs = ((ref_w << REF_SCALE_SHIFT) + cur_w // 2) // cur_w
+    ys = ((ref_h << REF_SCALE_SHIFT) + cur_h // 2) // cur_h
+    half = 8  # 1 << (SUBPEL_BITS - 1)
+    orig_x = (x << 4) + ((2 * int(mv[1])) >> sub_x) + half
+    orig_y = (y << 4) + ((2 * int(mv[0])) >> sub_y) + half
+    base_x = orig_x * xs - (half << REF_SCALE_SHIFT)
+    base_y = orig_y * ys - (half << REF_SCALE_SHIFT)
+    off = 32  # (1 << (SCALE_SUBPEL_BITS - SUBPEL_BITS)) / 2
+    start_x = _round2s(base_x, REF_SCALE_SHIFT + 4 - SCALE_SUBPEL_BITS) + off
+    start_y = _round2s(base_y, REF_SCALE_SHIFT + 4 - SCALE_SUBPEL_BITS) + off
+    step_x = _round2s(xs, REF_SCALE_SHIFT - SCALE_SUBPEL_BITS)
+    step_y = _round2s(ys, REF_SCALE_SHIFT - SCALE_SUBPEL_BITS)
+    last_x = ((ref_w + sub_x) >> sub_x) - 1
+    last_y = ((ref_h + sub_y) >> sub_y) - 1
+    rows = (((h - 1) * step_y + (1 << SCALE_SUBPEL_BITS) - 1)
+            >> SCALE_SUBPEL_BITS) + 8
+    # horizontal pass: per-column phase + base
+    p = start_x + step_x * np.arange(w, dtype=np.int64)
+    fh = np.stack([_filter_row(filters[1], w, f) for f in range(16)])[
+        (p >> 6) & 15
+    ]  # (w, 8)
+    rowidx = np.clip((start_y >> SCALE_SUBPEL_BITS) + np.arange(rows) - 3,
+                     0, last_y)
+    colidx = np.clip((p >> SCALE_SUBPEL_BITS)[:, None]
+                     + np.arange(8)[None, :] - 3, 0, last_x)
+    patch = ref[rowidx[:, None, None], colidx[None, :, :]].astype(np.int64)
+    horiz = _round2((patch * fh[None]).sum(-1), r0)  # (rows, w)
+    # vertical pass: per-row phase + base into the intermediate
+    q = (start_y & ((1 << SCALE_SUBPEL_BITS) - 1)) + step_y * np.arange(
+        h, dtype=np.int64
+    )
+    fv = np.stack([_filter_row(filters[0], h, f) for f in range(16)])[
+        (q >> 6) & 15
+    ]  # (h, 8)
+    ridx = (q >> SCALE_SUBPEL_BITS)[:, None] + np.arange(8)[None, :]
+    vert = (horiz[ridx, :] * fv[:, :, None]).sum(1)
+    return _round2(vert, r1)
+
+
 def _mc_raw(
     ref: np.ndarray,
     x: int,

@@ -106,7 +106,8 @@ def _sequence_header(w: int, h: int, *, monochrome, subsampling_x,
 
 def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
                             base_q_idx: int, *, enable_cdef=False,
-                            cdef_strengths=None, lf_levels=None) -> bytes:
+                            cdef_strengths=None, lf_levels=None,
+                            frame_size=None) -> bytes:
     """Non-reduced uncompressed header (§5.9.2) for a KEY or INTER frame
     in our animation configuration (mirror of headers.parse_frame_header;
     the caller re-parses the bytes to guarantee agreement)."""
@@ -121,7 +122,10 @@ def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
         w(0, 1)
     w(0, 1)  # disable_cdf_update
     # allow_screen_content_tools: no bit (seq.force_screen_content_tools=0)
-    w(0, 1)  # frame_size_override_flag
+    override = frame_size is not None and frame_size != (
+        seq.max_frame_width, seq.max_frame_height
+    )
+    w(1 if override else 0, 1)  # frame_size_override_flag
     # order_hint: no bits (enable_order_hint off)
     if is_inter:
         # primary_ref_frame = 0: inherit slot 0's end-of-frame CDFs and
@@ -131,7 +135,14 @@ def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
         w(0x01, 8)  # refresh_frame_flags: slot 0 holds the last recon
         for _ in range(7):
             w(0, 3)  # ref_frame_idx[i] = 0 (every name maps to LAST recon)
-        # frame size from seq max dims (override=0), no superres bits
+        if override:
+            # frame_size_with_refs (§5.9.7): no ref match, explicit dims —
+            # this frame motion-compensates from SCALED references
+            for _ in range(7):
+                w(0, 1)  # found_ref
+            w(frame_size[0] - 1, seq.frame_width_bits)
+            w(frame_size[1] - 1, seq.frame_height_bits)
+        # else: frame size from seq max dims; no superres bits either way
         w(0, 1)  # render_and_frame_size_different
         w(0, 1)  # allow_high_precision_mv = 0 (quarter-pel)
         w(0, 1)  # is_filter_switchable = 0
@@ -143,8 +154,10 @@ def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
         w(0, 1)  # render_and_frame_size_different
         # allow_intrabc: no bit (allow_screen_content_tools = 0)
     w(0, 1)  # disable_frame_end_update_cdf = 0 (save end CDFs, §7.20)
+    fw = frame_size[0] if override else seq.max_frame_width
+    fh = frame_size[1] if override else seq.max_frame_height
     _write_header_tail(
-        w, seq, base_q_idx, seq.max_frame_width,
+        w, seq, base_q_idx, fw, coded_h=fh,
         tx_mode_select=True, enable_cdef=enable_cdef,
         cdef_strengths=cdef_strengths, lf_levels=lf_levels,
         is_inter=is_inter,
@@ -452,15 +465,21 @@ def encode_inter_sequence(frames, qindex: int, *, speed: int = 6,
                           color_primaries=2, transfer_characteristics=2,
                           matrix_coefficients=2, color_range=1,
                           enable_deblock=True, enable_cdef=True,
-                          cdef_search=True) -> list:
+                          cdef_search=True, sizes=None) -> list:
     """Encode a GOP: frames[0] as KEY, the rest as INTER against the
     previous reconstruction. Returns one OBU payload per frame (the
     first includes the sequence header). Sample k decodes bit-exactly by
-    any conformant decoder fed samples 0..k in order."""
+    any conformant decoder fed samples 0..k in order.
+
+    `sizes`: optional per-frame (w, h) — frames smaller than the first
+    code with frame_size_override and motion-compensate from SCALED
+    references (§5.9.7 + §7.11.3.4); frame 0 must be the largest."""
     if not frames:
         return []
     y0 = np.asarray(frames[0][0])
     h, w = y0.shape
+    if sizes is not None:
+        assert (w, h) == sizes[0], "frame 0 fixes the sequence max size"
     seq = _sequence_header(
         w, h, monochrome=monochrome, subsampling_x=subsampling_x,
         subsampling_y=subsampling_y, bit_depth=bit_depth,
@@ -479,16 +498,32 @@ def encode_inter_sequence(frames, qindex: int, *, speed: int = 6,
         frame_type = R.KEY_FRAME if k == 0 else R.INTER_FRAME
         iplan = None
         if frame_type == R.INTER_FRAME:
+            ref_planes = state.refs[0].planes
+            scaled_ref = ref_planes[0].shape != np.asarray(planes[0]).shape
+            if scaled_ref:
+                # crude resample for the SEARCH only — the mirror codes
+                # prediction through the exact scaled MC either way
+                rs = []
+                for p_src, p_ref in zip(planes, ref_planes):
+                    sh = np.asarray(p_src).shape
+                    yi = (np.arange(sh[0]) * p_ref.shape[0]) // sh[0]
+                    xi = (np.arange(sh[1]) * p_ref.shape[1]) // sh[1]
+                    rs.append(np.asarray(p_ref)[yi[:, None], xi[None, :]])
+                ref_planes = rs
             iplan = plan_inter_luma(
-                planes, state.refs[0].planes, qindex, speed,
+                planes, ref_planes, qindex, speed,
                 ss_x=seq.subsampling_x if not seq.monochrome else 1,
                 ss_y=seq.subsampling_y if not seq.monochrome else 1,
                 bd=seq.bit_depth,
             )
+            if scaled_ref:
+                # zero-residual detection is only valid vs the true pred
+                iplan = {kk: (e[0], e[1], e[2], 0) for kk, e in iplan.items()}
         payload = _encode_one_frame(
             seq, state, frame_type, planes, qindex, speed, iplan,
             enable_deblock=enable_deblock, enable_cdef=enable_cdef,
             cdef_search=cdef_on,
+            frame_size=None if sizes is None else sizes[k],
         )
         s = RWStream()
         write_obu(s, OBU_TEMPORAL_DELIMITER, b"")
@@ -500,14 +535,16 @@ def encode_inter_sequence(frames, qindex: int, *, speed: int = 6,
 
 
 def _encode_one_frame(seq, state, frame_type, planes, qindex, speed, iplan,
-                      *, enable_deblock, enable_cdef, cdef_search) -> bytes:
+                      *, enable_deblock, enable_cdef, cdef_search,
+                      frame_size=None) -> bytes:
     """One frame through the mirrored traversal + in-loop filters + §7.20
     reference update (mirror of encode._encode_still's tile loop, plus
     the cross-frame state StreamDecoder._decode_frame maintains)."""
     from .restoration import read_lr, reset_lr_refs, setup_lr
 
     hdr_payload = _write_frame_header_seq(
-        seq, frame_type, qindex, enable_cdef=enable_cdef
+        seq, frame_type, qindex, enable_cdef=enable_cdef,
+        frame_size=frame_size,
     )
     hdr = parse_frame_header(hdr_payload, seq, state)
     # inherited entropy state (§7.20, mirror of stream._decode_frame)
@@ -556,7 +593,7 @@ def _encode_one_frame(seq, state, frame_type, planes, qindex, speed, iplan,
         if any(lf_levels):
             hdr_payload = _write_frame_header_seq(
                 seq, frame_type, qindex, enable_cdef=enable_cdef,
-                lf_levels=lf_levels,
+                lf_levels=lf_levels, frame_size=frame_size,
             )
             hdr2 = parse_frame_header(hdr_payload, seq, state)
             dec.hdr.lf = hdr2.lf
@@ -568,6 +605,7 @@ def _encode_one_frame(seq, state, frame_type, planes, qindex, speed, iplan,
         hdr_payload = _write_frame_header_seq(
             seq, frame_type, qindex, enable_cdef=True,
             cdef_strengths=chosen, lf_levels=lf_levels,
+            frame_size=frame_size,
         )
         hdr2 = parse_frame_header(hdr_payload, seq, state)
         dec.hdr.cdef = hdr2.cdef

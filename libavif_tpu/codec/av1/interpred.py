@@ -78,10 +78,24 @@ def _mc_one(d, plane, ref_idx, x, y, w, h, mv, filters, is_compound, b, which):
     sx = d.ss_x if plane else 0
     sy = d.ss_y if plane else 0
     ref = _ref_plane(d, ref_idx, plane)
+    slot = d.ref_planes[ref_idx] if ref_idx != R.INTRA_FRAME else None
+    scaled = slot is not None and (
+        slot.upscaled_width != d.hdr.width or slot.height != d.hdr.height
+    )
     wrp = _use_warp(d, b, plane, w, h, which) if b is not None else None
     if wrp is not None:
+        if scaled:
+            # libaom never warps from a scaled reference (av1_allow_warp)
+            raise AvifError(
+                Result.NOT_IMPLEMENTED, "warped motion from scaled reference"
+            )
         wm, shears = wrp
         return W.warp_block(ref, x, y, w, h, wm, shears, sx, sy, d.bd, is_compound)
+    if scaled:
+        return MC._mc_raw_scaled(
+            ref, x, y, w, h, mv, sx, sy, filters, d.bd, is_compound,
+            slot.upscaled_width, slot.height, d.hdr.width, d.hdr.height,
+        )
     return MC._mc_raw(ref, x, y, w, h, mv, sx, sy, filters, d.bd, is_compound)
 
 

@@ -130,8 +130,15 @@ def read_lr(dec, r: int, c: int) -> None:
         unit_cols = dec.lr_type[plane].shape[1]
         ur0 = (r * (4 >> sy) + usize - 1) // usize
         ur1 = min(unit_rows, ((r + h4) * (4 >> sy) + usize - 1) // usize)
-        uc0 = (c * (4 >> sx) + usize - 1) // usize
-        uc1 = min(unit_cols, ((c + w4) * (4 >> sx) + usize - 1) // usize)
+        # §5.11.57: columns map through the superres scale — units live in
+        # the UPSCALED domain while mi positions are coded-domain
+        if hdr.superres_denom != 8:  # SUPERRES_NUM
+            num = (4 >> sx) * hdr.superres_denom
+            den = usize * 8
+        else:
+            num, den = 4 >> sx, usize
+        uc0 = (c * num + den - 1) // den
+        uc1 = min(unit_cols, ((c + w4) * num + den - 1) // den)
         for ur in range(ur0, ur1):
             for uc in range(uc0, uc1):
                 _read_lr_unit(dec, plane, ur, uc)

@@ -375,14 +375,32 @@ def parse_iref(s: ROStream, meta: Meta) -> None:
         hdr = s.read_box_header()
         sub = _substream(s, hdr)
         from_id = sub.read_u32() if version > 0 else sub.read_u16()
+        if hdr.type == "dimg":
+            # HEIF 6.6.1: at most one 'dimg' box per from_item_ID
+            # (read.c:3366 hasDimgFrom)
+            item = meta.item(from_id)
+            if getattr(item, "has_dimg_from", False):
+                raise AvifError(
+                    Result.BMFF_PARSE_FAILED,
+                    f"duplicate dimg boxes for from_item_ID {from_id}",
+                )
+            item.has_dimg_from = True
         ref_count = sub.read_u16()
         to_ids = [(sub.read_u32() if version > 0 else sub.read_u16()) for _ in range(ref_count)]
         meta.item(from_id).refs.setdefault(hdr.type, []).extend(to_ids)
         for idx, to_id in enumerate(to_ids):
             if hdr.type == "dimg":
                 cell = meta.item(to_id)
+                if cell.dimg_for_id == from_id:
+                    # ISO 14496-12 8.11.12.1: within one array a value
+                    # occurs at most once (read.c:3406)
+                    raise AvifError(
+                        Result.INVALID_IMAGE_GRID,
+                        f"item {to_id} repeated in dimg of {from_id}",
+                    )
                 if cell.dimg_for_id != 0:
-                    # An item can be a cell of at most one grid (read.c enforces).
+                    # shared between two derived items: legal per HEIF but
+                    # unsupported, matching the reference (read.c:3408)
                     raise AvifError(
                         Result.NOT_IMPLEMENTED, "item used by multiple dimg references"
                     )

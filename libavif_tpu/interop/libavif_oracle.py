@@ -419,10 +419,13 @@ def encode(
     alpha: Optional[np.ndarray] = None,
     codec: str = "auto",
     auto_tiling: bool = True,
+    codec_options: Optional[dict] = None,
 ) -> bytes:
     """Encode native YUV planes to AVIF bytes through libaom.
 
-    quality follows avif.h semantics: 100 == lossless (quantizer 0)."""
+    quality follows avif.h semantics: 100 == lossless (quantizer 0).
+    `codec_options` passes aom key-value options
+    (avifEncoderSetCodecSpecificOption)."""
     return _encode_impl(
         [planes], depth=depth, yuv_format=yuv_format, full_range=full_range,
         quality=quality, quality_alpha=quality_alpha, speed=speed,
@@ -430,7 +433,7 @@ def encode(
         color_primaries=color_primaries,
         transfer_characteristics=transfer_characteristics,
         alphas=[alpha], codec=codec, auto_tiling=auto_tiling,
-        single=True,
+        single=True, codec_options=codec_options,
     )
 
 

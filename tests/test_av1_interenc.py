@@ -196,3 +196,44 @@ class TestAnimationApi:
         while dec.next_image():
             n += 1
         assert n == 6
+
+
+class TestScaledReferences:
+    def test_scaled_refs_both_directions(self):
+        """§5.9.7 frame_size_with_refs + §7.11.3.4 scaled MC: smaller
+        inter frames reference the larger previous recon (downscaling MC)
+        and the following full-size frame references the smaller recon
+        (upscaling MC); every frame must be dav1d-bit-exact."""
+        if not dav1d_oracle.available():
+            pytest.skip("dav1d oracle unavailable")
+        rng = np.random.default_rng(5)
+        H, W = 96, 128
+        base = _smooth(rng.integers(0, 256, (H + 32, W + 32)).astype(np.float64))
+
+        def frame(w, h, t):
+            yi = (np.arange(h) * H) // h
+            xi = (np.arange(w) * W) // w
+            y = base[t : t + H, 2 * t : 2 * t + W][yi[:, None], xi[None, :]]
+            u = np.full(((h + 1) // 2, (w + 1) // 2), 100, np.uint8)
+            v = np.full(((h + 1) // 2, (w + 1) // 2), 160, np.uint8)
+            return [y.astype(np.uint8), u, v]
+
+        sizes = [(128, 96), (96, 72), (128, 96), (72, 56)]
+        frames = [frame(w, h, t) for t, (w, h) in enumerate(sizes)]
+        payloads = encode_inter_sequence(frames, 100, speed=6, sizes=sizes)
+        assert_dav1d_exact(frames, payloads)
+
+    def test_out_of_range_scale_rejected(self):
+        """§5.9.8: a frame less than half the reference width is
+        malformed, not NOT_IMPLEMENTED."""
+        from libavif_tpu.constants import AvifError, Result
+
+        rng = np.random.default_rng(1)
+        f0 = [rng.integers(0, 255, (96, 128)).astype(np.uint8),
+              np.full((48, 64), 99, np.uint8), np.full((48, 64), 99, np.uint8)]
+        f1 = [rng.integers(0, 255, (40, 56)).astype(np.uint8),
+              np.full((20, 28), 99, np.uint8), np.full((20, 28), 99, np.uint8)]
+        with pytest.raises(AvifError) as e:
+            encode_inter_sequence([f0, f1], 100, speed=6,
+                                  sizes=[(128, 96), (56, 40)])
+        assert e.value.result == Result.BMFF_PARSE_FAILED

@@ -70,3 +70,44 @@ def test_superres_coded_width_validation():
     with pytest.raises(AvifError):
         E.encode_lossy_still(pl, qindex=60, speed=8, superres_denom=12,
                              upscaled_width=300)  # derives 200 != 100
+
+
+@pytest.mark.parametrize("denom,up_w,cdef", [(12, 288, False), (9, 216, True)])
+def test_superres_plus_loop_restoration(denom, up_w, cdef):
+    """§7.16 + §7.17 combined: LR runs in the UPSCALED domain — unit
+    columns map through the superres scale (§5.11.57) and the stripe
+    boundary rows come from the upscaled deblocked frame. dav1d is the
+    oracle (the reference decodes these via codec_dav1d.c:58)."""
+
+    class ForceLr(E.LossyPlanner):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._lr_i = 0
+
+        def next_symbol(self, n, what=None):
+            if what == "lr":
+                v = [1, 2, 0][self._lr_i % 3]  # wiener, sgr, none, ...
+                self._lr_i += 1
+                return min(v, n - 1)
+            return super().next_symbol(n, what)
+
+    cw = (up_w * 8 + denom // 2) // denom
+    pl = _photo(cw, 96, seed=denom)
+    old = E.LossyPlanner
+    try:
+        E.LossyPlanner = ForceLr
+        # cdef=True exercises the distinct stripe-boundary source: LR's
+        # boundary rows are pre-CDEF pixels while the filtered area is
+        # post-CDEF, both upscaled
+        payload = E.encode_lossy_still(
+            pl, qindex=60, superres_denom=denom, upscaled_width=up_w,
+            enable_lr=True, enable_cdef=cdef,
+        )
+    finally:
+        E.LossyPlanner = old
+    out, _, hdr = decode_still(payload)
+    assert any(t != 0 for t in hdr.lr.frame_restoration_type)
+    assert hdr.upscaled_width == up_w and hdr.width == cw
+    ref = oracle.decode(_wrap(payload, up_w, 96))
+    for a, b in zip(out, ref.planes):
+        assert np.array_equal(a.astype(np.uint8), b)

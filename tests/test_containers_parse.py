@@ -166,3 +166,53 @@ class TestMalformed:
         bad = struct.pack(">I", 16) + b"ftyp" + b"mp41" + struct.pack(">I", 0)
         with pytest.raises(AvifError):
             parse(bad)
+
+
+class TestIrefDimgRules:
+    """read.c:3356-3410 dimg reference validation semantics."""
+
+    @staticmethod
+    def _iref(children):
+        """Build an iref box payload (version 0) + parse it."""
+        import struct
+
+        import importlib
+
+        parse_mod = importlib.import_module("libavif_tpu.containers.parse")
+        from libavif_tpu.containers.items import Meta
+        from libavif_tpu.utils.streams import ROStream
+
+        body = b"\x00\x00\x00\x00"  # version 0 + flags
+        for box_type, from_id, to_ids in children:
+            payload = struct.pack(">HH", from_id, len(to_ids))
+            payload += b"".join(struct.pack(">H", t) for t in to_ids)
+            body += struct.pack(">I", 8 + len(payload)) + box_type + payload
+        meta = Meta()
+        parse_mod.parse_iref(ROStream(body), meta)
+        return meta
+
+    def test_single_grid_ok(self):
+        meta = self._iref([(b"dimg", 1, [2, 3, 4])])
+        assert meta.item(3).dimg_for_id == 1
+        assert meta.item(4).dimg_idx == 2
+
+    def test_duplicate_dimg_from_rejected(self):
+        from libavif_tpu.constants import Result
+
+        with pytest.raises(AvifError) as e:
+            self._iref([(b"dimg", 1, [2]), (b"dimg", 1, [3])])
+        assert e.value.result == Result.BMFF_PARSE_FAILED
+
+    def test_repeated_to_id_in_one_array_rejected(self):
+        from libavif_tpu.constants import Result
+
+        with pytest.raises(AvifError) as e:
+            self._iref([(b"dimg", 1, [2, 2])])
+        assert e.value.result == Result.INVALID_IMAGE_GRID
+
+    def test_cell_shared_between_grids_not_implemented(self):
+        from libavif_tpu.constants import Result
+
+        with pytest.raises(AvifError) as e:
+            self._iref([(b"dimg", 1, [2]), (b"dimg", 5, [2])])
+        assert e.value.result == Result.NOT_IMPLEMENTED
