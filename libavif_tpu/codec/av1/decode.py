@@ -1210,13 +1210,8 @@ class FrameDecoder:
             )
         if pal_sz_uv:
             map_uv = self._read_palette_tokens(
-                r,
-                c,
-                max(4, wpx >> self.ss_x),
-                max(4, hpx >> self.ss_y),
-                pal_sz_uv,
-                cdf.palette_uv_color_index[pal_sz_uv],
-                chroma=True,
+                r, c, wpx, hpx, pal_sz_uv,
+                cdf.palette_uv_color_index[pal_sz_uv], chroma=True,
             )
 
         # ---- tx size (lossless: 4x4 implied)
@@ -1466,12 +1461,25 @@ class FrameDecoder:
         return (v << 1) - m + self.dec.decode_bit()
 
     def _read_palette_tokens(self, r, c, bw, bh, n, cdftab, chroma=False):
-        """§5.11.46 color index map, decoded in anti-diagonal order."""
+        """§5.11.46 color index map, decoded in anti-diagonal order.
+        `bw`/`bh` are the LUMA block dims; chroma derives its own, and a
+        sub-4 chroma dimension widens by 2 — on BOTH the block and the
+        ONSCREEN extent (§5.11.43: `blockWidth += 2; onscreenWidth += 2`
+        after the subsampling shift — a frame-edge 4xN block otherwise
+        under-reads its chroma map and desyncs the tile)."""
         dec = self.dec
         sx = self.ss_x if chroma else 0
         sy = self.ss_y if chroma else 0
-        on_w = min(bw, ((self.hdr.mi_cols - c) * 4) >> sx)
-        on_h = min(bh, ((self.hdr.mi_rows - r) * 4) >> sy)
+        on_w = min(bw, (self.hdr.mi_cols - c) * 4) >> sx
+        on_h = min(bh, (self.hdr.mi_rows - r) * 4) >> sy
+        bw >>= sx
+        bh >>= sy
+        if bw < 4:
+            bw += 2
+            on_w += 2
+        if bh < 4:
+            bh += 2
+            on_h += 2
         m = np.zeros((bh, bw), dtype=np.uint8)
         m[0, 0] = self._read_ns(n)
         for k in range(1, on_h + on_w - 1):

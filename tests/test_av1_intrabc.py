@@ -100,3 +100,48 @@ def test_intrabc_unique_content_pair():
 def test_intrabc_monochrome():
     _roundtrip("mono", [_screen(160, 160, seed=5)], "yuv400", 70, 2,
                min_blocks=8)
+
+
+def test_edge_palette_chroma_map_bit_exact():
+    """Frame-edge 4xN blocks with chroma palettes: §5.11.43 widens a
+    sub-4 chroma map dimension by 2 on BOTH the block and the ONSCREEN
+    extent — clipping the onscreen width without the widening under-reads
+    the map and silently desyncs the rest of the tile (round-5 fix;
+    reproduced from fuzzed aom screen-content encodes)."""
+
+    def _glyphs(h, w, gl, n, seed):
+        r = np.random.default_rng(seed)
+        gs = [r.integers(0, 256, (gl, gl)).astype(np.uint8) for _ in range(n)]
+        y = np.zeros((h, w), np.uint8)
+        for by in range(0, h, gl):
+            for bx in range(0, w, gl):
+                y[by : by + gl, bx : bx + gl] = gs[(by // gl * 3 + bx // gl) % n][
+                    : min(gl, h - by), : min(gl, w - bx)
+                ]
+        return y
+
+    # the original fuzz reproducer: 64x64 q95 s2, VERT_4 palette strips
+    # with chroma palettes in the last mi column
+    for seed, gl, n, h, w, q, sp in [
+        (764890, 12, 8, 64, 64, 95, 2),
+        (232373, 16, 8, 64, 333, 95, 2),
+    ]:
+        cw, ch = (w + 1) >> 1, (h + 1) >> 1
+        planes = [
+            _glyphs(h, w, gl, n, seed),
+            _glyphs(ch, cw, max(4, gl // 2), n, seed + 1),
+            _glyphs(ch, cw, max(4, gl // 2), n, seed + 2),
+        ]
+        data = oracle.encode_animation(
+            [planes], quality=q, speed=sp,
+            codec_options={"tune-content": "screen", "enable-intrabc": "1"},
+        )
+        ofr = oracle.decode_frames(data)[0]
+        d = Decoder()
+        d.parse(data)
+        d.next_image()
+        for i, th in enumerate(ofr.planes):
+            ours = np.asarray(d.image.yuv_planes[i])[: th.shape[0], : th.shape[1]]
+            assert np.array_equal(ours.astype(np.int64), th.astype(np.int64)), (
+                f"seed {seed} plane {i}"
+            )
