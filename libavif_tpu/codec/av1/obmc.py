@@ -24,7 +24,11 @@ def _nb_max(len4: int) -> int:
     return min(4, (len4).bit_length() - 1)
 
 
-def _plane_participates(d, plane, bsize) -> bool:
+def _above_participates(d, plane, bsize) -> bool:
+    """§7.11.3.9: ONLY the above pass is gated — on the plane's residual
+    size reaching 8x8 (dav1d's equivalent sum test below). The left pass
+    runs for every plane unconditionally. The old code gated both passes,
+    silently skipping the left chroma overlap of 16x8/8x16 blocks."""
     if plane == 0:
         return True
     bw4, bh4 = B.w4(bsize), B.h4(bsize)
@@ -45,8 +49,6 @@ def apply_obmc(d, plane, cx0, cy0, cw, ch):
     (plane coords) of the current block."""
     b = d.block
     r, c, bsize = b["r"], b["c"], b["bsize"]
-    if not _plane_participates(d, plane, bsize):
-        return
     hdr = d.hdr
     sx = d.ss_x if plane else 0
     sy = d.ss_y if plane else 0
@@ -105,7 +107,7 @@ def apply_obmc(d, plane, cx0, cy0, cw, ch):
         ].astype(frame.dtype)
 
     # ---- above pass
-    if r > d.mi_row0:
+    if r > d.mi_row0 and _above_participates(d, plane, bsize):
         count = 0
         nmax = _nb_max(bw4)
         i = 0
