@@ -415,7 +415,12 @@ def _find_warp_samples(d, r, c, bsize, rf0, mv):
         mid_x = cand_c * 4 + cw4 * 2 - 1
         cmv = (int(d.mvs_mi[mv_row, mv_col, 0, 0]), int(d.mvs_mi[mv_row, mv_col, 0, 1]))
         diff = abs(cmv[0] - mv[0]) + abs(cmv[1] - mv[1])
-        valid = diff <= LEAST_SQUARES_MV_MAX
+        # sample trimming threshold scales with the BLOCK size
+        # (aom av1_selectSamples / dav1d derive_warpmv:
+        # thresh = clamp(max(bw, bh), 16, 112)) — NOT LS_MV_MAX, which
+        # only bounds the fit inputs (§7.11.3.8)
+        thresh = min(112, max(16, 4 * max(bw4, bh4)))
+        valid = diff <= thresh
         sample = (
             mid_y * 8,
             mid_x * 8,

@@ -136,10 +136,7 @@ class TestSingleRefTranslational:
         assert_bit_exact(make_frames(3, static=True))
 
     @pytest.mark.parametrize("q", [
-        pytest.param(35, marks=pytest.mark.xfail(
-            reason="KNOWN: local-warp fit divergence on rough noise at "
-                   "low quality; see COVERAGE.md inter-decode gaps",
-            strict=False)),
+        35,
         60, 85,
     ])
     def test_moving_quality_sweep(self, q):
@@ -150,22 +147,10 @@ class TestSingleRefTranslational:
         for s in (2, 8, 10):
             assert_bit_exact(f, quality=70, speed=s)
 
-    @pytest.mark.parametrize("wh", [
-        pytest.param((96, 48), marks=pytest.mark.xfail(
-            reason="KNOWN: local-warp fit divergence on rough noise "
-                   "(COVERAGE.md)", strict=False)),
-        pytest.param((80, 64), marks=pytest.mark.xfail(
-            reason="KNOWN: local-warp fit divergence on rough noise "
-                   "(COVERAGE.md)", strict=False)),
-        pytest.param((64, 128), marks=pytest.mark.xfail(
-            reason="KNOWN: local-warp fit divergence on rough noise "
-                   "(COVERAGE.md)", strict=False)),
-    ])
+    @pytest.mark.parametrize("wh", [(96, 48), (80, 64), (64, 128)])
     def test_nonsquare_dims(self, wh):
         assert_bit_exact(make_frames(4, *wh))
 
-    @pytest.mark.xfail(reason="KNOWN: local-warp fit divergence on rough "
-                       "noise (COVERAGE.md)", strict=False)
     def test_longer_low_delay(self):
         assert_bit_exact(make_frames(8), opts={"auto-alt-ref": "0"})
 
