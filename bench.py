@@ -298,6 +298,14 @@ def main():
                 "unit": "MP/s",
                 "vs_baseline": round(vs, 4),
                 "platform": platform,
+                # r03->r04 headline drop (10.94->9.10 MP/s) was a timing
+                # METHODOLOGY change (cb29410: async-dispatch device
+                # timing so the breakdown stops double-counting overlap),
+                # not a codec regression; r04+ numbers are comparable to
+                # each other, not to r03. spec_encode_mp_s measures the
+                # pipelined batch path since r05 (device RD dispatched
+                # ahead per frame).
+                "timing_note": "async-dispatch methodology since r04",
                 **extra,
             }
         )

@@ -428,6 +428,8 @@ class InterPlanner(RDPlanner):
             st = self.dec.cur_mvctx
             if st.num_found > 0 and tuple(st.stack[0][0]) == tgt:
                 self._mode = "NEAREST"
+            elif st.num_found > 1 and tuple(st.stack[1][0]) == tgt:
+                self._mode = "NEAR"  # stack[1] via ref_mv_idx=1
             elif tgt == tuple(st.global_mvs[0]):
                 self._mode = "GLOBAL"
             else:
@@ -436,9 +438,10 @@ class InterPlanner(RDPlanner):
         if what == "zeromv":
             return 0 if self._mode == "GLOBAL" else 1
         if what == "refmv":
-            return 0  # NEARESTMV (stack entry 0)
+            return 1 if self._mode == "NEAR" else 0
         if what == "drl":
-            return 0  # keep ref_mv_idx = 0
+            # NEWMV keeps ref_mv_idx 0; NEARMV starts at 1 and stops there
+            return 0
         if what == "mv_joint":
             pred = self.dec.cur_mv_pred
             tgt = self._target()

@@ -40,7 +40,6 @@ _NEWMV_MODES = frozenset(
 )
 _GLOBAL_MODES = frozenset((GLOBALMV, GLOBAL_GLOBALMV))
 
-# Compound_Mode_Ctx_Map (§7.10.2)
 # Compound_Mode_Ctxt_Map (§5.11.24); verified against libaom's rodata
 # (compound_mode_ctx_map, int16[3][5] in libaom.so).
 COMP_MODE_CTX_MAP = (

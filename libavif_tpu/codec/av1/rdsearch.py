@@ -922,6 +922,97 @@ def plan_chroma_cfl(src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
             elif base:
                 out[key] = (int(base), 0, 0)
 
+    # ---- batched quad path: anchors split into exactly their four
+    # equal quadrant leaves (the dominant multi-leaf shape at s<=6, e.g.
+    # a 16px anchor holding four 8px leaves). Same arithmetic and same
+    # concatenation order as the scalar loop below, evaluated for all
+    # such anchors at once.
+    quads: dict = {}
+    rest2 = []
+    for key, leafs in groups.items():
+        ok = False
+        if len(leafs) == 4:
+            px = leafs[0][2]
+            s4 = px // 4
+            R, C = leafs[0][0], leafs[0][1]
+            expect = [(R, C, px), (R, C + s4, px),
+                      (R + s4, C, px), (R + s4, C + s4, px)]
+            cy0, cx0 = (R * 4) >> ss_y, (C * 4) >> ss_x
+            ch2, cw2 = (px * 2) >> ss_y, (px * 2) >> ss_x
+            if (leafs == expect and cy0 + ch2 <= h and cx0 + cw2 <= w
+                    and all(l[2] == px for l in leafs)):
+                quads.setdefault(px, []).append((key, cy0, cx0))
+                ok = True
+        if not ok:
+            rest2.append((key, leafs))
+    groups = dict(rest2)
+
+    for px, items in quads.items():
+        qch, qcw = px >> ss_y, px >> ss_x  # quadrant chroma dims
+        ch2, cw2 = 2 * qch, 2 * qcw
+        ys = np.array([t[1] for t in items])
+        xs = np.array([t[2] for t in items])
+        ii = ys[:, None, None] + np.arange(ch2)[None, :, None]
+        jj = xs[:, None, None] + np.arange(cw2)[None, None, :]
+        n = len(items)
+
+        def to_quads(plane):
+            """(n, ch2, cw2) -> (n, 4, qch*qcw), quadrants in scalar-loop
+            order (row-major), each quadrant row-major."""
+            a = plane.reshape(n, 2, qch, 2, qcw).transpose(0, 1, 3, 2, 4)
+            return a.reshape(n, 4, qch * qcw)
+
+        Lq = to_quads(ly[ii, jj])
+        npel = qch * qcw
+        npl = max(npel.bit_length() - 1, 0)
+        avg = (Lq.sum(axis=2) + (1 << npl >> 1)) >> npl
+        ac = (Lq - avg[:, :, None]).reshape(n, 4 * npel)
+        var = (ac * ac).sum(axis=1).astype(np.float64)
+        alphas = np.zeros((2, n), np.int64)
+        gains = np.zeros(n, np.float64)
+        alpha_pen = lam_sse * (_CFL_ALPHA_BITS_X16 / 16.0)
+        for pi, plane64 in enumerate((u64, v64)):
+            Cq = to_quads(plane64[ii, jj])
+            res = (Cq - Cq.mean(axis=2)[:, :, None]).reshape(n, 4 * npel)
+            sse_dc = (res * res).sum(axis=1)
+            dot = (ac * res).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                a0 = np.clip(np.rint(64.0 * dot / np.maximum(var, 1e-9)),
+                             -16, 16).astype(np.int64)
+            best_a = np.zeros(n, np.int64)
+            best_sse = sse_dc.copy()
+            cands = np.stack([a0, np.maximum(a0 - 1, -16),
+                              np.minimum(a0 + 1, 16)])
+            for k in range(3):
+                cand = cands[k]
+                dup = np.zeros(n, bool)
+                for k2 in range(k):
+                    dup |= cands[k2] == cand
+                live = (cand != 0) & ~dup & (var > 0)
+                if not live.any():
+                    continue
+                acl = ac * cand[:, None]
+                p = np.sign(acl) * ((np.abs(acl) + 32) >> 6)
+                e = res - p
+                sse = (e * e).sum(axis=1) + alpha_pen
+                upd = live & (sse < best_sse)
+                best_a[upd] = cand[upd]
+                best_sse[upd] = sse[upd]
+            alphas[pi] = best_a
+            gains += sse_dc - best_sse
+        bits = _CFL_SIGN_BITS_X16
+        for k, (key, _, _) in enumerate(items):
+            au, av = int(alphas[0][k]), int(alphas[1][k])
+            base = (uv_plan or {}).get(key, 0)
+            if var[k] <= 0:
+                if base:
+                    out[key] = (int(base), 0, 0)
+                continue
+            if (au or av) and gains[k] > lam_sse * (bits / 16.0):
+                out[key] = (13, au, av)
+            elif base:
+                out[key] = (int(base), 0, 0)
+
     for key, leafs in groups.items():
         acs, resus, resvs = [], [], []
         for (r, c, px) in leafs:

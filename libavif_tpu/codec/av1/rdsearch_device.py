@@ -419,6 +419,13 @@ def dispatch_plan_costs(src: np.ndarray, qindex: int, speed: int, bd: int):
     # Callers encoding frame batches dispatch every frame's program up
     # front so device RD for frame k+1 overlaps host entropy for frame k
     # (same pipelining the own-format codec uses, frame.py:222).
+    try:
+        # start the device->host transfer now: through the relay each
+        # round-trip is ~10-40 ms, so materialize must only WAIT, not
+        # initiate (CLAUDE.md transfer rule)
+        out.copy_to_host_async()
+    except Exception:
+        pass
     return (out, meta, lam_sse_x16)
 
 

@@ -54,7 +54,26 @@ class Sweeper:
         self.blocks = []
         self.tgt_ev = None
         self.stop_after = None
+        self._saved = []  # (owner, name, original) for close()
         self._install()
+
+    def close(self):
+        """Restore every monkey-patched method. A Sweeper permanently
+        corrupts decoding in the process otherwise — construct it in a
+        try/finally (or use it as a one-shot CLI)."""
+        for owner, name, orig in reversed(self._saved):
+            setattr(owner, name, orig)
+        self._saved = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _patch(self, owner, name, fn):
+        self._saved.append((owner, name, getattr(owner, name)))
+        setattr(owner, name, fn)
 
     def _install(self):
         cls = [
@@ -79,8 +98,8 @@ class Sweeper:
                 raise Stop()
             return out
 
-        cls._decode_frame = dfw
-        cls._show_existing = sew
+        self._patch(cls, "_decode_frame", dfw)
+        self._patch(cls, "_show_existing", sew)
 
         odb = DEC.FrameDecoder._decode_block
 
@@ -90,7 +109,7 @@ class Sweeper:
                 sw.blocks.append((r, c, bsize))
             return odb(dself, r, c, bsize)
 
-        DEC.FrameDecoder._decode_block = dbw
+        self._patch(DEC.FrameDecoder, "_decode_block", dbw)
 
         ods = MsacDecoder.decode_symbol
 
@@ -119,7 +138,7 @@ class Sweeper:
                                 icdf = bb.reshape(-1, L)[sw.ovr["row"]]
             return ods(mself, icdf, n, adapt=adapt, what=what)
 
-        MsacDecoder.decode_symbol = dsw
+        self._patch(MsacDecoder, "decode_symbol", dsw)
 
     def run(self, max_images=64):
         self.evt["site"] = 0
@@ -132,11 +151,18 @@ class Sweeper:
         except Stop:
             pass
         except Exception:
-            return None
+            # surface real decode failures instead of masking them as an
+            # empty run (first_bad_event would crash on None otherwise)
+            import traceback
+
+            traceback.print_exc()
+            raise
         return self.events
 
     def first_bad_event(self):
         evs = self.run()
+        if evs is None:
+            raise RuntimeError("sweep run produced no events")
         for i, ((kind, planes), dvf) in enumerate(zip(evs, self.dv)):
             if any(
                 not np.array_equal(a.astype(np.int64), b.astype(np.int64))
