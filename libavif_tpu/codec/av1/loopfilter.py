@@ -435,6 +435,13 @@ def _filter_plane(dec, plane, direction, base_lvl, bd):
     MR = mr1[:, None]
     MC = mc1[None, :]
     MCP = mcp1[None, :]
+    # skip/ref/mode/seg reads use the chroma-OWNING mi of a subsampled
+    # pair — the odd row/col (aom av1_loopfilter.c reads
+    # mi_grid[(mi_row | ssy) * stride + (mi_col | ssx)]); geometry
+    # (tx dims, block origins) keeps the even mi
+    MRA = np.minimum(mr1 | s_along, mi_rows - 1)[:, None]
+    MCA = np.minimum(mc1 | s_across, mi_cols - 1)[None, :]
+    MCPA = np.minimum(mcp1 | s_across, mi_cols - 1)[None, :]
     XE = xs[None, :]
     shape = (len(ys), len(xs))
 
@@ -450,19 +457,19 @@ def _filter_plane(dec, plane, direction, base_lvl, bd):
         ref_mi = dec.ref_frames_mi[:, :, 0]
     else:
         ref_mi = dec.ref_frames_mi[:, :, 0].T
-    skip_cur = (skip_of[MR, MC] != 0) & (ref_mi[MR, MC] > 0)
-    skip_prev = (skip_of[MR, MCP] != 0) & (ref_mi[MR, MCP] > 0)
+    skip_cur = (skip_of[MRA, MCA] != 0) & (ref_mi[MRA, MCA] > 0)
+    skip_prev = (skip_of[MRA, MCPA] != 0) & (ref_mi[MRA, MCPA] > 0)
     active &= is_block_edge | ~(skip_cur & skip_prev)
     if not active.any():
         return
 
     if direction == 0:
-        lvl_cur = _levels_grid(dec, plane, direction, base_lvl, np.broadcast_to(MR, shape), np.broadcast_to(MC, shape))
-        lvl_prev = _levels_grid(dec, plane, direction, base_lvl, np.broadcast_to(MR, shape), np.broadcast_to(MCP, shape))
+        lvl_cur = _levels_grid(dec, plane, direction, base_lvl, np.broadcast_to(MRA, shape), np.broadcast_to(MCA, shape))
+        lvl_prev = _levels_grid(dec, plane, direction, base_lvl, np.broadcast_to(MRA, shape), np.broadcast_to(MCPA, shape))
     else:
         # transposed plane: mi coords swap back for the level lookup
-        lvl_cur = _levels_grid(dec, plane, direction, base_lvl, np.broadcast_to(MC, shape), np.broadcast_to(MR, shape))
-        lvl_prev = _levels_grid(dec, plane, direction, base_lvl, np.broadcast_to(MCP, shape), np.broadcast_to(MR, shape))
+        lvl_cur = _levels_grid(dec, plane, direction, base_lvl, np.broadcast_to(MCA, shape), np.broadcast_to(MRA, shape))
+        lvl_prev = _levels_grid(dec, plane, direction, base_lvl, np.broadcast_to(MCPA, shape), np.broadcast_to(MRA, shape))
     lvl = np.where(lvl_cur > 0, lvl_cur, lvl_prev)
     active &= lvl > 0
     if not active.any():
@@ -590,12 +597,15 @@ def _filter_plane_scalar(dec, plane, direction, base_lvl, bd):
                 # interior-tx-edge skip shortcut applies to INTER skip
                 # blocks only (aom loopfilter.c: skip_txfm && is_inter);
                 # intra skip blocks still filter their interior tx edges
-                skip_cur = int(ctx.skip_of[mr, mc]) and int(dec.ref_frames_mi[mr, mc, 0]) > 0
-                skip_prev = int(ctx.skip_of[mr, mc_prev]) and int(dec.ref_frames_mi[mr, mc_prev, 0]) > 0
+                mra = min(mr | sy, hdr.mi_rows - 1)
+                mca = min(mc | sx, hdr.mi_cols - 1)
+                mcpa = min(mc_prev | sx, hdr.mi_cols - 1)
+                skip_cur = int(ctx.skip_of[mra, mca]) and int(dec.ref_frames_mi[mra, mca, 0]) > 0
+                skip_prev = int(ctx.skip_of[mra, mcpa]) and int(dec.ref_frames_mi[mra, mcpa, 0]) > 0
                 if not is_block_edge and skip_cur and skip_prev:
                     x += step
                     continue
-                lvl = level_at(mr, mc) or level_at(mr, mc_prev)
+                lvl = level_at(mra, mca) or level_at(mra, mcpa)
                 if lvl == 0:
                     x += step
                     continue
@@ -642,12 +652,15 @@ def _filter_plane_scalar(dec, plane, direction, base_lvl, bd):
                 mr_prev = ((y - 1) << sy) >> 2
                 txh_prev = int(tx_h[mr_prev, mc]) or txh_cur
                 is_block_edge = int(ctx.blk_r0[mr, mc]) != int(ctx.blk_r0[mr_prev, mc])
-                skip_cur = int(ctx.skip_of[mr, mc]) and int(dec.ref_frames_mi[mr, mc, 0]) > 0
-                skip_prev = int(ctx.skip_of[mr_prev, mc]) and int(dec.ref_frames_mi[mr_prev, mc, 0]) > 0
+                mra = min(mr | sy, hdr.mi_rows - 1)
+                mca = min(mc | sx, hdr.mi_cols - 1)
+                mrpa = min(mr_prev | sy, hdr.mi_rows - 1)
+                skip_cur = int(ctx.skip_of[mra, mca]) and int(dec.ref_frames_mi[mra, mca, 0]) > 0
+                skip_prev = int(ctx.skip_of[mrpa, mca]) and int(dec.ref_frames_mi[mrpa, mca, 0]) > 0
                 if not is_block_edge and skip_cur and skip_prev:
                     y += step
                     continue
-                lvl = level_at(mr, mc) or level_at(mr_prev, mc)
+                lvl = level_at(mra, mca) or level_at(mrpa, mca)
                 if lvl == 0:
                     y += step
                     continue

@@ -83,13 +83,7 @@ class TestDefaultToolset:
     """Default-settings aom animations (NO tool disables): the round-5
     acceptance gate. 128x96 smoothed moving texture, speeds 2-8."""
 
-    @pytest.mark.parametrize("speed", [
-        pytest.param(2, marks=pytest.mark.xfail(
-            reason="KNOWN: chroma deblock ±1 around 4xN block pairs "
-                   "(~17px/frame); see COVERAGE.md inter-decode gaps",
-            strict=False)),
-        4, 6, 8,
-    ])
+    @pytest.mark.parametrize("speed", [2, 4, 6, 8])
     def test_smoothed_speed_sweep(self, speed):
         assert_bit_exact(smooth_frames(4), speed=speed)
 
