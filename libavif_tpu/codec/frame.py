@@ -56,7 +56,7 @@ from ..ops.quant import quality_to_qindex, step_sizes
 from ..utils.streams import ROStream, RWStream
 from . import entropy, recon
 
-FRAME_MAGIC = 0x59  # bumped: v2 coefficient entropy model (entropy.py)
+FRAME_MAGIC = 0x5A  # bumped: spec msac termination (trailing-one code)
 DEFAULT_TX_SIZE = 16
 
 

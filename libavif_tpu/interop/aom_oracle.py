@@ -151,7 +151,7 @@ def decode_raw(obu: bytes) -> Optional[List[np.ndarray]]:
         if not img:
             return None
         u32, planes, strides = _img_fields(img)
-        w, h = u32[7], u32[8]
+        w, h = u32[10], u32[11]  # d_w/d_h: display (cropped) dims
         xs, ys = u32[14], u32[15]
         out = []
         for pi in range(3):

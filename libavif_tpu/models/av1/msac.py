@@ -124,7 +124,14 @@ class MsacEncoder:
             self.total_shift += d
 
     def finish(self, strip: bool = True) -> bytes:
-        """Choose the shortest code in [low, low+rng) and emit MSB-first.
+        """Pick the spec-terminated code in [low, low+rng), emit MSB-first.
+
+        AV1 requires the bits after the final symbol position (stream bit
+        index total_shift) to be a lone 1 then zeros — libaom's
+        check_trailing_bits_after_symbol_coder rejects the tile otherwise
+        ("Failed to decode tile data"); dav1d never checks. Since
+        rng >= 2^15 the interval always contains exactly one code with
+        code % 2^15 == 2^14, which is that pattern.
 
         strip=True drops trailing zero bytes (own-format convention; our
         decoder zero-pads). strip=False keeps the full code — required
@@ -132,15 +139,10 @@ class MsacEncoder:
         of bytes mid-tile as corruption, so the zeros must be present."""
         nbits = self.total_shift + 15
         low = self.low
-        hi = low + self.rng - 1
-        if hi > 0:
-            # Zero as many trailing bits as possible while staying >= low.
-            k = 0
-            while k < nbits and (hi & ~((1 << (k + 1)) - 1)) >= low:
-                k += 1
-            code = hi & ~((1 << k) - 1)
-        else:
-            code = 0
+        code = ((low + (1 << 14) - 1) >> 15 << 15) + (1 << 14)
+        if code < low:
+            code += 1 << 15
+        assert code < low + self.rng
         nbytes = (nbits + 7) // 8
         code <<= nbytes * 8 - nbits
         out = code.to_bytes(nbytes, "big") if nbytes else b""

@@ -93,10 +93,14 @@ class Encoder {
     for (int i = length - 1; i >= 0; --i) bit((x >> i) & 1);
   }
 
-  // Serialize: shortest code in [low, low+rng), MSB-first. strip=true
-  // drops trailing zero bytes (own-format convention: the decoder
-  // zero-pads); strip=false keeps the full code (spec payloads — dav1d
-  // treats running out of bytes mid-tile as corruption).
+  // Serialize: the spec-terminated code in [low, low+rng), MSB-first —
+  // code is the unique value with code % 2^15 == 2^14 (always present:
+  // rng >= 2^15), which yields the trailing '1 then zeros' pattern at
+  // bit index total_shift that libaom's
+  // check_trailing_bits_after_symbol_coder enforces. strip=true drops
+  // trailing zero bytes (own-format convention: the decoder zero-pads);
+  // strip=false keeps the full code (spec payloads — dav1d treats
+  // running out of bytes mid-tile as corruption).
   std::vector<uint8_t> finish(bool strip = true) {
     return finalize_bigint(total_shift_ + 15, strip);
   }
@@ -105,10 +109,10 @@ class Encoder {
 
  private:
   // Byte-wise big-int finalize of the exact Python algorithm: left-align
-  // `low` into nbytes, add (rng-1)<<pad to get `hi`, find the maximal run
-  // of zeroable low bits, zero them, strip trailing zero bytes.
-  // O(nbytes) with a single output buffer (the invariant low + rng <=
-  // 2^(15+total_shift) guarantees no overflow past the top byte).
+  // `low` into nbytes, round its low 15 bits up to 0x4000 (carry into
+  // bit 15 when they exceed it), strip trailing zero bytes. O(nbytes);
+  // the invariant low + rng <= 2^(15+total_shift) guarantees the carry
+  // never overflows past the top byte.
   std::vector<uint8_t> finalize_bigint(int64_t nbits, bool strip = true) {
     const int wb = wbits_;
     const size_t nbytes = static_cast<size_t>((nbits + 7) / 8);
@@ -124,36 +128,36 @@ class Encoder {
       tail >>= 8;
       tail_bits -= 8;
     }
-    // hi = low + (rng-1) << pad, carry-propagated from the LSB end.
-    uint64_t add = static_cast<uint64_t>(rng_ - 1) << pad;
-    for (size_t i = nbytes; add && i > 0;) {
-      --i;
-      uint64_t v = out[i] + (add & 0xFF);
-      add >>= 8;
-      out[i] = static_cast<uint8_t>(v & 0xFF);
-      add += v >> 8;
+    // r = low % 2^15 (buffer holds low << pad: bits pad..pad+14).
+    uint64_t r = 0;
+    for (int b = 0; b < 15; ++b) {
+      const size_t k = static_cast<size_t>(pad + b);
+      r |= static_cast<uint64_t>((out[nbytes - 1 - (k >> 3)] >> (k & 7)) & 1)
+           << b;
     }
-    // Find the largest k' such that (hi mod 2^k') <= (rng-1)<<pad; the
-    // low `pad` bits of hi are zero by construction, so start there.
-    const uint64_t diff = static_cast<uint64_t>(rng_ - 1) << pad;
-    uint64_t hi_mod = 0;
-    size_t k = 0;
-    const size_t total_bits = nbytes * 8;
-    while (k < total_bits) {
-      size_t byte_i = nbytes - 1 - (k >> 3);
-      int bit = (out[byte_i] >> (k & 7)) & 1;
-      if (bit) {
-        if (k >= 63) break;
-        uint64_t nm = hi_mod + (1ull << k);
-        if (nm > diff) break;
-        hi_mod = nm;
+    // Clear the low pad+15 bits, then set bit pad+14 (code tail 0x4000).
+    const size_t nclear = static_cast<size_t>(pad) + 15;
+    const size_t full = nclear >> 3;
+    for (size_t i = 0; i < full && i < nbytes; ++i) out[nbytes - 1 - i] = 0;
+    if ((nclear & 7) && full < nbytes)
+      out[nbytes - 1 - full] &= static_cast<uint8_t>(0xFF << (nclear & 7));
+    {
+      const size_t k = static_cast<size_t>(pad) + 14;
+      out[nbytes - 1 - (k >> 3)] |= static_cast<uint8_t>(1u << (k & 7));
+    }
+    if (r > (1ull << 14)) {
+      // rounding up crossed 2^15: code = low - r + 2^15 + 2^14
+      const size_t k = static_cast<size_t>(pad) + 15;
+      uint64_t carry = 1ull << (k & 7);
+      size_t i = nbytes - 1 - (k >> 3);
+      while (carry) {
+        const uint64_t v = out[i] + carry;
+        out[i] = static_cast<uint8_t>(v & 0xFF);
+        carry = v >> 8;
+        if (i == 0) break;
+        --i;
       }
-      ++k;
     }
-    // Zero the k low bits of hi.
-    size_t full = k >> 3;
-    for (size_t i = 0; i < full; ++i) out[nbytes - 1 - i] = 0;
-    if (k & 7) out[nbytes - 1 - full] &= static_cast<uint8_t>(0xFF << (k & 7));
     if (strip) {
       // strip trailing zero bytes; decoder zero-pads
       while (out.size() > 1 && out.back() == 0) out.pop_back();

@@ -78,3 +78,28 @@ def test_foreign_lossy_decodes_bit_exact():
     out = decode(foreign)
     for ours, want in zip(out.yuv_planes, ref.planes):
         assert np.array_equal(ours, want)
+
+
+def test_spec_lossy_decodes_in_libaom_bit_exact():
+    """Our spec-AV1 lossy output must pass libaom's strict checks
+    (trailing-bits termination, §8.2.4) and decode bit-exact — dav1d
+    alone is too lenient to prove conformance."""
+    from libavif_tpu.codec.av1.encode import encode_lossy_still
+    from libavif_tpu.codec.av1.stream import StreamDecoder
+    from libavif_tpu.interop import aom_oracle
+
+    if not aom_oracle.available():
+        pytest.skip("libaom unavailable")
+    rng = np.random.RandomState(17)
+    for (w, h), q in (((64, 48), 60), ((33, 17), 120)):
+        planes = [
+            (rng.rand(h, w) * 255).astype(np.uint8),
+            (rng.rand((h + 1) // 2, (w + 1) // 2) * 255).astype(np.uint8),
+            (rng.rand((h + 1) // 2, (w + 1) // 2) * 255).astype(np.uint8),
+        ]
+        data = encode_lossy_still(planes, q)
+        aom_planes = aom_oracle.decode_raw(data)
+        assert aom_planes is not None, "libaom rejected the stream"
+        ours = StreamDecoder().decode_obus(data)[0][0]
+        for a, b in zip(aom_planes, ours):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -184,3 +184,35 @@ def test_tile_walk_native_python_parity(monkeypatch):
     out = StreamDecoder().decode_obus(payload)[-1][0]
     for a, b in zip(ref, out):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_finish_spec_trailing_pattern(backend, monkeypatch):
+    """AV1 symbol-coder termination: the code word must satisfy
+    code % 2^15 == 2^14, i.e. the bit at stream index total_shift is 1
+    and everything after is 0 — libaom's
+    check_trailing_bits_after_symbol_coder rejects the tile otherwise
+    (dav1d never checks, so only libaom catches a violation)."""
+    import random
+
+    from libavif_tpu.codec.av1.encode import _make_tile_encoder
+    from libavif_tpu.models.av1.msac import MsacEncoder, uniform_icdf
+
+    monkeypatch.setenv("LIBAVIF_TPU_NATIVE", "0" if backend == "python" else "1")
+    rng = random.Random(5)
+    for _ in range(20):
+        enc = MsacEncoder() if backend == "python" else _make_tile_encoder()
+        if backend == "native" and isinstance(enc, MsacEncoder):
+            pytest.skip("native encoder unavailable")
+        cdfs = {}
+        ts_probe = MsacEncoder()
+        for _ in range(rng.randrange(1, 300)):
+            n = rng.randrange(2, 12)
+            s = rng.randrange(n)
+            icdf = cdfs.setdefault(n, uniform_icdf(n))
+            enc.encode_symbol(s, icdf.copy(), n)
+            ts_probe.encode_symbol(s, icdf, n)
+        out = enc.finish(strip=False)
+        nbits = ts_probe.total_shift + 15
+        code = int.from_bytes(out, "big") >> (len(out) * 8 - nbits)
+        assert code % (1 << 15) == 1 << 14, out.hex()
