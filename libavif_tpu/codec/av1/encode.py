@@ -1117,7 +1117,8 @@ def _write_header_tail(w, seq: SequenceHeader, base_q_idx: int, coded_w: int,
                        enable_lr=False, enable_cdef=False,
                        tile_cols_log2=0, tile_rows_log2=0,
                        cdef_strengths=None, film_grain=None,
-                       lf_levels=None, is_inter=False) -> None:
+                       lf_levels=None, is_inter=False,
+                       reference_select=False) -> None:
     """Shared uncompressed-header tail (§5.9.2 from tile_info to
     trailing film grain): tile info, quantization, segmentation,
     delta-q/lf, loop filter, CDEF, LR, tx_mode — plus the inter-only
@@ -1236,7 +1237,7 @@ def _write_header_tail(w, seq: SequenceHeader, base_q_idx: int, coded_w: int,
         w(1 if tx_mode_select else 0, 1)  # tx_mode
     if is_inter:
         assert base_q_idx > 0, "inter frames are never coded lossless here"
-        w(0, 1)  # frame_reference_mode: single reference only (§5.9.23)
+        w(1 if reference_select else 0, 1)  # frame_reference_mode (§5.9.23)
         # skip_mode_params: no bit (requires reference_select + order hints)
         # allow_warped_motion: no bit (seq.enable_warped_motion off)
         assert not seq.enable_warped_motion and not seq.enable_order_hint

@@ -57,7 +57,8 @@ from .still import OBU_FRAME, OBU_SEQUENCE_HEADER, OBU_TEMPORAL_DELIMITER
 def _sequence_header(w: int, h: int, *, monochrome, subsampling_x,
                      subsampling_y, bit_depth, color_primaries,
                      transfer_characteristics, matrix_coefficients,
-                     color_range, enable_cdef) -> SequenceHeader:
+                     color_range, enable_cdef,
+                     enable_masked_compound=False) -> SequenceHeader:
     """Animation sequence header (§5.5): the restricted toolset above."""
     if bit_depth == 12:
         profile = 2
@@ -81,7 +82,7 @@ def _sequence_header(w: int, h: int, *, monochrome, subsampling_x,
         enable_filter_intra=False,
         enable_intra_edge_filter=True,
         enable_interintra_compound=False,
-        enable_masked_compound=False,
+        enable_masked_compound=enable_masked_compound,
         enable_warped_motion=False,
         enable_dual_filter=False,
         enable_order_hint=False,
@@ -107,7 +108,8 @@ def _sequence_header(w: int, h: int, *, monochrome, subsampling_x,
 def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
                             base_q_idx: int, *, enable_cdef=False,
                             cdef_strengths=None, lf_levels=None,
-                            frame_size=None) -> bytes:
+                            frame_size=None, refresh=0x01,
+                            reference_select=False, ref_idx=None) -> bytes:
     """Non-reduced uncompressed header (§5.9.2) for a KEY or INTER frame
     in our animation configuration (mirror of headers.parse_frame_header;
     the caller re-parses the bytes to guarantee agreement)."""
@@ -132,9 +134,10 @@ def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
         # gm/lf/seg reference values (§7.20 load_previous) — entropy
         # state adapts across the GOP instead of resetting every frame
         w(0, 3)
-        w(0x01, 8)  # refresh_frame_flags: slot 0 holds the last recon
-        for _ in range(7):
-            w(0, 3)  # ref_frame_idx[i] = 0 (every name maps to LAST recon)
+        w(refresh, 8)  # refresh_frame_flags (default: slot 0 = last recon)
+        for i in range(7):
+            # default: every reference name maps to slot 0 (LAST recon)
+            w(0 if ref_idx is None else ref_idx[i], 3)
         if override:
             # frame_size_with_refs (§5.9.7): no ref match, explicit dims —
             # this frame motion-compensates from SCALED references
@@ -160,7 +163,7 @@ def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
         w, seq, base_q_idx, fw, coded_h=fh,
         tx_mode_select=True, enable_cdef=enable_cdef,
         cdef_strengths=cdef_strengths, lf_levels=lf_levels,
-        is_inter=is_inter,
+        is_inter=is_inter, reference_select=reference_select,
     )
     s.flush_bits()
     return s.data()

@@ -180,3 +180,29 @@ class TestDifferentialFuzz:
         q = int(rng.integers(35, 90))
         s = int(rng.integers(4, 9))
         assert_bit_exact(smooth_frames(n, w, h, seed=seed), quality=q, speed=s)
+
+
+class TestWedgeConformance:
+    """Crafted compound-WEDGE streams (tools/wedge_conformance.py): a
+    grid of skip=1 GLOBAL_GLOBALMV (LAST, LAST2) wedge blocks over
+    constant 255/0 reference planes, so the reconstruction IS the wedge
+    mask — dav1d (and libaom where available) adjudicate every
+    (index, sign) for the block shape bit-exactly."""
+
+    @pytest.mark.parametrize("shape", [(16, 16), (32, 8)])
+    def test_wedge_grid_bit_exact(self, shape):
+        import tools.wedge_conformance as WC
+        from libavif_tpu.codec.av1.stream import StreamDecoder
+        from libavif_tpu.interop import dav1d_oracle
+
+        bw, bh = shape
+        payloads, _ = WC.build_stream(bw, bh)
+        dav = dav1d_oracle.decode_obus(payloads)
+        sd = StreamDecoder()
+        ours = []
+        for p in payloads:
+            ours += [s[0] for s in sd.decode_obus(p)]
+        np.testing.assert_array_equal(
+            np.asarray(ours[2][0], np.int64),
+            np.asarray(dav[2].planes[0], np.int64),
+        )

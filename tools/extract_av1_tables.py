@@ -344,11 +344,24 @@ def extract_inter(A, Bd, tables):
     tables["seg_pred"] = np.full(3, 16384, dtype=np.uint16)
 
     # ---- aom-side multi-symbol tables
-    # wedge_idx [9][CDF16]: first real row fingerprint, 3 uniform rows before
+    # wedge_idx: aom default_wedge_idx_cdf is [BLOCK_SIZES_ALL=22][CDF16]
+    # with non-uniform rows only at the wedge-capable sizes — indices
+    # 3..9 (8x8..32x32) and 18/19 (8x32/32x8); everything else uniform.
+    # The fingerprint is the FIRST real row = 8x8 (index 3). Store the 9
+    # wedge-capable rows in WEDGE_BSIZES order (masks.py).
     hits = find_fp(A, [30330, 28328, 26169, 24105, 21763, 19894, 17017])
     if len(hits) != 1:
         raise RuntimeError(f"wedge_idx hits={len(hits)}")
-    tables["wedge_idx"] = A[hits[0] - 3 * 17 : hits[0] + 6 * 17].reshape(9, 17).astype(np.uint16)
+    base = hits[0] - 3 * 17  # start of row 0 (BLOCK_4X4)
+    full = A[base : base + 22 * 17].reshape(22, 17).astype(np.uint16)
+    uni = full[0, :3].tolist()
+    for r in (0, 1, 2, 10, 17, 20, 21):
+        if full[r, :3].tolist() != uni:
+            raise RuntimeError(f"wedge_idx row {r} not uniform")
+    for r in (4, 9, 18, 19):
+        if full[r, :3].tolist() == uni:
+            raise RuntimeError(f"wedge_idx row {r} unexpectedly uniform")
+    tables["wedge_idx"] = full[[3, 4, 5, 6, 7, 8, 9, 18, 19]].copy()
     # inter_ext_tx [4 sets][4 size-cats][17]; set1 size0 row fingerprint
     hits = find_fp(A, [28310, 27208, 25073, 23059, 19438, 17979, 15231])
     if len(hits) != 1:
