@@ -510,7 +510,13 @@ class FrameDecoder:
         loop_filter_frame(self)
         from .cdef import apply_cdef
 
-        pre_cdef = [p.copy() for p in self.planes]
+        # the pre-CDEF snapshot only feeds loop restoration / superres
+        # stripe boundaries — skip the plane copies when neither runs
+        lr_active = any(
+            t != 0 for t in self.hdr.lr.frame_restoration_type[: self.n_planes]
+        )
+        need_pre = lr_active or self.hdr.upscaled_width != self.hdr.width
+        pre_cdef = [p.copy() for p in self.planes] if need_pre else None
         apply_cdef(self)
         if self.hdr.upscaled_width != self.hdr.width:
             # §7.16: superres upscale after CDEF, before loop restoration.
@@ -540,7 +546,7 @@ class FrameDecoder:
             upscale_frame(self)
             if pre_up is not None:
                 apply_loop_restoration(self, pre_up)
-        else:
+        elif pre_cdef is not None:
             apply_loop_restoration(self, pre_cdef)
         return [
             p[: self.ph[i], : self.pw[i]].copy() for i, p in enumerate(self.planes)

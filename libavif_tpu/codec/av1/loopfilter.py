@@ -156,24 +156,53 @@ def loop_filter_frame(dec, *, scalar: bool = False) -> None:
             continue
         planes.append(plane)
 
-    def one_plane(plane):
-        # vertical edges strictly before horizontal within a plane
-        # (§7.14); planes touch disjoint buffers, so they run in parallel
-        # on the native path (the ctypes call releases the GIL)
+    def plane_lvl(plane, direction):
+        if plane == 0:
+            return lf.levels[direction]
+        return lf.levels[2 if plane == 1 else 3]
+
+    if impl is _deblock_pass_native:
+        # lines along the edge axis are independent, so each (plane,
+        # direction) pass bands over threads; the §7.14 phase order
+        # (every vertical edge before any horizontal one) becomes two
+        # barriers over the flattened (plane, band) task lists. Argument
+        # marshalling happens once per (plane, direction); band tasks
+        # only patch ip[19:21].
+        import ctypes as C
+
+        from .decode import _fused_lib, work_pool
+
+        lib = _fused_lib()
+        pool = work_pool()
+        nb = 4
+
+        i32p = C.POINTER(C.c_int32)
+
+        def run_band(task):
+            fp, ipp, ptrs = task
+            lib.avt_deblock_pass(fp, ipp, ptrs)
+
         for direction in (0, 1):
-            if plane == 0:
-                base_lvl = lf.levels[direction]
-            else:
-                base_lvl = lf.levels[2 if plane == 1 else 3]
-            impl(dec, plane, direction, base_lvl, bd)
-
-    if impl is _deblock_pass_native and len(planes) > 1:
-        from .decode import work_pool
-
-        list(work_pool().map(one_plane, planes))
+            tasks = []
+            keep = []
+            for plane in planes:
+                frame, ip, ptrs, arrs = _deblock_native_args(
+                    dec, plane, direction, plane_lvl(plane, direction), bd)
+                fp = frame.ctypes.data_as(i32p)
+                ph = dec.ch[plane] if direction == 0 else dec.cw[plane]
+                bands = nb if plane == 0 else 2
+                step = max(4, ((ph // bands) + 3) & ~3)
+                for y0 in range(0, ph, step):
+                    bip = ip.copy()
+                    bip[19] = y0
+                    bip[20] = min(y0 + step, ph)
+                    keep.append((bip, arrs, frame))
+                    tasks.append((fp, bip.ctypes.data_as(i32p), ptrs))
+            list(pool.map(run_band, tasks))
     else:
         for plane in planes:
-            one_plane(plane)
+            for direction in (0, 1):
+                impl(dec, plane, direction, plane_lvl(plane, direction), bd)
 
 
 def _native_deblock_ok() -> bool:
@@ -187,15 +216,33 @@ def _native_deblock_ok() -> bool:
     return lib is not None and hasattr(lib, "avt_deblock_pass")
 
 
-def _deblock_pass_native(dec, plane, direction, base_lvl, bd):
+def _deblock_pass_native(dec, plane, direction, base_lvl, bd,
+                         y0=0, y1=1 << 30):
     """One (plane, direction) deblock pass in C++ (avt_deblock_pass),
     bit-identical to _filter_plane (tests/test_av1_loopfilter.py pins
-    native == vectorized == scalar)."""
+    native == vectorized == scalar). [y0, y1) restricts the pass to an
+    along-axis line band (multiples of 4) for threading."""
     import ctypes as C
 
     from .decode import _fused_lib
 
     lib = _fused_lib()
+    frame, ip, ptrs, _arrs = _deblock_native_args(
+        dec, plane, direction, base_lvl, bd)
+    ip[19] = y0
+    ip[20] = min(y1, 1 << 30)
+    lib.avt_deblock_pass(
+        frame.ctypes.data_as(C.POINTER(C.c_int32)),
+        ip.ctypes.data_as(C.POINTER(C.c_int32)), ptrs,
+    )
+
+
+def _deblock_native_args(dec, plane, direction, base_lvl, bd):
+    """(frame, ip, ptrs, arrs) for avt_deblock_pass; the caller must
+    keep `arrs` alive while ptrs is in use and fill ip[19:21] with the
+    line band."""
+    import ctypes as C
+
     hdr = dec.hdr
     lf = hdr.lf
     ctx = dec.ctx
@@ -235,10 +282,16 @@ def _deblock_pass_native(dec, plane, direction, base_lvl, bd):
             1 if hdr.delta_lf_multi else 0, lf_idx,
             1 if hdr.segmentation_enabled else 0,
             1 if lf.delta_enabled else 0,
+            0, 1 << 30,
         ],
         dtype=np.int32,
     )
-    ref_mi = np.ascontiguousarray(dec.ref_frames_mi[:, :, :2])
+    cached = getattr(dec, "_deblock_ref_mi", None)
+    if cached is None or cached[0] is not dec.ref_frames_mi:
+        cached = (dec.ref_frames_mi,
+                  np.ascontiguousarray(dec.ref_frames_mi[:, :, :2]))
+        dec._deblock_ref_mi = cached
+    ref_mi = cached[1]
     arrs = [
         tx_e, blk_0, ctx.skip_of, ref_mi, ctx.y_modes,
         ctx.delta_lf_of, ctx.seg_of, feat_on, feat_d, ref_deltas, mode_deltas,
@@ -246,10 +299,7 @@ def _deblock_pass_native(dec, plane, direction, base_lvl, bd):
     for a in arrs:
         assert a.flags["C_CONTIGUOUS"]
     ptrs = (C.c_void_p * len(arrs))(*[a.ctypes.data for a in arrs])
-    lib.avt_deblock_pass(
-        frame.ctypes.data_as(C.POINTER(C.c_int32)),
-        ip.ctypes.data_as(C.POINTER(C.c_int32)), ptrs,
-    )
+    return frame, ip, ptrs, arrs
 
 
 def _levels_grid(dec, plane, direction, base_lvl, mr, mc):

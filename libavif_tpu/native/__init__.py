@@ -26,6 +26,30 @@ _tried = False
 _CXXFLAGS = ["-O3", "-std=c++17"]
 
 
+def _simd_flags() -> list:
+    """AVX512VL flags when the build machine (== the run machine: the
+    .so is built on import) supports them — the inverse-transform lane
+    vectors need native 64-bit multiplies (vpmullq, AVX512DQ).
+    -mprefer-vector-width=256 keeps autovec at 256 bits (no 512-bit
+    license downclocking)."""
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+        if all(k in flags for k in ("avx512f", "avx512dq", "avx512vl", "avx512bw")):
+            return ["-mavx512f", "-mavx512dq", "-mavx512vl", "-mavx512bw",
+                    "-mprefer-vector-width=256"]
+    except OSError:
+        pass
+    return []
+
+
+_CXXFLAGS = _CXXFLAGS + _simd_flags()
+
+
 def _build(so_path: pathlib.Path) -> None:
     # generic -O3 measured FASTER here than -march=native/x86-64-v3 (the
     # walk is branchy scalar integer code; wide-vector codegen loses)

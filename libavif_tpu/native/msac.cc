@@ -15,6 +15,8 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -537,12 +539,34 @@ inline int spec_next_bit(SpecDec* s) {
   return (s->data[p >> 3] >> (7 - (p & 7))) & 1;
 }
 
+// d MSB-first bits starting at bitpos (zero-padded past the end) in one
+// 32-bit load when the window is fully inside the buffer — the decoder
+// state trajectory is identical to d spec_next_bit() calls.
+inline uint32_t spec_next_bits(SpecDec* s, int d) {
+  int64_t p = s->bitpos;
+  s->bitpos = p + d;
+  if (p + 32 <= s->nbits) {
+    const uint8_t* b = s->data + (p >> 3);
+    uint32_t w = (uint32_t(b[0]) << 24) | (uint32_t(b[1]) << 16) |
+                 (uint32_t(b[2]) << 8) | uint32_t(b[3]);
+    return (w << (p & 7)) >> (32 - d);
+  }
+  uint32_t v = 0;
+  for (int i = 0; i < d; ++i) {
+    int64_t q = p + i;
+    int bit = q < s->nbits ? (s->data[q >> 3] >> (7 - (q & 7))) & 1 : 0;
+    v = (v << 1) | bit;
+  }
+  return v;
+}
+
 inline void spec_renorm(SpecDec* s) {
   int d = 16 - bit_length(s->rng);
-  while (d-- > 0) {
-    s->rng <<= 1;
-    s->dif = ((s->dif << 1) | spec_next_bit(s)) & 0x7FFFFFFF;
-  }
+  if (d <= 0) return;
+  s->rng <<= d;
+  // dif < rng <= 0xFFFF before the shift, so (dif << d) stays below
+  // 2^31 and the historical per-step 0x7FFFFFFF mask is a no-op.
+  s->dif = (s->dif << d) | spec_next_bits(s, d);
 }
 
 inline int spec_symbol(SpecDec* s, uint16_t* icdf, int n, int adapt) {
@@ -676,7 +700,11 @@ static long spec_coeffs_impl(
   if (eob > n_coeff) eob = n_coeff;
 
   const int lstride = cw + 4;
-  std::vector<int32_t> lev(size_t(ch + 4) * lstride, 0);
+  // fixed per-thread scratch: a heap vector here costs an alloc+free
+  // per transform block
+  static thread_local int32_t lev_buf[(32 + 4) * (32 + 4)];
+  std::memset(lev_buf, 0, size_t(ch + 4) * lstride * sizeof(int32_t));
+  int32_t* const lev = lev_buf;
   for (int si = eob - 1; si >= 0; --si) {
     int pos = scan[si];
     int row = pos >> bwl, col = pos & (cw - 1);
@@ -685,12 +713,12 @@ static long spec_coeffs_impl(
       int ctx_e = si == 0 ? 0 : (si <= n_coeff / 8 ? 1 : (si <= n_coeff / 4 ? 2 : 3));
       level = spec_symbol(&sd, base_eob + ctx_e * base_eob_stride, 3, adapt) + 1;
     } else {
-      int ctx_b = spec_base_ctx(lev.data(), lstride, row, col, pos, tx_class,
+      int ctx_b = spec_base_ctx(lev, lstride, row, col, pos, tx_class,
                                 txw, txh);
       level = spec_symbol(&sd, base + ctx_b * base_stride, 4, adapt);
     }
     if (level > 2) {  // NUM_BASE_LEVELS
-      int br_ctx = spec_br_ctx(lev.data(), lstride, row, col, pos, tx_class);
+      int br_ctx = spec_br_ctx(lev, lstride, row, col, pos, tx_class);
       for (int i = 0; i < 4; ++i) {
         int k = spec_symbol(&sd, br + br_ctx * br_stride, 4, adapt);
         level += k;
@@ -782,70 +810,76 @@ static int64_t SINPI[5];
 static const int COS_BIT = 12;
 static const int64_t NEW_SQRT2 = 5793;
 
-static inline int64_t rnd(int64_t x, int b) { return (x + (1LL << (b - 1))) >> b; }
-static inline int64_t hbtf(int64_t w0, int64_t i0, int64_t w1, int64_t i1) {
+template <typename T>
+static inline T rnd(T x, int b) { return (x + (1LL << (b - 1))) >> b; }
+template <typename T>
+static inline T hbtf(int64_t w0, T i0, int64_t w1, T i1) {
   return rnd(w0 * i0 + w1 * i1, COS_BIT);
 }
 
-static void idct4(const int64_t* x, int64_t* r) {
+template <typename T>
+static void idct4(const T* x, T* r) {
   const int64_t* c = COSPI;
-  int64_t s0 = hbtf(c[32], x[0], c[32], x[2]);
-  int64_t s1 = hbtf(c[32], x[0], -c[32], x[2]);
-  int64_t s2 = hbtf(c[48], x[1], -c[16], x[3]);
-  int64_t s3 = hbtf(c[16], x[1], c[48], x[3]);
+  T s0 = hbtf(c[32], x[0], c[32], x[2]);
+  T s1 = hbtf(c[32], x[0], -c[32], x[2]);
+  T s2 = hbtf(c[48], x[1], -c[16], x[3]);
+  T s3 = hbtf(c[16], x[1], c[48], x[3]);
   r[0] = s0 + s3; r[1] = s1 + s2; r[2] = s1 - s2; r[3] = s0 - s3;
 }
 
-static void idct8(const int64_t* x, int64_t* r) {
+template <typename T>
+static void idct8(const T* x, T* r) {
   const int64_t* c = COSPI;
-  int64_t xe[4] = {x[0], x[2], x[4], x[6]}, e[4];
+  T xe[4] = {x[0], x[2], x[4], x[6]}, e[4];
   idct4(xe, e);
-  int64_t s4 = hbtf(c[56], x[1], -c[8], x[7]);
-  int64_t s7 = hbtf(c[8], x[1], c[56], x[7]);
-  int64_t s5 = hbtf(c[24], x[5], -c[40], x[3]);
-  int64_t s6 = hbtf(c[40], x[5], c[24], x[3]);
-  int64_t t4 = s4 + s5, t5 = s4 - s5, t6 = -s6 + s7, t7 = s6 + s7;
-  int64_t u5 = hbtf(-c[32], t5, c[32], t6);
-  int64_t u6 = hbtf(c[32], t5, c[32], t6);
-  int64_t o[4] = {t4, u5, u6, t7};
+  T s4 = hbtf(c[56], x[1], -c[8], x[7]);
+  T s7 = hbtf(c[8], x[1], c[56], x[7]);
+  T s5 = hbtf(c[24], x[5], -c[40], x[3]);
+  T s6 = hbtf(c[40], x[5], c[24], x[3]);
+  T t4 = s4 + s5, t5 = s4 - s5, t6 = -s6 + s7, t7 = s6 + s7;
+  T u5 = hbtf(-c[32], t5, c[32], t6);
+  T u6 = hbtf(c[32], t5, c[32], t6);
+  T o[4] = {t4, u5, u6, t7};
   for (int i = 0; i < 4; i++) { r[i] = e[i] + o[3 - i]; r[7 - i] = e[i] - o[3 - i]; }
 }
 
-static void idct16(const int64_t* x, int64_t* r) {
+template <typename T>
+static void idct16(const T* x, T* r) {
   const int64_t* c = COSPI;
-  int64_t xe[8], e[8];
+  T xe[8], e[8];
   for (int i = 0; i < 8; i++) xe[i] = x[2 * i];
   idct8(xe, e);
-  int64_t s8 = hbtf(c[60], x[1], -c[4], x[15]);
-  int64_t s15 = hbtf(c[4], x[1], c[60], x[15]);
-  int64_t s9 = hbtf(c[28], x[9], -c[36], x[7]);
-  int64_t s14 = hbtf(c[36], x[9], c[28], x[7]);
-  int64_t s10 = hbtf(c[44], x[5], -c[20], x[11]);
-  int64_t s13 = hbtf(c[20], x[5], c[44], x[11]);
-  int64_t s11 = hbtf(c[12], x[13], -c[52], x[3]);
-  int64_t s12 = hbtf(c[52], x[13], c[12], x[3]);
-  int64_t t8 = s8 + s9, t9 = s8 - s9, t10 = -s10 + s11, t11 = s10 + s11;
-  int64_t t12 = s12 + s13, t13 = s12 - s13, t14 = -s14 + s15, t15 = s14 + s15;
-  int64_t u9 = hbtf(-c[16], t9, c[48], t14);
-  int64_t u14 = hbtf(c[48], t9, c[16], t14);
-  int64_t u10 = hbtf(-c[48], t10, -c[16], t13);
-  int64_t u13 = hbtf(-c[16], t10, c[48], t13);
-  int64_t v8 = t8 + t11, v9 = u9 + u10, v10 = u9 - u10, v11 = t8 - t11;
-  int64_t v12 = t15 - t12, v13 = u14 - u13, v14 = u14 + u13, v15 = t15 + t12;
-  int64_t w10 = hbtf(-c[32], v10, c[32], v13);
-  int64_t w13 = hbtf(c[32], v10, c[32], v13);
-  int64_t w11 = hbtf(-c[32], v11, c[32], v12);
-  int64_t w12 = hbtf(c[32], v11, c[32], v12);
-  int64_t o[8] = {v8, v9, w10, w11, w12, w13, v14, v15};
+  T s8 = hbtf(c[60], x[1], -c[4], x[15]);
+  T s15 = hbtf(c[4], x[1], c[60], x[15]);
+  T s9 = hbtf(c[28], x[9], -c[36], x[7]);
+  T s14 = hbtf(c[36], x[9], c[28], x[7]);
+  T s10 = hbtf(c[44], x[5], -c[20], x[11]);
+  T s13 = hbtf(c[20], x[5], c[44], x[11]);
+  T s11 = hbtf(c[12], x[13], -c[52], x[3]);
+  T s12 = hbtf(c[52], x[13], c[12], x[3]);
+  T t8 = s8 + s9, t9 = s8 - s9, t10 = -s10 + s11, t11 = s10 + s11;
+  T t12 = s12 + s13, t13 = s12 - s13, t14 = -s14 + s15, t15 = s14 + s15;
+  T u9 = hbtf(-c[16], t9, c[48], t14);
+  T u14 = hbtf(c[48], t9, c[16], t14);
+  T u10 = hbtf(-c[48], t10, -c[16], t13);
+  T u13 = hbtf(-c[16], t10, c[48], t13);
+  T v8 = t8 + t11, v9 = u9 + u10, v10 = u9 - u10, v11 = t8 - t11;
+  T v12 = t15 - t12, v13 = u14 - u13, v14 = u14 + u13, v15 = t15 + t12;
+  T w10 = hbtf(-c[32], v10, c[32], v13);
+  T w13 = hbtf(c[32], v10, c[32], v13);
+  T w11 = hbtf(-c[32], v11, c[32], v12);
+  T w12 = hbtf(c[32], v11, c[32], v12);
+  T o[8] = {v8, v9, w10, w11, w12, w13, v14, v15};
   for (int i = 0; i < 8; i++) { r[i] = e[i] + o[7 - i]; r[15 - i] = e[i] - o[7 - i]; }
 }
 
-static void idct32(const int64_t* x, int64_t* r) {
+template <typename T>
+static void idct32(const T* x, T* r) {
   const int64_t* c = COSPI;
-  int64_t xe[16], e[16];
+  T xe[16], e[16];
   for (int i = 0; i < 16; i++) xe[i] = x[2 * i];
   idct16(xe, e);
-  int64_t s[16];
+  T s[16];
   s[0] = hbtf(c[62], x[1], -c[2], x[31]);  s[15] = hbtf(c[2], x[1], c[62], x[31]);
   s[1] = hbtf(c[30], x[17], -c[34], x[15]); s[14] = hbtf(c[34], x[17], c[30], x[15]);
   s[2] = hbtf(c[46], x[9], -c[18], x[23]);  s[13] = hbtf(c[18], x[9], c[46], x[23]);
@@ -855,36 +889,36 @@ static void idct32(const int64_t* x, int64_t* r) {
   s[6] = hbtf(c[38], x[13], -c[26], x[19]); s[9] = hbtf(c[26], x[13], c[38], x[19]);
   s[7] = hbtf(c[6], x[29], -c[58], x[3]);   s[8] = hbtf(c[58], x[29], c[6], x[3]);
   static const int p3[8][2] = {{0,1},{3,2},{4,5},{7,6},{8,9},{11,10},{12,13},{15,14}};
-  int64_t t[16];
+  T t[16];
   for (int k = 0; k < 8; k++) {
     int a = p3[k][0], b = p3[k][1];
     t[a] = s[a] + s[b]; t[b] = s[a] - s[b];
   }
-  int64_t u[16];
+  T u[16];
   for (int i = 0; i < 16; i++) u[i] = t[i];
   u[1] = hbtf(-c[8], t[1], c[56], t[14]);   u[14] = hbtf(c[56], t[1], c[8], t[14]);
   u[2] = hbtf(-c[56], t[2], -c[8], t[13]);  u[13] = hbtf(-c[8], t[2], c[56], t[13]);
   u[5] = hbtf(-c[40], t[5], c[24], t[10]);  u[10] = hbtf(c[24], t[5], c[40], t[10]);
   u[6] = hbtf(-c[24], t[6], -c[40], t[9]);  u[9] = hbtf(-c[40], t[6], c[24], t[9]);
   static const int p5[8][2] = {{0,3},{1,2},{7,4},{6,5},{8,11},{9,10},{15,12},{14,13}};
-  int64_t v[16];
+  T v[16];
   for (int k = 0; k < 8; k++) {
     int a = p5[k][0], b = p5[k][1];
     v[a] = u[a] + u[b]; v[b] = u[a] - u[b];
   }
-  int64_t w[16];
+  T w[16];
   for (int i = 0; i < 16; i++) w[i] = v[i];
   w[2] = hbtf(-c[16], v[2], c[48], v[13]);  w[13] = hbtf(c[48], v[2], c[16], v[13]);
   w[3] = hbtf(-c[16], v[3], c[48], v[12]);  w[12] = hbtf(c[48], v[3], c[16], v[12]);
   w[4] = hbtf(-c[48], v[4], -c[16], v[11]); w[11] = hbtf(-c[16], v[4], c[48], v[11]);
   w[5] = hbtf(-c[48], v[5], -c[16], v[10]); w[10] = hbtf(-c[16], v[5], c[48], v[10]);
   static const int p7[8][2] = {{0,7},{1,6},{2,5},{3,4},{15,8},{14,9},{13,10},{12,11}};
-  int64_t p[16];
+  T p[16];
   for (int k = 0; k < 8; k++) {
     int a = p7[k][0], b = p7[k][1];
     p[a] = w[a] + w[b]; p[b] = w[a] - w[b];
   }
-  int64_t q[16];
+  T q[16];
   for (int i = 0; i < 16; i++) q[i] = p[i];
   static const int p8[4][2] = {{4,11},{5,10},{6,9},{7,8}};
   for (int k = 0; k < 4; k++) {
@@ -895,29 +929,30 @@ static void idct32(const int64_t* x, int64_t* r) {
   for (int i = 0; i < 16; i++) { r[i] = e[i] + q[15 - i]; r[31 - i] = e[i] - q[15 - i]; }
 }
 
-static void idct64(const int64_t* x, int64_t* r) {
+template <typename T>
+static void idct64(const T* x, T* r) {
   const int64_t* c = COSPI;
-  int64_t xe[32], e[32];
+  T xe[32], e[32];
   for (int i = 0; i < 32; i++) xe[i] = x[2 * i];
   idct32(xe, e);
   static const int order[32] = {1,33,17,49,9,41,25,57,5,37,21,53,13,45,29,61,
                                 3,35,19,51,11,43,27,59,7,39,23,55,15,47,31,63};
-  int64_t s[32];
+  T s[32];
   for (int k = 0; k < 16; k++) {
     int j = order[k];
-    int64_t lo = (j < 64) ? x[j] : 0;
-    int64_t hi = (64 - j < 64) ? x[64 - j] : 0;
-    int64_t cj = (j < 64) ? c[j] : 0;
-    s[k] = hbtf(c[64 - j >= 64 ? 0 : 64 - j], lo, -cj, hi);
-    s[31 - k] = hbtf(cj, lo, c[64 - j >= 64 ? 0 : 64 - j], hi);
+    T lo = x[j];
+    T hi = x[64 - j];
+    int64_t cj = c[j];
+    s[k] = hbtf(c[64 - j], lo, -cj, hi);
+    s[31 - k] = hbtf(cj, lo, c[64 - j], hi);
   }
-  int64_t t[32];
+  T t[32];
   for (int g = 0; g < 8; g++) {
     int a = 4 * g;
     t[a] = s[a] + s[a + 1];     t[a + 1] = s[a] - s[a + 1];
     t[a + 3] = s[a + 3] + s[a + 2]; t[a + 2] = s[a + 3] - s[a + 2];
   }
-  int64_t u[32];
+  T u[32];
   for (int i = 0; i < 32; i++) u[i] = t[i];
   static const int st4[4][2] = {{4,60},{36,28},{20,44},{52,12}};
   for (int g = 0; g < 4; g++) {
@@ -929,7 +964,7 @@ static void idct64(const int64_t* x, int64_t* r) {
     u[i] = hbtf(-c[a2], t[i], -c[a1], t[j]);
     u[j] = hbtf(-c[a1], t[i], c[a2], t[j]);
   }
-  int64_t v[32];
+  T v[32];
   for (int g = 0; g < 4; g++) {
     int a = 8 * g;
     v[a + 0] = u[a + 0] + u[a + 3]; v[a + 3] = u[a + 0] - u[a + 3];
@@ -937,7 +972,7 @@ static void idct64(const int64_t* x, int64_t* r) {
     v[a + 7] = u[a + 7] + u[a + 4]; v[a + 4] = u[a + 7] - u[a + 4];
     v[a + 6] = u[a + 6] + u[a + 5]; v[a + 5] = u[a + 6] - u[a + 5];
   }
-  int64_t w[32];
+  T w[32];
   for (int i = 0; i < 32; i++) w[i] = v[i];
   static const int st6[2][3] = {{0, 8, 56}, {8, 40, 24}};
   for (int bi = 0; bi < 2; bi++) {
@@ -954,7 +989,7 @@ static void idct64(const int64_t* x, int64_t* r) {
       w[j] = hbtf(-a1, v[i], a2, v[j]);
     }
   }
-  int64_t p[32];
+  T p[32];
   for (int g = 0; g < 4; g++) {
     int a = 8 * g;
     if (g % 2 == 0) {
@@ -969,7 +1004,7 @@ static void idct64(const int64_t* x, int64_t* r) {
       }
     }
   }
-  int64_t q[32];
+  T q[32];
   for (int i = 0; i < 32; i++) q[i] = p[i];
   for (int i = 4; i <= 7; i++) {
     int j = 31 - i;
@@ -981,12 +1016,12 @@ static void idct64(const int64_t* x, int64_t* r) {
     q[i] = hbtf(-c[48], p[i], -c[16], p[j]);
     q[j] = hbtf(-c[16], p[i], c[48], p[j]);
   }
-  int64_t rr[32];
+  T rr[32];
   for (int i = 0; i < 8; i++) {
     rr[i] = q[i] + q[15 - i];        rr[15 - i] = q[i] - q[15 - i];
     rr[31 - i] = q[31 - i] + q[16 + i]; rr[16 + i] = q[31 - i] - q[16 + i];
   }
-  int64_t f[32];
+  T f[32];
   for (int i = 0; i < 32; i++) f[i] = rr[i];
   for (int i = 8; i < 16; i++) {
     int j = 31 - i;
@@ -996,76 +1031,79 @@ static void idct64(const int64_t* x, int64_t* r) {
   for (int i = 0; i < 32; i++) { r[i] = e[i] + f[31 - i]; r[63 - i] = e[i] - f[31 - i]; }
 }
 
-static void iadst4(const int64_t* x, int64_t* r) {
+template <typename T>
+static void iadst4(const T* x, T* r) {
   const int64_t* sp = SINPI;
-  int64_t s0 = sp[1] * x[0];
-  int64_t s1 = sp[2] * x[0];
-  int64_t s2 = sp[3] * x[1];
-  int64_t s3 = sp[4] * x[2];
-  int64_t s4 = sp[1] * x[2];
-  int64_t s5 = sp[2] * x[3];
-  int64_t s6 = sp[4] * x[3];
-  int64_t a7 = x[0] - x[2];
-  int64_t b7 = a7 + x[3];
+  T s0 = sp[1] * x[0];
+  T s1 = sp[2] * x[0];
+  T s2 = sp[3] * x[1];
+  T s3 = sp[4] * x[2];
+  T s4 = sp[1] * x[2];
+  T s5 = sp[2] * x[3];
+  T s6 = sp[4] * x[3];
+  T a7 = x[0] - x[2];
+  T b7 = a7 + x[3];
   s0 = s0 + s3;
   s1 = s1 - s4;
   s3 = s2;
   s2 = sp[3] * b7;
   s0 = s0 + s5;
   s1 = s1 - s6;
-  int64_t x0 = s0 + s3, x1 = s1 + s3, x2 = s2, x3 = s0 + s1 - s3;
+  T x0 = s0 + s3, x1 = s1 + s3, x2 = s2, x3 = s0 + s1 - s3;
   r[0] = rnd(x0, COS_BIT); r[1] = rnd(x1, COS_BIT);
   r[2] = rnd(x2, COS_BIT); r[3] = rnd(x3, COS_BIT);
 }
 
-static void iadst8(const int64_t* x, int64_t* r) {
+template <typename T>
+static void iadst8(const T* x, T* r) {
   const int64_t* c = COSPI;
-  int64_t s0 = x[7], s1 = x[0], s2 = x[5], s3 = x[2];
-  int64_t s4 = x[3], s5 = x[4], s6 = x[1], s7 = x[6];
-  int64_t t0 = hbtf(c[4], s0, c[60], s1);
-  int64_t t1 = hbtf(c[60], s0, -c[4], s1);
-  int64_t t2 = hbtf(c[20], s2, c[44], s3);
-  int64_t t3 = hbtf(c[44], s2, -c[20], s3);
-  int64_t t4 = hbtf(c[36], s4, c[28], s5);
-  int64_t t5 = hbtf(c[28], s4, -c[36], s5);
-  int64_t t6 = hbtf(c[52], s6, c[12], s7);
-  int64_t t7 = hbtf(c[12], s6, -c[52], s7);
-  int64_t u0 = t0 + t4, u4 = t0 - t4;
-  int64_t u1 = t1 + t5, u5 = t1 - t5;
-  int64_t u2 = t2 + t6, u6 = t2 - t6;
-  int64_t u3 = t3 + t7, u7 = t3 - t7;
-  int64_t v4 = hbtf(c[16], u4, c[48], u5);
-  int64_t v5 = hbtf(c[48], u4, -c[16], u5);
-  int64_t v6 = hbtf(-c[48], u6, c[16], u7);
-  int64_t v7 = hbtf(c[16], u6, c[48], u7);
-  int64_t w0 = u0 + u2, w2 = u0 - u2;
-  int64_t w1 = u1 + u3, w3 = u1 - u3;
-  int64_t w4 = v4 + v6, w6 = v4 - v6;
-  int64_t w5 = v5 + v7, w7 = v5 - v7;
-  int64_t y2 = hbtf(c[32], w2, c[32], w3);
-  int64_t y3 = hbtf(c[32], w2, -c[32], w3);
-  int64_t y6 = hbtf(c[32], w6, c[32], w7);
-  int64_t y7 = hbtf(c[32], w6, -c[32], w7);
+  T s0 = x[7], s1 = x[0], s2 = x[5], s3 = x[2];
+  T s4 = x[3], s5 = x[4], s6 = x[1], s7 = x[6];
+  T t0 = hbtf(c[4], s0, c[60], s1);
+  T t1 = hbtf(c[60], s0, -c[4], s1);
+  T t2 = hbtf(c[20], s2, c[44], s3);
+  T t3 = hbtf(c[44], s2, -c[20], s3);
+  T t4 = hbtf(c[36], s4, c[28], s5);
+  T t5 = hbtf(c[28], s4, -c[36], s5);
+  T t6 = hbtf(c[52], s6, c[12], s7);
+  T t7 = hbtf(c[12], s6, -c[52], s7);
+  T u0 = t0 + t4, u4 = t0 - t4;
+  T u1 = t1 + t5, u5 = t1 - t5;
+  T u2 = t2 + t6, u6 = t2 - t6;
+  T u3 = t3 + t7, u7 = t3 - t7;
+  T v4 = hbtf(c[16], u4, c[48], u5);
+  T v5 = hbtf(c[48], u4, -c[16], u5);
+  T v6 = hbtf(-c[48], u6, c[16], u7);
+  T v7 = hbtf(c[16], u6, c[48], u7);
+  T w0 = u0 + u2, w2 = u0 - u2;
+  T w1 = u1 + u3, w3 = u1 - u3;
+  T w4 = v4 + v6, w6 = v4 - v6;
+  T w5 = v5 + v7, w7 = v5 - v7;
+  T y2 = hbtf(c[32], w2, c[32], w3);
+  T y3 = hbtf(c[32], w2, -c[32], w3);
+  T y6 = hbtf(c[32], w6, c[32], w7);
+  T y7 = hbtf(c[32], w6, -c[32], w7);
   r[0] = w0; r[1] = -w4; r[2] = y6; r[3] = -y2;
   r[4] = y3; r[5] = -y7; r[6] = w5; r[7] = -w1;
 }
 
-static void iadst16(const int64_t* x, int64_t* r) {
+template <typename T>
+static void iadst16(const T* x, T* r) {
   const int64_t* c = COSPI;
-  int64_t s[16] = {x[15], x[0], x[13], x[2], x[11], x[4], x[9], x[6],
+  T s[16] = {x[15], x[0], x[13], x[2], x[11], x[4], x[9], x[6],
                    x[7], x[8], x[5], x[10], x[3], x[12], x[1], x[14]};
-  int64_t t[16];
+  T t[16];
   for (int i = 0; i < 8; i++) {
     int a = 2 + 8 * i;
     t[2 * i] = hbtf(c[a], s[2 * i], c[64 - a], s[2 * i + 1]);
     t[2 * i + 1] = hbtf(c[64 - a], s[2 * i], -c[a], s[2 * i + 1]);
   }
-  int64_t u[16];
+  T u[16];
   for (int i = 0; i < 8; i++) {
     u[i] = t[i] + t[i + 8];
     u[i + 8] = t[i] - t[i + 8];
   }
-  int64_t v[16];
+  T v[16];
   for (int i = 0; i < 16; i++) v[i] = u[i];
   v[8] = hbtf(c[8], u[8], c[56], u[9]);
   v[9] = hbtf(c[56], u[8], -c[8], u[9]);
@@ -1075,14 +1113,14 @@ static void iadst16(const int64_t* x, int64_t* r) {
   v[13] = hbtf(c[8], u[12], c[56], u[13]);
   v[14] = hbtf(-c[24], u[14], c[40], u[15]);
   v[15] = hbtf(c[40], u[14], c[24], u[15]);
-  int64_t w[16];
+  T w[16];
   for (int i = 0; i < 4; i++) {
     w[i] = v[i] + v[i + 4];
     w[i + 4] = v[i] - v[i + 4];
     w[i + 8] = v[i + 8] + v[i + 12];
     w[i + 12] = v[i + 8] - v[i + 12];
   }
-  int64_t y[16];
+  T y[16];
   for (int i = 0; i < 16; i++) y[i] = w[i];
   for (int bi = 0; bi < 2; bi++) {
     int base = bi ? 12 : 4;
@@ -1091,7 +1129,7 @@ static void iadst16(const int64_t* x, int64_t* r) {
     y[base + 2] = hbtf(-c[48], w[base + 2], c[16], w[base + 3]);
     y[base + 3] = hbtf(c[16], w[base + 2], c[48], w[base + 3]);
   }
-  int64_t z[16];
+  T z[16];
   for (int i = 0; i < 2; i++)
     for (int j = 0; j < 2; j++) {
       int b = 8 * i + 4 * j;
@@ -1100,7 +1138,7 @@ static void iadst16(const int64_t* x, int64_t* r) {
       z[b + 2] = y[b] - y[b + 2];
       z[b + 3] = y[b + 1] - y[b + 3];
     }
-  int64_t o[16];
+  T o[16];
   for (int i = 0; i < 16; i++) o[i] = z[i];
   for (int b = 2; b < 16; b += 4) {
     o[b] = hbtf(c[32], z[b], c[32], z[b + 1]);
@@ -1112,7 +1150,8 @@ static void iadst16(const int64_t* x, int64_t* r) {
   r[12] = o[5]; r[13] = -o[13]; r[14] = o[9]; r[15] = -o[1];
 }
 
-static void iidentity(const int64_t* x, int64_t* r, int n) {
+template <typename T>
+static void iidentity(const T* x, T* r, int n) {
   if (n == 4) { for (int i = 0; i < 4; i++) r[i] = rnd(x[i] * NEW_SQRT2, 12); return; }
   if (n == 8) { for (int i = 0; i < 8; i++) r[i] = x[i] * 2; return; }
   if (n == 16) { for (int i = 0; i < 16; i++) r[i] = rnd(x[i] * 2 * NEW_SQRT2, 12); return; }
@@ -1120,7 +1159,8 @@ static void iidentity(const int64_t* x, int64_t* r, int n) {
 }
 
 // kind: 0 dct, 1 adst, 2 identity
-static void txfm1d(int kind, const int64_t* x, int64_t* r, int n) {
+template <typename T>
+static void txfm1d(int kind, const T* x, T* r, int n) {
   if (kind == 0) {
     switch (n) {
       case 4: idct4(x, r); return;
@@ -1151,6 +1191,14 @@ void avt_tx_init(const int64_t* cospi64, const int64_t* sinpi5) {
 
 // dq: (ch, cw) int32 row-major (ch=min(txh,32), cw=min(txw,32));
 // out: (txh, txw) int32. row_kind/col_kind: 0 dct / 1 adst / 2 identity.
+// 4 int64 lanes (GCC vector extension): the 1-D kernels are templated
+// over the lane type, so one instantiation computes 4 independent rows
+// or columns per call with identical elementwise arithmetic (the
+// Python reference in codec/av1/transforms.py stays the bit-exactness
+// arbiter). Memory interfacing goes through memcpy — `mid` is only
+// 8-byte aligned.
+typedef int64_t txv4 __attribute__((vector_size(32)));
+
 void avt_inverse_transform(const int32_t* dq, int txw, int txh,
                            int row_kind, int col_kind, int flip_lr,
                            int flip_ud, int row_shift, int col_shift,
@@ -1160,7 +1208,7 @@ void avt_inverse_transform(const int32_t* dq, int txw, int txh,
   int ch = txh < 32 ? txh : 32;
   static thread_local int64_t full[64 * 64];
   static thread_local int64_t mid[64 * 64];
-  memset(full, 0, sizeof(int64_t) * txh * txw);
+  memset(full, 0, sizeof(int64_t) * ch * txw);  // only rows < ch are read
   // typical blocks carry coefficients only in the top rows: rows whose
   // inputs are all zero transform to zero (linearity), so skip their 1-D
   // row pass entirely (dav1d's eob-height pruning)
@@ -1178,25 +1226,42 @@ void avt_inverse_transform(const int32_t* dq, int txw, int txh,
     if (any) nzh = i + 1;
   }
   const int64_t rng = 1LL << (bd + 7);
-  int64_t rin[64], rout[64];
-  for (int i = 0; i < nzh; i++) {
-    for (int j = 0; j < txw; j++) rin[j] = full[i * txw + j];
+  // row pass, 4 rows per kernel call (lanes = rows). Rounding nzh up to
+  // a multiple of 4 only adds all-zero rows, whose outputs are zero by
+  // linearity — exactly what the pruned path would have written.
+  int nzh4 = (nzh + 3) & ~3;
+  if (nzh4 > ch) nzh4 = ch;  // ch is 4/8/16/32, always a multiple of 4
+  static thread_local txv4 rin[64], rout[64];
+  for (int i = 0; i < nzh4; i += 4) {
+    const int64_t* r0 = full + (i + 0) * txw;
+    const int64_t* r1 = full + (i + 1) * txw;
+    const int64_t* r2 = full + (i + 2) * txw;
+    const int64_t* r3 = full + (i + 3) * txw;
+    for (int j = 0; j < txw; j++) rin[j] = (txv4){r0[j], r1[j], r2[j], r3[j]};
     txfm1d(row_kind, rin, rout, txw);
     for (int j = 0; j < txw; j++) {
-      int64_t v = row_shift ? rnd(rout[j], row_shift) : rout[j];
-      if (v < -rng) v = -rng;
-      if (v > rng - 1) v = rng - 1;
-      mid[i * txw + j] = v;
+      txv4 v = row_shift ? rnd(rout[j], row_shift) : rout[j];
+      v = v < -rng ? (txv4){-rng, -rng, -rng, -rng} : v;
+      v = v > rng - 1 ? (txv4){rng - 1, rng - 1, rng - 1, rng - 1} : v;
+      for (int k = 0; k < 4; k++) mid[(i + k) * txw + j] = v[k];
     }
   }
-  if (nzh < txh) memset(mid + nzh * txw, 0, sizeof(int64_t) * (txh - nzh) * txw);
-  for (int j = 0; j < txw; j++) {
-    for (int i = 0; i < txh; i++) rin[i] = mid[i * txw + j];
+  if (nzh4 < txh) memset(mid + nzh4 * txw, 0, sizeof(int64_t) * (txh - nzh4) * txw);
+  // column pass, 4 adjacent columns per call (contiguous lane loads;
+  // txw is 4/8/16/32/64, never a remainder)
+  for (int j = 0; j < txw; j += 4) {
+    for (int i = 0; i < txh; i++)
+      __builtin_memcpy(&rin[i], mid + (long)i * txw + j, sizeof(txv4));
     txfm1d(col_kind, rin, rout, txh);
     for (int i = 0; i < txh; i++) {
+      txv4 v = rnd(rout[i], col_shift);
       int oi = flip_ud ? (txh - 1 - i) : i;
-      int oj = flip_lr ? (txw - 1 - j) : j;
-      out[oi * txw + oj] = (int32_t)rnd(rout[i], col_shift);
+      int32_t* orow = out + (long)oi * txw;
+      if (flip_lr) {
+        for (int k = 0; k < 4; k++) orow[txw - 1 - (j + k)] = (int32_t)v[k];
+      } else {
+        for (int k = 0; k < 4; k++) orow[j + k] = (int32_t)v[k];
+      }
     }
   }
 }
@@ -1223,6 +1288,18 @@ extern "C" {
 // itx_tab: int32[ntypes*5] = {row_kind, col_kind, flip_lr, flip_ud,
 // tx_class} per tx type. out_flags: {cul, tx_type, eob}.
 // Returns eob (0 = all_zero, frame <- pred), <0 on malformed stream.
+// phase profiling (LIBAVIF_TPU_PROFILE=1; avt_spec_tile prints): cycles
+// in coefficient symbol decode vs inverse transform, per thread
+static thread_local unsigned long long avt_prof_coef_cy = 0;
+static thread_local unsigned long long avt_prof_itx_cy = 0;
+static inline unsigned long long avt_rdtsc() {
+#if defined(__x86_64__) || defined(__i386__)
+  return __builtin_ia32_rdtsc();
+#else
+  return 0;
+#endif
+}
+
 long avt_spec_txb(
     const uint8_t* data, long nbits, int64_t* state,
     const int32_t* params, const int64_t* strides,
@@ -1288,11 +1365,13 @@ long avt_spec_txb(
 
   static thread_local int64_t quant[32 * 32];
   for (int i = 0; i < n_coeff; ++i) quant[i] = 0;
+  unsigned long long c0 = avt_rdtsc();
   long eob = spec_coeffs_impl(
       &sd, adapt, eob_cdf, eob_nsym, eob_extra, strides[0],
       base_eob, strides[1], base, strides[2], br, strides[3],
       dc_sign_row, scan, n_coeff, cw, ch, bwl, txw, txh, tx_class,
       quant, out_flags);
+  avt_prof_coef_cy += avt_rdtsc() - c0;
   if (eob < 0) return eob;
   state[0] = sd.rng;
   state[1] = sd.dif;
@@ -1317,8 +1396,10 @@ long avt_spec_txb(
   }
 
   static thread_local int32_t res[64 * 64];
+  unsigned long long i0 = avt_rdtsc();
   avt_inverse_transform(dq, txw, txh, row_kind, col_kind, flip_lr, flip_ud,
                         row_shift, col_shift, rect_scale, bd, res);
+  avt_prof_itx_cy += avt_rdtsc() - i0;
   for (int i = 0; i < txh; ++i) {
     int32_t* fr = frame + (long)i * fstride;
     const int32_t* pr = pred + (long)i * txw;
