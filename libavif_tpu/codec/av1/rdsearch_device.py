@@ -246,43 +246,64 @@ def _compiled(H, W, speed, bd, nplanes_unused=0):
             v = jnp.where(jnp.asarray(use_a)[None], va, vl)
         return jnp.clip(v, 0, (1 << bd) - 1)
 
-    H8 = jnp.asarray(_hadamard(8))
-    H4 = jnp.asarray(_hadamard(4))
-    log2_lut = jnp.asarray(_LOG2_LUT)
+    # 2-D transforms as ONE flat GEMM per call: vec_row(M @ r @ M^T) =
+    # vec_row(r) @ kron(M, M)^T. The per-block einsum formulation
+    # contracts over K=8..32 (sub-1% MXU utilization); the kron form
+    # contracts over K = t^2 (64..1024) — proper MXU shapes.
+    def _kron_t(M):
+        k = np.kron(np.asarray(M, np.float64), np.asarray(M, np.float64))
+        return jnp.asarray(k.T.astype(np.float32))
+
+    kron_h = {t: _kron_t(_hadamard(t)) for t in (4, 8)}
 
     def satd(res, px):
+        """res (n, px, px) int32 -> SATD (n,) int32. Hadamard entries
+        are ±1, so the f32 GEMM is exact (values < 2^24)."""
         t = min(8, px)
-        Hm = H8 if t == 8 else H4
         n = res.shape[0]
         r = res.astype(jnp.float32).reshape(n, px // t, t, px // t, t)
-        r = r.transpose(0, 1, 3, 2, 4).reshape(-1, t, t)
-        tr = jnp.einsum("ab,nbc,dc->nad", Hm, r, Hm,
-                        precision=Precision.HIGHEST)
+        r = r.transpose(0, 1, 3, 2, 4).reshape(-1, t * t)
+        tr = jnp.dot(r, kron_h[t], precision=Precision.HIGHEST)
         s = jnp.abs(tr).astype(jnp.int32).reshape(n, -1).sum(axis=1)
         return s // (t * 2)
 
-    dct_m = {txs: jnp.asarray(_ortho_dct(min(txs, 64))) for txs in txs_cfg}
+    # kron trades a t^2/2-fold FLOP increase for K=t^2 contraction depth;
+    # profitable only while t^2 still under-fills the MXU's 128 lanes
+    kron_max = int(os.environ.get("LIBAVIF_TPU_RD_KRON_MAX", "8"))
+    kron_dct = {txs: _kron_t(_ortho_dct(txs))
+                for txs in txs_cfg if txs <= min(32, kron_max)}
+    dct_m = {txs: jnp.asarray(_ortho_dct(min(txs, 64)))
+             for txs in txs_cfg if txs > min(32, kron_max)}
 
     def quant_cost(res, txs, qs, rq):
-        """dist (n,), rate_x16 (n,) as f32 (txs <= 32 in practice)."""
+        """dist (n,), rate_x16 (n,) as f32."""
         n = res.shape[0]
-        M = dct_m[txs]
-        c = jnp.einsum("ab,nbc,dc->nad", M, res.astype(jnp.float32), M,
-                       precision=Precision.HIGHEST)
-        if txs > 32:
-            dropped = (c * c).reshape(n, -1).sum(1) - (
-                c[:, :32, :32] ** 2).reshape(n, -1).sum(1)
-            c = c[:, :32, :32]
-        else:
+        if txs in kron_dct:
+            c = jnp.dot(res.astype(jnp.float32).reshape(n, txs * txs),
+                        kron_dct[txs], precision=Precision.HIGHEST)
             dropped = 0.0
+        elif txs <= 32:
+            M = dct_m[txs]
+            c = jnp.einsum("ab,nbc,dc->nad", M, res.astype(jnp.float32), M,
+                           precision=Precision.HIGHEST).reshape(n, -1)
+            dropped = 0.0
+        else:
+            M = dct_m[txs]
+            c2 = jnp.einsum("ab,nbc,dc->nad", M, res.astype(jnp.float32), M,
+                            precision=Precision.HIGHEST)
+            dropped = (c2 * c2).reshape(n, -1).sum(1) - (
+                c2[:, :32, :32] ** 2).reshape(n, -1).sum(1)
+            c = c2[:, :32, :32].reshape(n, -1)
+        qs = qs.reshape(-1)
+        rq = rq.reshape(-1)
         lv = jnp.round(c * rq)
         err = c - lv * qs
-        dist = (err * err).reshape(n, -1).sum(1) + dropped
-        alv = jnp.abs(lv)
-        ilv = jnp.minimum(alv, 4095).astype(jnp.int32)
-        rate = ((ilv > 0).reshape(n, -1).sum(1).astype(jnp.float32)
-                * np.float32(_COEF_NZ_X16)
-                + log2_lut[ilv].reshape(n, -1).sum(1) * np.float32(_COEF_MAG_X16)
+        dist = (err * err).sum(1) + dropped
+        alv = jnp.minimum(jnp.abs(lv), 4095.0)
+        # log2(1+|lv|): arithmetic instead of a 4096-entry gather (the
+        # whole-frame gather dominated the TPU profile)
+        rate = ((alv > 0).sum(1).astype(jnp.float32) * np.float32(_COEF_NZ_X16)
+                + jnp.log2(1.0 + alv).sum(1) * np.float32(_COEF_MAG_X16)
                 + np.float32(_TXB_RATE_X16))
         return dist, rate
 
@@ -306,52 +327,50 @@ def _compiled(H, W, speed, bd, nplanes_unused=0):
                 px = key
                 blocks, above, left, corner = bordered[px]
                 use_angle = px * px >= 64
-                rowsv = []
-                for m in cand_modes:
-                    pred = predict(m, above, left, corner, px)
-                    cst = satd(blocks - pred, px)
-                    bits = _MODE_BITS_X16[m]
-                    if I.is_directional(m) and use_angle:
-                        bits += _ANGLE_BITS_X16
-                    rowsv.append(cst + ((lam_x16 * bits) >> 4))
-                out = out.at[lo:hi].set(
-                    jnp.stack(rowsv).astype(jnp.float32).reshape(-1))
+                # stack every mode's residual into ONE satd GEMM
+                preds = jnp.stack(
+                    [predict(m, above, left, corner, px) for m in cand_modes])
+                res = blocks[None] - preds            # (M, n, px, px)
+                nM = len(cand_modes)
+                cst = satd(res.reshape(-1, px, px), px).reshape(nM, -1)
+                bits = np.array(
+                    [_MODE_BITS_X16[m]
+                     + (_ANGLE_BITS_X16
+                        if I.is_directional(m) and use_angle else 0)
+                     for m in cand_modes], np.int32)[:, None]
+                rows = cst + ((lam_x16 * bits) >> 4)
+                out = out.at[lo:hi].set(rows.astype(jnp.float32).reshape(-1))
             elif kind == "delta":
                 px = key
                 blocks, above, left, corner = bordered[px]
-                rowsv = []
-                for m in dir_modes:
-                    basea = I.MODE_TO_ANGLE[m]
-                    costs = [satd(blocks - predict(m, above, left, corner, px), px)]
-                    dts = [0]
-                    for d in _DIR_DELTAS:
-                        pred = predict(m, above, left, corner, px,
-                                       angle=basea + 3 * d)
-                        costs.append(satd(blocks - pred, px))
-                        dts.append(d)
-                    st = jnp.stack(costs)          # (7, n)
-                    bi = jnp.argmin(st, axis=0)
-                    rowsv.append(jnp.asarray(np.array(dts, np.int32))[bi])
-                out = out.at[lo:hi].set(
-                    jnp.stack(rowsv).astype(jnp.float32).reshape(-1))
+                # all (dir mode, angle delta) residuals in one satd GEMM
+                dts = [0] + list(_DIR_DELTAS)
+                preds = jnp.stack(
+                    [predict(m, above, left, corner, px,
+                             angle=I.MODE_TO_ANGLE[m] + 3 * d)
+                     for m in dir_modes for d in dts])
+                res = blocks[None] - preds
+                cst = satd(res.reshape(-1, px, px), px).reshape(
+                    len(dir_modes), len(dts), -1)
+                bi = jnp.argmin(cst, axis=1)          # (Mdir, n)
+                rowsv = jnp.asarray(np.array(dts, np.int32))[bi]
+                out = out.at[lo:hi].set(rowsv.astype(jnp.float32).reshape(-1))
             elif kind == "dist":
                 txs = key
                 blocks, above, left, corner = bordered[txs]
                 qs = qs_list[txs_cfg.index(txs)]
                 rq = rq_list[txs_cfg.index(txs)]
-                dists = []
-                rates = []
-                for m in cand_modes:
-                    pred = predict(m, above, left, corner, txs)
-                    dist, rate = quant_cost(blocks - pred, txs, qs, rq)
-                    dists.append(dist)
-                    rates.append(rate)
-                out = out.at[lo:hi].set(jnp.stack(dists).reshape(-1))
+                preds = jnp.stack(
+                    [predict(m, above, left, corner, txs) for m in cand_modes])
+                res = (blocks[None] - preds).reshape(-1, txs, txs)
+                dist, rate = quant_cost(res, txs, qs, rq)
+                nM = len(cand_modes)
+                out = out.at[lo:hi].set(dist.reshape(nM, -1).reshape(-1))
                 # matching rate entry comes right after in layout
                 (k2, key2, shape2, lo2, hi2) = layout[
                     [i for i, e in enumerate(layout)
                      if e[0] == "rate" and e[1] == txs][0]]
-                out = out.at[lo2:hi2].set(jnp.stack(rates).reshape(-1))
+                out = out.at[lo2:hi2].set(rate.reshape(nM, -1).reshape(-1))
             # "rate" handled with dist
         return out
 
