@@ -246,6 +246,111 @@ def _compiled(H, W, speed, bd, nplanes_unused=0):
             v = jnp.where(jnp.asarray(use_a)[None], va, vl)
         return jnp.clip(v, 0, (1 << bd) - 1)
 
+    # --- intra predictions as ONE GEMM per block size -----------------
+    # Every mode except PAETH is LINEAR in the border vector
+    # ext1 = [corner, above(2px), left(2px), 1]: directional two-tap
+    # interpolation, V/H copies, DC mean, smooth weighted blends. Bake
+    # each (mode, angle) into a static (L1, px^2) matrix with the
+    # dyadic scale + rounding bias folded in (all weights are exact
+    # multiples of 1/512, so f32 is exact) — pred = floor(ext1 @ G),
+    # clipped. Replaces the per-mode gather soup (the TPU-unfriendly
+    # part of the old formulation) with one MXU GEMM per stage.
+    maxv_i = (1 << bd) - 1
+
+    def _linear_G(mode, px, angle=None):
+        h = w = px
+        L1 = 4 * px + 2
+        G = np.zeros((L1, h * w), np.float64)
+        bias = L1 - 1
+        cols = np.arange(h * w)
+        ys, xs = cols // w, cols % w
+
+        def a_col(i):  # ext_a index -> ext1 column
+            return np.where(i <= 0, 0, np.minimum(i, 2 * px))
+
+        def l_col(i):  # ext_l index -> ext1 column
+            return np.where(i <= 0, 0, 2 * px + np.minimum(i, 2 * px))
+
+        if mode == I.DC_PRED:
+            G[1:1 + px, :] = 1.0 / (2 * px)
+            G[2 * px + 1:3 * px + 1, :] = 1.0 / (2 * px)
+            G[bias, :] = 0.5
+        elif mode == I.V_PRED:
+            np.add.at(G, (1 + xs, cols), 1.0)
+        elif mode == I.H_PRED:
+            np.add.at(G, (2 * px + 1 + ys, cols), 1.0)
+        elif mode == I.SMOOTH_PRED:
+            wy = sm_w[h][ys].astype(np.float64)
+            wx = sm_w[w][xs].astype(np.float64)
+            np.add.at(G, (1 + xs, cols), wy / 512)
+            np.add.at(G, (np.full_like(cols, 2 * px + h), cols),
+                      (256 - wy) / 512)
+            np.add.at(G, (2 * px + 1 + ys, cols), wx / 512)
+            np.add.at(G, (np.full_like(cols, w), cols), (256 - wx) / 512)
+            G[bias, :] = 0.5
+        elif mode == I.SMOOTH_V_PRED:
+            wy = sm_w[h][ys].astype(np.float64)
+            np.add.at(G, (1 + xs, cols), wy / 256)
+            np.add.at(G, (np.full_like(cols, 2 * px + h), cols),
+                      (256 - wy) / 256)
+            G[bias, :] = 0.5
+        elif mode == I.SMOOTH_H_PRED:
+            wx = sm_w[w][xs].astype(np.float64)
+            np.add.at(G, (2 * px + 1 + ys, cols), wx / 256)
+            np.add.at(G, (np.full_like(cols, w), cols), (256 - wx) / 256)
+            G[bias, :] = 0.5
+        else:  # directional
+            if angle is None:
+                angle = I.MODE_TO_ANGLE[mode]
+            kind, b0, b1, shift, c0, c1, shift2, use_a = _dir_index_tables(
+                mode, px, angle)
+            sh = shift.reshape(-1).astype(np.float64)
+            if kind == "a":
+                np.add.at(G, (a_col(b0.reshape(-1)), cols), (32 - sh) / 32)
+                np.add.at(G, (a_col(b1.reshape(-1)), cols), sh / 32)
+            elif kind == "l":
+                np.add.at(G, (l_col(b0.reshape(-1)), cols), (32 - sh) / 32)
+                np.add.at(G, (l_col(b1.reshape(-1)), cols), sh / 32)
+            else:
+                ua = use_a.reshape(-1)
+                sh2 = shift2.reshape(-1).astype(np.float64)
+                r0 = np.where(ua, a_col(b0.reshape(-1)),
+                              l_col(c0.reshape(-1)))
+                r1 = np.where(ua, a_col(b1.reshape(-1)),
+                              l_col(c1.reshape(-1)))
+                w0 = np.where(ua, (32 - sh) / 32, (32 - sh2) / 32)
+                w1 = np.where(ua, sh / 32, sh2 / 32)
+                np.add.at(G, (r0, cols), w0)
+                np.add.at(G, (r1, cols), w1)
+            G[bias, :] += 0.5
+        return G
+
+    gemm_pred = os.environ.get("LIBAVIF_TPU_RD_GEMM_PRED", "1") != "0"
+
+    def pred_bank(px, variants, borders_px):
+        """variants: list of (mode, angle|None) -> (V, n, px, px) i32."""
+        blocks, above, left, corner = borders_px
+        n = above.shape[0]
+        outs = [None] * len(variants)
+        Gcols, lin_pos = [], []
+        for i, (m, ang) in enumerate(variants):
+            if m == I.PAETH_PRED or not gemm_pred:
+                outs[i] = predict(m, above, left, corner, px, angle=ang)
+            else:
+                Gcols.append(_linear_G(m, px, ang))
+                lin_pos.append(i)
+        if Gcols:
+            G = jnp.asarray(np.concatenate(Gcols, 1).astype(np.float32))
+            ext1 = jnp.concatenate(
+                [corner[:, None], above, left,
+                 jnp.ones((n, 1), jnp.int32)], axis=1).astype(jnp.float32)
+            p = jnp.dot(ext1, G, precision=Precision.HIGHEST)
+            p = jnp.clip(jnp.floor(p), 0, maxv_i).astype(jnp.int32)
+            p = p.reshape(n, len(Gcols), px, px).transpose(1, 0, 2, 3)
+            for k, i in enumerate(lin_pos):
+                outs[i] = p[k]
+        return jnp.stack(outs)
+
     # 2-D transforms as ONE flat GEMM per call: vec_row(M @ r @ M^T) =
     # vec_row(r) @ kron(M, M)^T. The per-block einsum formulation
     # contracts over K=8..32 (sub-1% MXU utilization); the kron form
@@ -328,8 +433,8 @@ def _compiled(H, W, speed, bd, nplanes_unused=0):
                 blocks, above, left, corner = bordered[px]
                 use_angle = px * px >= 64
                 # stack every mode's residual into ONE satd GEMM
-                preds = jnp.stack(
-                    [predict(m, above, left, corner, px) for m in cand_modes])
+                preds = pred_bank(px, [(m, None) for m in cand_modes],
+                                  bordered[px])
                 res = blocks[None] - preds            # (M, n, px, px)
                 nM = len(cand_modes)
                 cst = satd(res.reshape(-1, px, px), px).reshape(nM, -1)
@@ -345,10 +450,11 @@ def _compiled(H, W, speed, bd, nplanes_unused=0):
                 blocks, above, left, corner = bordered[px]
                 # all (dir mode, angle delta) residuals in one satd GEMM
                 dts = [0] + list(_DIR_DELTAS)
-                preds = jnp.stack(
-                    [predict(m, above, left, corner, px,
-                             angle=I.MODE_TO_ANGLE[m] + 3 * d)
-                     for m in dir_modes for d in dts])
+                preds = pred_bank(
+                    px,
+                    [(m, I.MODE_TO_ANGLE[m] + 3 * d)
+                     for m in dir_modes for d in dts],
+                    bordered[px])
                 res = blocks[None] - preds
                 cst = satd(res.reshape(-1, px, px), px).reshape(
                     len(dir_modes), len(dts), -1)
@@ -360,8 +466,8 @@ def _compiled(H, W, speed, bd, nplanes_unused=0):
                 blocks, above, left, corner = bordered[txs]
                 qs = qs_list[txs_cfg.index(txs)]
                 rq = rq_list[txs_cfg.index(txs)]
-                preds = jnp.stack(
-                    [predict(m, above, left, corner, txs) for m in cand_modes])
+                preds = pred_bank(txs, [(m, None) for m in cand_modes],
+                                  bordered[txs])
                 res = (blocks[None] - preds).reshape(-1, txs, txs)
                 dist, rate = quant_cost(res, txs, qs, rq)
                 nM = len(cand_modes)
