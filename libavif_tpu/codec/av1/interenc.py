@@ -188,6 +188,35 @@ def _ref_block(ref: np.ndarray, y: int, x: int, h: int, w: int) -> np.ndarray:
     return ref[np.ix_(rows, cols)]
 
 
+def _global_mv_candidates(src: np.ndarray, ref: np.ndarray,
+                          max_cands: int = 3) -> list:
+    """Whole-frame translation candidates by phase correlation (the
+    role of libaom's global motion estimation for the common pan case):
+    the cross-power spectrum's top peaks are the dominant shifts, exact
+    even on decorrelated content where a diamond descent from (0,0)
+    lands in arbitrary local minima."""
+    h, w = src.shape
+    a = src.astype(np.float32)
+    b = ref[:h, :w].astype(np.float32)
+    F = np.fft.rfft2(a - a.mean()) * np.conj(np.fft.rfft2(b - b.mean()))
+    F /= np.maximum(np.abs(F), 1e-9)
+    x = np.fft.irfft2(F, s=(h, w))
+    order = np.argsort(x.ravel())[::-1][:8]
+    cands = []
+    for idx in order:
+        dy, dx = divmod(int(idx), w)
+        if dy > h // 2:
+            dy -= h
+        if dx > w // 2:
+            dx -= w
+        mv = (-dy, -dx)  # peak at (d) means src[y] = ref[y - d]
+        if abs(mv[0]) <= h // 2 and abs(mv[1]) <= w // 2 and mv not in cands:
+            cands.append(mv)
+        if len(cands) >= max_cands:
+            break
+    return cands
+
+
 def plan_inter_luma(src_planes, ref_planes, qindex: int, speed: int,
                     ss_x: int = 1, ss_y: int = 1, bd: int = 8) -> dict:
     """Per-16x16-cell motion plan:
@@ -226,6 +255,7 @@ def plan_inter_luma(src_planes, ref_planes, qindex: int, speed: int,
             scan=T.default_scan(min(tw, 32), min(th, 32)),
         )
         return not lv.any()
+    gcands = _global_mv_candidates(src, ref) if speed <= 8 else []
     for by in range(0, h, INTER_BLOCK_PX):
         left_mv = (0, 0)
         for bx in range(0, w, INTER_BLOCK_PX):
@@ -233,6 +263,7 @@ def plan_inter_luma(src_planes, ref_planes, qindex: int, speed: int,
             bw = min(INTER_BLOCK_PX, w - bx)
             blk = src[by : by + bh, bx : bx + bw]
             cands = {(0, 0), left_mv, prev_row_mv.get(bx, (0, 0))}
+            cands.update(gcands)
             best_mv, best = (0, 0), None
             for mv in cands:
                 d = _sad(blk, _ref_block(ref, by + mv[0], bx + mv[1], bh, bw))
@@ -382,6 +413,43 @@ class InterPlanner(RDPlanner):
         self.iplan = iplan
         self._mv_queue: list = []
         self._mode = None
+        self.merge32, self.merge64 = self._skip_merges(hdr, iplan)
+
+    @staticmethod
+    def _skip_merges(hdr, iplan):
+        """Merged-partition sets: a fully-onscreen 2x2 (or 4x4) group of
+        16x16 cells that are ALL inter skip=1 with one shared MV codes
+        as a single 32x32 (64x64) skip block — the reconstruction is
+        identical (skip recon is pure MC and the MV is shared) while the
+        partition/mode/skip syntax is paid once instead of 4/16 times."""
+        merge32: set = set()
+        merge64: set = set()
+        mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
+
+        def cell_ok(r, c, mv):
+            e = iplan.get((r, c))
+            return (e is not None and e[0] and e[3]
+                    and (e[1], e[2]) == mv)
+
+        for r0 in range(0, mi_rows - 7, 8):
+            for c0 in range(0, mi_cols - 7, 8):
+                e0 = iplan.get((r0, c0))
+                if e0 is None or not (e0[0] and e0[3]):
+                    continue
+                mv = (e0[1], e0[2])
+                if all(cell_ok(r0 + dr, c0 + dc, mv)
+                       for dr in (0, 4) for dc in (0, 4)):
+                    merge32.add((r0, c0))
+        for r0 in range(0, mi_rows - 15, 16):
+            for c0 in range(0, mi_cols - 15, 16):
+                if all((r0 + dr, c0 + dc) in merge32
+                       for dr in (0, 8) for dc in (0, 8)):
+                    e0 = iplan[(r0, c0)]
+                    mv = (e0[1], e0[2])
+                    if all(cell_ok(r0 + dr, c0 + dc, mv)
+                           for dr in range(0, 16, 4) for dc in range(0, 16, 4)):
+                        merge64.add((r0, c0))
+        return merge32, merge64
 
     # mv helpers -------------------------------------------------------
 
@@ -420,7 +488,14 @@ class InterPlanner(RDPlanner):
     def next_symbol(self, n, what=None):
         if isinstance(what, tuple) and what[0] == "partition":
             px = B.BLOCK_DIMS[what[1]][0]
-            return 3 if px > INTER_BLOCK_PX else 0
+            if px > INTER_BLOCK_PX:
+                pos = getattr(self.dec, "part_pos", None)
+                if px == 64 and pos in self.merge64:
+                    return 0
+                if px == 32 and pos in self.merge32:
+                    return 0
+                return 3
+            return 0
         if what == "is_inter":
             return 1 if self._cell()[0] else 0
         if what == "skip":
