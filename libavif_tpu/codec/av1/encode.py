@@ -190,6 +190,8 @@ class LosslessPlanner:
         self.sources = sources  # per-plane np arrays (frame dims)
         self.script = []
         self.pos = 0
+        self.lr_plan = None  # {(plane, ur, uc): (vtaps, htaps)} pass-2
+        self._lr_bits: list = []
 
     # -- decisions ---------------------------------------------------
 
@@ -275,9 +277,27 @@ class LosslessPlanner:
         if what == "coef":
             v = self._pop("sym")
             return 0 if v is None else v
+        if what == "lr":
+            # restoration unit decision (§5.11.57; SWITCHABLE sym 1 =
+            # WIENER). Pass 1 codes everything RESTORE_NONE; pass 2
+            # answers the searched plan and queues the tap bits.
+            if self.lr_plan:
+                taps = self.lr_plan.get(self.dec.cur_lr_unit)
+                if taps is not None:
+                    from .restoration import wiener_unit_bits
+
+                    plane = self.dec.cur_lr_unit[0]
+                    # symbolize against a COPY: the mirror decoder
+                    # advances its own refs as it consumes these bits
+                    refs = [list(r) for r in self.dec.ref_lr_wiener[plane]]
+                    self._lr_bits += wiener_unit_bits(plane, refs, taps)
+                    return 1
+            return 0
         return 0  # DC / NONE / no-skip policy for every mode-level element
 
     def next_bit(self):
+        if self._lr_bits:
+            return self._lr_bits.pop(0)
         v = self._pop("bit")
         return 0 if v is None else v
 
@@ -1461,33 +1481,40 @@ def _encode_still(
     from .restoration import read_lr, reset_lr_refs, setup_lr
 
     setup_lr(dec)
-    tile_payloads = []
-    for tr in range(ti.rows):
-        for tc in range(ti.cols):
-            dec.mi_col0 = ti.col_starts[tc] * dec.sb_mi
-            dec.mi_col1 = min(ti.col_starts[tc + 1] * dec.sb_mi, hdr.mi_cols)
-            dec.mi_row0 = ti.row_starts[tr] * dec.sb_mi
-            dec.mi_row1 = min(ti.row_starts[tr + 1] * dec.sb_mi, hdr.mi_rows)
-            dec.ctx.reset_tile_lines()
-            dec.cdf = dec.frame_cdf_init.copy()
-            dec.current_qindex = hdr.quant.base_q_idx
-            dec.delta_lf = [0, 0, 0, 0]
-            dec.read_deltas = False
-            enc = _make_tile_encoder()
-            planner.native_txb = (
-                isinstance(enc, NativeMsacEncoder)
-                and isinstance(planner, LossyPlanner)
-            )
-            dec.dec = MirrorCoder(enc, planner)
-            reset_lr_refs(dec)
-            if not _enc_tile_native(dec, planner, enc):
-                for r in range(dec.mi_row0, dec.mi_row1, dec.sb_mi):
-                    for c in range(dec.mi_col0, dec.mi_col1, dec.sb_mi):
-                        dec._clear_block_decoded(r, c)
-                        read_lr(dec, r, c)
-                        dec._decode_partition(r, c, B.block_size(dec.sb_px, dec.sb_px))
-                assert planner.pos == len(planner.script), "unconsumed txb script"
-            tile_payloads.append(enc.finish(strip=False))
+
+    def run_walk():
+        payloads = []
+        for tr in range(ti.rows):
+            for tc in range(ti.cols):
+                dec.mi_col0 = ti.col_starts[tc] * dec.sb_mi
+                dec.mi_col1 = min(ti.col_starts[tc + 1] * dec.sb_mi, hdr.mi_cols)
+                dec.mi_row0 = ti.row_starts[tr] * dec.sb_mi
+                dec.mi_row1 = min(ti.row_starts[tr + 1] * dec.sb_mi, hdr.mi_rows)
+                dec.ctx.reset_tile_lines()
+                dec.cdf = dec.frame_cdf_init.copy()
+                dec.current_qindex = hdr.quant.base_q_idx
+                dec.delta_lf = [0, 0, 0, 0]
+                dec.read_deltas = False
+                enc = _make_tile_encoder()
+                planner.native_txb = (
+                    isinstance(enc, NativeMsacEncoder)
+                    and isinstance(planner, LossyPlanner)
+                )
+                dec.dec = MirrorCoder(enc, planner)
+                reset_lr_refs(dec)
+                if not _enc_tile_native(dec, planner, enc):
+                    for r in range(dec.mi_row0, dec.mi_row1, dec.sb_mi):
+                        for c in range(dec.mi_col0, dec.mi_col1, dec.sb_mi):
+                            dec._clear_block_decoded(r, c)
+                            read_lr(dec, r, c)
+                            dec._decode_partition(
+                                r, c, B.block_size(dec.sb_px, dec.sb_px))
+                    assert planner.pos == len(planner.script), \
+                        "unconsumed txb script"
+                payloads.append(enc.finish(strip=False))
+        return payloads
+
+    tile_payloads = run_walk()
     lf_levels = (0, 0, 0)
     if enable_deblock and base_q_idx > 0:
         # deblock level pick + apply BEFORE the CDEF search: a decoder
@@ -1521,6 +1548,36 @@ def _encode_still(
         from .cdef import apply_cdef
 
         apply_cdef(dec)  # last_recon must be the true decoder output
+
+    if enable_lr and base_q_idx > 0 and not use_superres:
+        # Wiener restoration (two-pass mirror): search taps on the
+        # filtered pass-1 reconstruction, then replay the WHOLE tile
+        # walk with the planner answering the chosen per-unit syntax —
+        # block symbols are identical (the plan is deterministic), so
+        # only the read_lr answers change. Finally re-run the in-loop
+        # filters and apply restoration so last_recon is the true
+        # decoder output (§7.17 runs on the upscale-free still path).
+        from .restoration import apply_loop_restoration, search_wiener_plan
+
+        lam_sse = getattr(planner, "lam_sse", None)
+        if lam_sse is None:
+            from .rdsearch import _LAM_RD_C
+            from .tables import ac_q
+
+            step16 = float(ac_q(base_q_idx, bit_depth)) * _inverse_gain(16, 16)
+            lam_sse = _LAM_RD_C * step16 * step16
+        lr_plan = search_wiener_plan(dec, srcs, float(lam_sse))
+        if lr_plan:
+            planner.lr_plan = lr_plan
+            tile_payloads = run_walk()
+            from .cdef import apply_cdef
+            from .loopfilter import loop_filter_frame
+
+            if any(lf_levels):
+                loop_filter_frame(dec)
+            pre_cdef = [p.copy() for p in dec.planes]
+            apply_cdef(dec)
+            apply_loop_restoration(dec, pre_cdef)
 
     if len(tile_payloads) == 1:
         tile_data = tile_payloads[0]

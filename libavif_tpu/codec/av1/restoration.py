@@ -147,6 +147,7 @@ def read_lr(dec, r: int, c: int) -> None:
 def _read_lr_unit(dec, plane: int, ur: int, uc: int) -> None:
     hdr = dec.hdr
     cdf = dec.cdf
+    dec.cur_lr_unit = (plane, ur, uc)  # encoder-planner hook
     frt = hdr.lr.frame_restoration_type[plane]
     if frt == 2:  # WIENER
         use = dec.dec.decode_symbol(
@@ -431,3 +432,182 @@ def apply_loop_restoration(dec, pre_cdef=None) -> None:
                     )
                 x0 = x1
             stripe += 1
+
+
+# ------------------------------------------------- encoder-side search
+# The spec encoder mirrors the decoder, so choosing restoration is:
+# search taps against the source, then answer read_lr's symbols. The
+# helpers below are the exact bit-level inverses of the readers above.
+
+
+def _recenter(r: int, t: int) -> int:
+    """Inverse of _inverse_recenter."""
+    if t > 2 * r:
+        return t
+    if t >= r:
+        return 2 * (t - r)
+    return 2 * (r - t) - 1
+
+
+def _ns_bits(n: int, x: int) -> list:
+    """Inverse of _read_ns_bool: the raw bits the decoder consumes."""
+    w = n.bit_length()
+    m = (1 << w) - n
+    if w <= 1:
+        return []
+    if x < m:
+        return [(x >> (w - 2 - j)) & 1 for j in range(w - 1)]
+    v = (x + m) >> 1
+    return [(v >> (w - 2 - j)) & 1 for j in range(w - 1)] + [(x + m) & 1]
+
+
+def _subexp_bits(num_syms: int, k: int, v: int) -> list:
+    """Inverse of _decode_subexp_bool."""
+    bits: list = []
+    i = 0
+    mk = 0
+    while True:
+        b2 = k + i - 1 if i else k
+        a = 1 << b2
+        if num_syms <= mk + 3 * a:
+            return bits + _ns_bits(num_syms - mk, v - mk)
+        if v >= mk + a:
+            bits.append(1)
+            i += 1
+            mk += a
+        else:
+            bits.append(0)
+            d = v - mk
+            return bits + [(d >> (b2 - 1 - j)) & 1 for j in range(b2)]
+
+
+def signed_subexp_bits(low: int, high: int, k: int, ref: int, value: int) -> list:
+    """Inverse of _decode_signed_subexp_with_ref."""
+    mx = high - low
+    r = ref - low
+    t = value - low
+    if (r << 1) <= mx:
+        v = _recenter(r, t)
+    else:
+        v = _recenter(mx - 1 - r, mx - 1 - t)
+    return _subexp_bits(mx, k, v)
+
+
+def wiener_unit_bits(plane: int, refs, taps_vh) -> list:
+    """Raw bits for one Wiener unit's taps (both directions), updating
+    `refs` (the simulated dec.ref_lr_wiener[plane] rows) in place —
+    matches _read_lr_unit's read order: p=0 vertical, p=1 horizontal,
+    taps j in 1..2 for chroma (j0 forced 0) else 0..2."""
+    bits: list = []
+    for p in range(2):
+        first = 1 if plane else 0
+        for j in range(first, 3):
+            v = int(taps_vh[p][j])
+            bits += signed_subexp_bits(
+                WIENER_TAPS_MIN[j], WIENER_TAPS_MAX[j] + 1,
+                WIENER_TAPS_K[j], refs[p][j], v)
+            refs[p][j] = v
+    return bits
+
+
+def _sep_filter(R: np.ndarray, taps, axis: int) -> np.ndarray:
+    """Float separable half of the Wiener filter with clamped edges:
+    out = R + sum_j f_j (R[-d]+R[+d]-2R)/128, d = 3-j (search-side
+    approximation of the integer stripe filter)."""
+    out = R.copy()
+    for j in range(3):
+        d = 3 - j
+        if taps[j] == 0:
+            continue
+        up = np.roll(R, d, axis=axis)
+        dn = np.roll(R, -d, axis=axis)
+        if axis == 0:
+            for e in range(d):
+                up[e] = R[0]
+                dn[-1 - e] = R[-1]
+        else:
+            for e in range(d):
+                up[:, e] = R[:, 0]
+                dn[:, -1 - e] = R[:, -1]
+        out += taps[j] * (up + dn - 2 * R) / 128.0
+    return out
+
+
+def _solve_taps(T: np.ndarray, V: np.ndarray, axis: int) -> np.ndarray:
+    """Least-squares 3 free symmetric taps for one direction: minimize
+    ||T - sum_j f_j A_j|| with A_j = (V[-d]+V[+d]-2V)/128."""
+    cols = []
+    for j in range(3):
+        d = 3 - j
+        up = np.roll(V, d, axis=axis)
+        dn = np.roll(V, -d, axis=axis)
+        if axis == 0:
+            for e in range(d):
+                up[e] = V[0]
+                dn[-1 - e] = V[-1]
+        else:
+            for e in range(d):
+                up[:, e] = V[:, 0]
+                dn[:, -1 - e] = V[:, -1]
+        cols.append(((up + dn - 2 * V) / 128.0).ravel())
+    A = np.stack(cols, axis=1)
+    g = A.T @ A + 1e-6 * np.eye(3)
+    b = A.T @ T.ravel()
+    try:
+        f = np.linalg.solve(g, b)
+    except np.linalg.LinAlgError:
+        return np.zeros(3)
+    return np.clip(np.round(f), WIENER_TAPS_MIN, WIENER_TAPS_MAX)
+
+
+def search_wiener_plan(dec, srcs, lam_sse: float) -> dict:
+    """Per-unit separable Wiener search against the source on the
+    post-CDEF reconstruction. Returns {(plane, ur, uc): ((v0,v1,v2),
+    (h0,h1,h2))} for units where the RD gain beats RESTORE_NONE. The
+    filter model here is a float edge-clamped approximation — selection
+    only; the shipped reconstruction replays through the real decoder
+    filter (§7.17), so conformance never depends on this estimate."""
+    hdr = dec.hdr
+    plan: dict = {}
+    for plane in range(dec.n_planes):
+        if hdr.lr.frame_restoration_type[plane] == RESTORE_NONE:
+            continue
+        usize = hdr.lr.unit_size[plane]
+        ph, pw = dec.ph[plane], dec.pw[plane]
+        R = dec.planes[plane][:ph, :pw].astype(np.float64)
+        S = np.asarray(srcs[plane], dtype=np.float64)[:ph, :pw]
+        unit_rows, unit_cols = dec.lr_type[plane].shape
+        refs = [list(WIENER_TAPS_MID) for _ in range(2)]
+        for ur in range(unit_rows):
+            y0 = ur * usize
+            y1 = ph if ur == unit_rows - 1 else min(ph, y0 + usize)
+            for uc in range(unit_cols):
+                x0 = uc * usize
+                x1 = pw if uc == unit_cols - 1 else min(pw, x0 + usize)
+                if y1 <= y0 or x1 <= x0:
+                    continue
+                r = R[y0:y1, x0:x1]
+                s = S[y0:y1, x0:x1]
+                sse_none = float(((s - r) ** 2).sum())
+                fv = np.zeros(3)
+                fh = np.zeros(3)
+                for _ in range(2):
+                    V = _sep_filter(r, fv, 0)
+                    fh = _solve_taps(s - V, V, 1)
+                    Hf = _sep_filter(r, fh, 1)
+                    fv = _solve_taps(s - Hf, Hf, 0)
+                if plane:
+                    fv[0] = fh[0] = 0  # chroma: 5-tap (j0 forced 0)
+                out = _sep_filter(_sep_filter(r, fv, 0), fh, 1)
+                sse_w = float(((s - np.clip(np.round(out), 0,
+                                            (1 << dec.bd) - 1)) ** 2).sum())
+                taps = (tuple(int(x) for x in fv), tuple(int(x) for x in fh))
+                sim = [list(row) for row in refs]
+                nbits = 2 + len(wiener_unit_bits(plane, sim, taps))
+                if sse_none - sse_w > lam_sse * nbits and any(
+                        t for row in taps for t in row):
+                    plan[(plane, ur, uc)] = taps
+                    refs = sim
+        # refs reset per tile on the decode side (reset_lr_refs); the
+        # single-tile spec encoder matches (multi-tile resets per tile)
+    return plan

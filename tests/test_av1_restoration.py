@@ -43,3 +43,40 @@ def test_decode_wiener_restoration_bit_exact(w, h, seed, quality):
     assert any(t == 2 for t in hdr.lr.frame_restoration_type), "expected wiener LR"
     for ours, want in zip(out, ref.planes):
         assert np.array_equal(ours.astype(np.uint8), want)
+
+
+def test_encoder_wiener_restoration_conformant(monkeypatch):
+    """Encoder-side Wiener search (two-pass mirror encode): force unit
+    selection with a tiny lambda and check the stream decodes bit-exact
+    in dav1d AND libaom (subexp tap symbolization + read_lr replay)."""
+    import numpy as np
+
+    from libavif_tpu.codec.av1 import encode as E
+    from libavif_tpu.codec.av1 import restoration as R
+    from libavif_tpu.codec.av1.stream import StreamDecoder
+    from libavif_tpu.interop import dav1d_oracle
+    from libavif_tpu.interop import aom_oracle
+
+    orig = R.search_wiener_plan
+    monkeypatch.setattr(
+        E, "encode_lossy_still", E.encode_lossy_still)  # anchor module
+    monkeypatch.setattr(
+        R, "search_wiener_plan", lambda dec, srcs, lam: orig(dec, srcs, 0.01))
+
+    rng = np.random.RandomState(2)
+    y = (rng.rand(96, 128) * 255).astype(np.uint8)
+    u = (rng.rand(48, 64) * 255).astype(np.uint8)
+    v = (rng.rand(48, 64) * 255).astype(np.uint8)
+    data = E.encode_lossy_still([y, u, v], 150, speed=7, enable_lr=True)
+    ours = StreamDecoder().decode_obus(data)[0][0]
+    dav = dav1d_oracle.decode_obus([data])[0]
+    n_wiener = 0
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(ours[i], np.int64), np.asarray(dav.planes[i], np.int64))
+    if aom_oracle.available():
+        aomp = aom_oracle.decode_raw(data)
+        assert aomp is not None, "libaom rejected the LR stream"
+        for i in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(ours[i], np.int64), np.asarray(aomp[i], np.int64))
