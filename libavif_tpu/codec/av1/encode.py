@@ -850,6 +850,8 @@ class RDPlanner(LossyPlanner):
             # (8px blocks: 2 symbols; floor is the 4x4 transform)
             dmax = 1 if px <= 8 else 2
             return min(int(d or 0), dmax)
+        if what == "lr":
+            return LosslessPlanner.next_symbol(self, n, what)
         return 0
 
 

@@ -68,9 +68,22 @@ def test_encoder_wiener_restoration_conformant(monkeypatch):
     u = (rng.rand(48, 64) * 255).astype(np.uint8)
     v = (rng.rand(48, 64) * 255).astype(np.uint8)
     data = E.encode_lossy_still([y, u, v], 150, speed=7, enable_lr=True)
-    ours = StreamDecoder().decode_obus(data)[0][0]
-    dav = dav1d_oracle.decode_obus([data])[0]
+    # count wiener units actually coded (guards against the planner
+    # silently answering RESTORE_NONE)
     n_wiener = 0
+    orig_unit = R._read_lr_unit
+
+    def spy(dec, plane, ur, uc):
+        nonlocal n_wiener
+        orig_unit(dec, plane, ur, uc)
+        if int(dec.lr_type[plane][ur, uc]) == 2:
+            n_wiener += 1
+
+    monkeypatch.setattr(R, "_read_lr_unit", spy)
+    ours = StreamDecoder().decode_obus(data)[0][0]
+    monkeypatch.setattr(R, "_read_lr_unit", orig_unit)
+    assert n_wiener > 0, "no Wiener unit coded"
+    dav = dav1d_oracle.decode_obus([data])[0]
     for i in range(3):
         np.testing.assert_array_equal(
             np.asarray(ours[i], np.int64), np.asarray(dav.planes[i], np.int64))
