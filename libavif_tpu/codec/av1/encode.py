@@ -192,6 +192,7 @@ class LosslessPlanner:
         self.pos = 0
         self.lr_plan = None  # {(plane, ur, uc): (vtaps, htaps)} pass-2
         self._lr_bits: list = []
+        self._pal = None  # staged palette block (r,c)/bits/syms
 
     # -- decisions ---------------------------------------------------
 
@@ -272,6 +273,113 @@ class LosslessPlanner:
             self.pos += 1
             return v
         return None
+
+    # ---- palette (encoder side; mirrors decode.py §5.11.43-46) -------
+
+    def _palette_try(self, r, c, bsize) -> bool:
+        """Decide palette for the block whose y_mode is being asked;
+        stages the use/size answers, color-coding raw bits (§5.11.44
+        cache + literal/delta syntax, exact bit-level inverse of
+        _read_palette_colors_y) and the §5.11.46 token symbols. Chosen
+        only for exact palettizations (<= 8 distinct values), so the
+        residual quantizes to zero and screen content codes losslessly
+        at a fraction of the transform rate."""
+        from . import blocks as B
+
+        d = self.dec
+        hdr = self.hdr
+        if not hdr.allow_screen_content_tools:
+            return False
+        wpx, hpx = B.BLOCK_DIMS[bsize]
+        if wpx * hpx < 64 or wpx > 64 or hpx > 64:
+            return False
+        src = self.sources[0]
+        ph, pw = src.shape
+        y0, x0 = r * 4, c * 4
+        if y0 >= ph or x0 >= pw:
+            return False
+        blk = src[y0:min(y0 + hpx, ph), x0:min(x0 + wpx, pw)]
+        colors = np.unique(blk)
+        npal = len(colors)
+        if npal < 2 or npal > 8:
+            return False
+        tmap = np.searchsorted(colors, blk).astype(np.uint8)
+        bits = self._palette_color_bits(r, c, [int(v) for v in colors])
+        m00_bits, syms = self._palette_token_syms(
+            r, c, wpx, hpx, npal, tmap)
+        self._pal = dict(rc=(r, c), n=npal, bits=bits + m00_bits, syms=syms)
+        return True
+
+    def _palette_color_bits(self, r, c, colors) -> list:
+        d = self.dec
+        bd = d.bd
+        n = len(colors)
+        tset = set(colors)
+        cache = d._palette_cache(r, c, 0)
+        bits: list = []
+        cached: list = []
+        for col in cache:
+            if len(cached) >= n:
+                break
+            use = col in tset and col not in cached
+            bits.append(1 if use else 0)
+            if use:
+                cached.append(col)
+        if len(cached) >= n:
+            return bits
+        fresh = sorted(tset - set(cached))
+        f0 = fresh[0]
+        bits += [(f0 >> (bd - 1 - i)) & 1 for i in range(bd)]
+        if len(cached) + len(fresh) < n:
+            raise AssertionError("palette symbolization short")
+        if len(cached) + 1 < n:
+            from .decode import _ceil_log2
+
+            seq = None
+            for X in range(4):
+                nb = bd - 3 + X
+                val, rng = f0, (1 << bd) - f0 - 1
+                out: list = []
+                ok = True
+                for nv in fresh[1:]:
+                    delta = nv - val
+                    if delta - 1 >= (1 << nb):
+                        ok = False
+                        break
+                    out += [((delta - 1) >> (nb - 1 - i)) & 1
+                            for i in range(nb)]
+                    rng -= nv - val
+                    val = nv
+                    nb = min(nb, _ceil_log2(rng))
+                if ok:
+                    seq = [(X >> 1) & 1, X & 1] + out
+                    break
+            assert seq is not None
+            bits += seq
+        return bits
+
+    def _palette_token_syms(self, r, c, wpx, hpx, n, tmap):
+        """(m00 ns-bits, anti-diagonal order-mapped symbols) for the
+        luma index map; replays _palette_color_context over our own map
+        (the decoder's partial map always equals our prefix)."""
+        from .decode import _palette_color_context
+        from .restoration import _ns_bits
+
+        hdr = self.hdr
+        on_w = min(wpx, (hdr.mi_cols - c) * 4)
+        on_h = min(hpx, (hdr.mi_rows - r) * 4)
+        m = np.zeros((hpx, wpx), dtype=np.uint8)
+        m00 = int(tmap[0, 0])
+        m[0, 0] = m00
+        syms: list = []
+        for k in range(1, on_h + on_w - 1):
+            for j in range(min(k, on_w - 1), max(0, k - on_h + 1) - 1, -1):
+                i = k - j
+                order, _ = _palette_color_context(m, i, j, n)
+                t = int(tmap[i, j])
+                syms.append(order.index(t))
+                m[i, j] = t
+        return _ns_bits(n, m00), syms
 
     def next_symbol(self, n, what=None):
         if what == "coef":
@@ -806,9 +914,21 @@ class RDPlanner(LossyPlanner):
             return 1  # split at truncated edges
         if what == "y_mode":
             r, c, bsize = self.dec.block_pos
+            if self._palette_try(r, c, bsize):
+                return 0  # DC_PRED carries the palette (§5.11.42)
             px = B.BLOCK_DIMS[bsize][0]
             v = self.plan.y_mode.get((r, c, px))
             return v if v is not None else self._mode_at(r, c)
+        if what == "pal_y":
+            pal = getattr(self, "_pal", None)
+            if pal is None or pal["rc"] != self.dec.block_pos[:2]:
+                return 0
+            if n == 2:  # use_palette_y
+                self._lr_bits += pal["bits"]
+                return 1
+            return pal["n"] - 2  # size symbol
+        if what == "pal_idx":
+            return self._pal["syms"].pop(0)
         if what == "angle_y":
             r, c, bsize = self.dec.block_pos
             px = max(B.BLOCK_DIMS[bsize])
@@ -916,6 +1036,8 @@ def _enc_tile_native(dec, planner, enc) -> bool:
         return False
     if any(t != 0 for t in hdr.lr.frame_restoration_type[: dec.n_planes]):
         return False
+    if hdr.allow_screen_content_tools:
+        return False  # the Python planner may choose palette blocks
     lib = _fused_lib()
     if lib is None or not hasattr(lib, "avt_spec_tile_enc_walk"):
         return False

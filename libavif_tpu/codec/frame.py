@@ -475,6 +475,25 @@ def _spec_qindex(params: FrameParams) -> int:
     return qindex
 
 
+def _looks_like_screen_content(y: np.ndarray) -> bool:
+    """Screen-content detector (role of aom's is_screen_content behind
+    av1_set_screen_content_options): sample 16x16 blocks; when at least
+    half have <= 8 distinct values, enable screen tools so the planner
+    can code palette blocks (codec/av1/encode.py _palette_try)."""
+    h, w = y.shape
+    if h < 32 or w < 32:
+        return False
+    ys = (h - 16) // 16 * 16
+    xs = (w - 16) // 16 * 16
+    b = np.asarray(y[:ys + 16, :xs + 16])
+    t = b[: ys + 16 - (ys + 16) % 16, : xs + 16 - (xs + 16) % 16]
+    bh, bw = t.shape[0] // 16, t.shape[1] // 16
+    blocks = t.reshape(bh, 16, bw, 16).transpose(0, 2, 1, 3).reshape(-1, 256)
+    s = np.sort(blocks, axis=1)
+    ncolors = 1 + (s[:, 1:] != s[:, :-1]).sum(axis=1)
+    return float((ncolors <= 8).mean()) >= 0.5
+
+
 def _encode_frame_spec_lossy(
     image: Image, params: FrameParams, dev_handle=None
 ) -> tuple[bytes, SequenceHeader]:
@@ -489,10 +508,12 @@ def _encode_frame_spec_lossy(
     # codec_aom.c): post-encode strength search, skipped only at the
     # realtime speeds where the reference also trades quality for speed
     cdef_on = params.cdef is not False and params.speed <= 8
+    scc = params.speed <= 8 and _looks_like_screen_content(planes[0])
     payload = encode_lossy_still(
         planes, qindex, speed=params.speed,
         enable_cdef=cdef_on, cdef_search=cdef_on,
         enable_deblock=params.deblock is not False,
+        allow_scc=scc,
         tile_cols_log2=tcl,
         tile_rows_log2=trl,
         monochrome=info.monochrome,

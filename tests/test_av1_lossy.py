@@ -434,3 +434,53 @@ def test_encode_cfl_dav1d_bit_exact():
 
     assert (sse(out[1], u) + sse(out[2], v)
             ) < (sse(pout[1], u) + sse(pout[2], v))
+
+
+def test_palette_encode_screen_content():
+    """Spec encoder palette blocks (§5.11.43-46 mirror): screen-like
+    content with <= 8 colors per block codes via palette — losslessly
+    where palettization is exact — and decodes bit-exact in dav1d (and
+    libaom when present)."""
+    import numpy as np
+
+    from libavif_tpu.codec.av1.encode import encode_lossy_still
+    from libavif_tpu.codec.av1.stream import StreamDecoder
+    from libavif_tpu.interop import dav1d_oracle
+
+    rng = np.random.RandomState(4)
+    y = np.full((128, 192), 235, np.uint8)
+    for _ in range(40):
+        r0, c0 = rng.randint(0, 120), rng.randint(0, 180)
+        y[r0:r0 + 2, c0:c0 + rng.randint(4, 12)] = 16
+    y[64:96, 32:96] = 128
+    u = np.full((64, 96), 128, np.uint8)
+    v = np.full((64, 96), 128, np.uint8)
+    plain = encode_lossy_still([y, u, v], 100, speed=6, allow_scc=False)
+    data = encode_lossy_still([y, u, v], 100, speed=6, allow_scc=True)
+    assert len(data) < len(plain) * 0.75, (len(data), len(plain))
+    rec = StreamDecoder().decode_obus(data)[0][0]
+    np.testing.assert_array_equal(np.asarray(rec[0], np.uint8), y)
+    dav = dav1d_oracle.decode_obus([data])[0]
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(rec[i], np.int64), np.asarray(dav.planes[i], np.int64))
+    from libavif_tpu.interop import aom_oracle
+    if aom_oracle.available():
+        aomp = aom_oracle.decode_raw(data)
+        assert aomp is not None
+        for i in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(rec[i], np.int64), np.asarray(aomp[i], np.int64))
+
+
+def test_screen_content_detector():
+    import numpy as np
+
+    from libavif_tpu.codec.frame import _looks_like_screen_content
+
+    flat = np.full((128, 128), 200, np.uint8)
+    flat[10:20, 10:80] = 30
+    assert _looks_like_screen_content(flat)
+    rng = np.random.RandomState(0)
+    photo = (rng.rand(128, 128) * 255).astype(np.uint8)
+    assert not _looks_like_screen_content(photo)
