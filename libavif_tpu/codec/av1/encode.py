@@ -298,7 +298,14 @@ class LosslessPlanner:
         y0, x0 = r * 4, c * 4
         if y0 >= ph or x0 >= pw:
             return False
-        blk = src[y0:min(y0 + hpx, ph), x0:min(x0 + wpx, pw)]
+        # token extent follows the mi geometry (§5.11.46 onscreen rows
+        # round up to 4px past the visible plane); clamp-replicate like
+        # begin_txb so those coded-but-invisible pixels palettize too
+        on_h = min(hpx, (hdr.mi_rows - r) * 4)
+        on_w = min(wpx, (hdr.mi_cols - c) * 4)
+        rows = np.minimum(np.arange(y0, y0 + on_h), ph - 1)
+        cols = np.minimum(np.arange(x0, x0 + on_w), pw - 1)
+        blk = src[np.ix_(rows, cols)]
         colors = np.unique(blk)
         npal = len(colors)
         if npal < 2 or npal > 8:

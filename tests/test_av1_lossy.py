@@ -484,3 +484,31 @@ def test_screen_content_detector():
     rng = np.random.RandomState(0)
     photo = (rng.rand(128, 128) * 255).astype(np.uint8)
     assert not _looks_like_screen_content(photo)
+
+
+def test_palette_encode_edge_blocks_fuzz():
+    """Palette blocks clipped at frame edges (mi extent rounds past the
+    visible plane) symbolize the full §5.11.46 token extent."""
+    import numpy as np
+
+    from libavif_tpu.codec.av1.encode import encode_lossy_still
+    from libavif_tpu.codec.av1.stream import StreamDecoder
+    from libavif_tpu.interop import dav1d_oracle
+
+    for seed in (1, 5, 9):
+        rng = np.random.RandomState(seed)
+        w = int(rng.choice([100, 129, 192]))
+        h = int(rng.choice([90, 131]))
+        ncol = rng.randint(2, 9)
+        pal = rng.choice(256, ncol, replace=False).astype(np.uint8)
+        y = pal[rng.randint(0, ncol, (h, w))]
+        y[: h // 2, : w // 2] = pal[0]
+        u = np.full(((h + 1) // 2, (w + 1) // 2), 110, np.uint8)
+        v = np.full(((h + 1) // 2, (w + 1) // 2), 150, np.uint8)
+        d = encode_lossy_still([y, u, v], 100, speed=6, allow_scc=True)
+        rec = StreamDecoder().decode_obus(d)[0][0]
+        dav = dav1d_oracle.decode_obus([d])[0]
+        for i in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(rec[i], np.int64),
+                np.asarray(dav.planes[i], np.int64))
