@@ -192,7 +192,9 @@ class LosslessPlanner:
         self.pos = 0
         self.lr_plan = None  # {(plane, ur, uc): (vtaps, htaps)} pass-2
         self._lr_bits: list = []
-        self._pal = None  # staged palette block (r,c)/bits/syms
+        self._pal = None  # staged luma palette (r,c)/n/bits
+        self._pal_uv = None  # staged chroma palette (r,c)/n/bits
+        self._pal_syms: list = []  # shared §5.11.46 token queue (y then uv)
 
     # -- decisions ---------------------------------------------------
 
@@ -314,7 +316,9 @@ class LosslessPlanner:
         bits = self._palette_color_bits(r, c, [int(v) for v in colors])
         m00_bits, syms = self._palette_token_syms(
             r, c, wpx, hpx, npal, tmap)
-        self._pal = dict(rc=(r, c), n=npal, bits=bits + m00_bits, syms=syms)
+        self._pal = dict(rc=(r, c), n=npal, bits=bits + m00_bits)
+        self._pal_syms += syms
+        self._palette_uv_try(r, c, bsize)
         return True
 
     def _palette_color_bits(self, r, c, colors) -> list:
@@ -366,16 +370,20 @@ class LosslessPlanner:
         return bits
 
     def _palette_token_syms(self, r, c, wpx, hpx, n, tmap):
-        """(m00 ns-bits, anti-diagonal order-mapped symbols) for the
-        luma index map; replays _palette_color_context over our own map
-        (the decoder's partial map always equals our prefix)."""
-        from .decode import _palette_color_context
-        from .restoration import _ns_bits
-
         hdr = self.hdr
         on_w = min(wpx, (hdr.mi_cols - c) * 4)
         on_h = min(hpx, (hdr.mi_rows - r) * 4)
-        m = np.zeros((hpx, wpx), dtype=np.uint8)
+        return self._pal_tokens(wpx, hpx, on_w, on_h, n, tmap)
+
+    @staticmethod
+    def _pal_tokens(bw, bh, on_w, on_h, n, tmap):
+        """(m00 ns-bits, anti-diagonal order-mapped symbols) for one
+        index map; replays _palette_color_context over our own map (the
+        decoder's partial map always equals our prefix)."""
+        from .decode import _palette_color_context
+        from .restoration import _ns_bits
+
+        m = np.zeros((bh, bw), dtype=np.uint8)
         m00 = int(tmap[0, 0])
         m[0, 0] = m00
         syms: list = []
@@ -387,6 +395,81 @@ class LosslessPlanner:
                 syms.append(order.index(t))
                 m[i, j] = t
         return _ns_bits(n, m00), syms
+
+    def _palette_uv_try(self, r, c, bsize) -> None:
+        """Chroma palette for a luma-palette block: the uv map indexes
+        (U, V) PAIRS sorted by (u, v) — U codes like Y but with 0-deltas
+        allowed (duplicate U for distinct V), V via the raw-literal path.
+        Skipped when chroma dims are sub-4 (§5.11.43 widening) or the
+        pair count leaves the 2..8 range."""
+        from . import blocks as B
+
+        d = self.dec
+        hdr = self.hdr
+        if d.n_planes < 3:
+            return
+        wpx, hpx = B.BLOCK_DIMS[bsize]
+        sx, sy = d.ss_x, d.ss_y
+        if (wpx >> sx) < 4 or (hpx >> sy) < 4:
+            return
+        srcu = self.sources[1]
+        srcv = self.sources[2]
+        ph, pw = srcu.shape
+        cy, cx = (r * 4) >> sy, (c * 4) >> sx
+        if cy >= ph or cx >= pw:
+            return
+        on_h = min(hpx, (hdr.mi_rows - r) * 4) >> sy
+        on_w = min(wpx, (hdr.mi_cols - c) * 4) >> sx
+        rows = np.minimum(np.arange(cy, cy + on_h), ph - 1)
+        cols = np.minimum(np.arange(cx, cx + on_w), pw - 1)
+        bu = srcu[np.ix_(rows, cols)].astype(np.int64)
+        bv = srcv[np.ix_(rows, cols)].astype(np.int64)
+        packed = (bu << 16) | bv
+        pairs = np.unique(packed)
+        npal = len(pairs)
+        if npal < 2 or npal > 8:
+            return
+        tmap = np.searchsorted(pairs, packed).astype(np.uint8)
+        pu = [int(p >> 16) for p in pairs]
+        pv = [int(p & 0xFFFF) for p in pairs]
+        bd = d.bd
+        from .decode import _ceil_log2
+
+        # U colors: skip the whole cache (a 0 bit per entry keeps the
+        # merged order equal to our pair order), then literal + deltas
+        # (U deltas have no +1 — duplicate U values carry distinct V)
+        bits: list = [0] * len(d._palette_cache(r, c, 1))
+        f0 = pu[0]
+        bits += [(f0 >> (bd - 1 - i)) & 1 for i in range(bd)]
+        if npal > 1:
+            seq = None
+            for X in range(4):
+                nb = bd - 3 + X
+                val, rng = f0, (1 << bd) - f0
+                out: list = []
+                ok = True
+                for nv in pu[1:]:
+                    delta = nv - val
+                    if delta >= (1 << nb):
+                        ok = False
+                        break
+                    out += [(delta >> (nb - 1 - i)) & 1 for i in range(nb)]
+                    rng -= nv - val
+                    val = nv
+                    nb = min(nb, _ceil_log2(rng))
+                if ok:
+                    seq = [(X >> 1) & 1, X & 1] + out
+                    break
+            assert seq is not None
+            bits += seq
+        # V colors: the raw-literal path (flag bit 0, then n literals)
+        bits.append(0)
+        for v in pv:
+            bits += [(v >> (bd - 1 - i)) & 1 for i in range(bd)]
+        m00_bits, syms = self._pal_tokens(
+            wpx >> sx, hpx >> sy, on_w, on_h, npal, tmap)
+        self._pal_uv = dict(rc=(r, c), n=npal, bits=bits,
+                            m00=m00_bits, syms=syms)
 
     def next_symbol(self, n, what=None):
         if what == "coef":
@@ -934,8 +1017,18 @@ class RDPlanner(LossyPlanner):
                 self._lr_bits += pal["bits"]
                 return 1
             return pal["n"] - 2  # size symbol
+        if what == "pal_uv":
+            pal = getattr(self, "_pal_uv", None)
+            if pal is None or pal["rc"] != self.dec.block_pos[:2]:
+                return 0
+            if n == 2:  # use_palette_uv: queue colors now, maps at the end
+                self._lr_bits = pal["bits"] + self._lr_bits
+                self._lr_bits += pal["m00"]
+                self._pal_syms += pal["syms"]
+                return 1
+            return pal["n"] - 2
         if what == "pal_idx":
-            return self._pal["syms"].pop(0)
+            return self._pal_syms.pop(0)
         if what == "angle_y":
             r, c, bsize = self.dec.block_pos
             px = max(B.BLOCK_DIMS[bsize])
@@ -944,6 +1037,9 @@ class RDPlanner(LossyPlanner):
             return 3  # angle delta 0
         if what == "uv_mode":
             r, c, bsize = self.dec.block_pos
+            pal_uv = getattr(self, "_pal_uv", None)
+            if pal_uv is not None and pal_uv["rc"] == (r, c):
+                return 0  # DC carries the chroma palette
             entry = self.uv_plan.get((r - r % 4, c - c % 4), 0)
             mode, au, av = entry if isinstance(entry, tuple) else (entry, 0, 0)
             wpx, hpx = B.BLOCK_DIMS[bsize]

@@ -512,3 +512,32 @@ def test_palette_encode_edge_blocks_fuzz():
             np.testing.assert_array_equal(
                 np.asarray(rec[i], np.int64),
                 np.asarray(dav.planes[i], np.int64))
+
+
+def test_palette_uv_encode():
+    """Chroma palette ((U,V)-pair map, §5.11.44 U deltas with 0 allowed
+    + raw-literal V path): colored screen content codes chroma
+    losslessly and bit-exact vs dav1d."""
+    import numpy as np
+
+    from libavif_tpu.codec.av1.encode import encode_lossy_still
+    from libavif_tpu.codec.av1.stream import StreamDecoder
+    from libavif_tpu.interop import dav1d_oracle
+
+    y = np.full((128, 192), 235, np.uint8)
+    u = np.full((64, 96), 128, np.uint8)
+    v = np.full((64, 96), 128, np.uint8)
+    y[16:48, 16:176] = 61
+    u[8:24, 8:88] = 196
+    v[8:24, 8:88] = 82
+    y[64:96, 32:96] = 105
+    u[32:48, 16:48] = 64
+    v[32:48, 16:48] = 192
+    data = encode_lossy_still([y, u, v], 60, speed=6, allow_scc=True)
+    rec = StreamDecoder().decode_obus(data)[0][0]
+    np.testing.assert_array_equal(np.asarray(rec[1], np.uint8), u)
+    np.testing.assert_array_equal(np.asarray(rec[2], np.uint8), v)
+    dav = dav1d_oracle.decode_obus([data])[0]
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(rec[i], np.int64), np.asarray(dav.planes[i], np.int64))
