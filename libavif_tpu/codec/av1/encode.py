@@ -195,6 +195,9 @@ class LosslessPlanner:
         self._pal = None  # staged luma palette (r,c)/n/bits
         self._pal_uv = None  # staged chroma palette (r,c)/n/bits
         self._pal_syms: list = []  # shared §5.11.46 token queue (y then uv)
+        self._ibc = None  # staged intrabc block: rc/mv (eighth-pel)
+        self._ibc_queue: list = []  # DV component symbols
+        self._ibc_index = None  # lazy 16x16 source-tile hash index
 
     # -- decisions ---------------------------------------------------
 
@@ -395,6 +398,109 @@ class LosslessPlanner:
                 syms.append(order.index(t))
                 m[i, j] = t
         return _ns_bits(n, m00), syms
+
+    # ---- intrabc (encoder side; §5.11.18 mirror) ---------------------
+
+    _IBC_DELAY_SB64 = 4  # INTRABC_DELAY_PX / 64 (aom av1_is_dv_valid)
+
+    def _ibc_hash_index(self, bw, bh):
+        """Hash of every fully-inside (bh, bw) source tile on the 4px
+        grid -> list of (y, x), built lazily per block size."""
+        if self._ibc_index is None:
+            self._ibc_index = {}
+        key = (bh, bw)
+        if key not in self._ibc_index:
+            import zlib
+
+            src = np.ascontiguousarray(self.sources[0])
+            h, w = src.shape
+            idx: dict = {}
+            for y in range(0, h - bh + 1, 4):
+                for x in range(0, w - bw + 1, 4):
+                    k = zlib.crc32(src[y:y + bh, x:x + bw].tobytes())
+                    idx.setdefault(k, []).append((y, x))
+            self._ibc_index[key] = idx
+        return self._ibc_index[key]
+
+    def _intrabc_try(self, r, c, bsize) -> bool:
+        """Exact block-copy search for screen content: find an earlier
+        region whose SOURCE is byte-identical (chroma included) and
+        which satisfies the av1_is_dv_valid wavefront rule, then code
+        the block as skip=1 use_intrabc=1 — the full-pel BILINEAR MC
+        copies the matched region's reconstruction, reproducing its
+        distortion at a handful of bits."""
+        from . import blocks as B
+
+        d = self.dec
+        hdr = self.hdr
+        if not hdr.allow_intrabc or hdr.tile.cols != 1 or hdr.tile.rows != 1:
+            return False
+        wpx, hpx = B.BLOCK_DIMS[bsize]
+        if wpx < 8 or hpx < 8 or wpx > 32 or hpx > 32:
+            return False
+        src = self.sources[0]
+        h, w = src.shape
+        y0, x0 = r * 4, c * 4
+        if y0 + hpx > h or x0 + wpx > w:
+            return False
+        import zlib
+
+        cur = src[y0:y0 + hpx, x0:x0 + wpx]
+        cands = self._ibc_hash_index(wpx, hpx).get(
+            zlib.crc32(np.ascontiguousarray(cur).tobytes()), [])
+        act_row, act_col = y0 >> 6, x0 >> 6
+        sx, sy = d.ss_x, d.ss_y
+        tried = 0
+        for (ty, tx) in reversed(cands):  # nearest-first: fewer DV bits
+            if tried >= 8:
+                break
+            if (ty, tx) >= (y0, x0):
+                continue
+            dvy, dvx = ty - y0, tx - x0
+            if (dvy % (1 << sy)) or (dvx % (1 << sx)):
+                continue  # chroma must copy whole samples
+            # av1_is_dv_valid wavefront rule (verified against libaom):
+            # src bottom-right SB64 must satisfy src_row <= act_row and
+            # src_col < act_col - DELAY + (1 + DELAY) * (act_row -
+            # src_row), DELAY = 256px / 64 = 4
+            src_row = (ty + hpx - 1) >> 6
+            src_col = (tx + wpx - 1) >> 6
+            delay = self._IBC_DELAY_SB64
+            if src_row > act_row or src_col >= (
+                    act_col - delay + (1 + delay) * (act_row - src_row)):
+                continue
+            tried += 1
+            if not np.array_equal(src[ty:ty + hpx, tx:tx + wpx], cur):
+                continue  # hash collision
+            ok = True
+            for p in range(1, d.n_planes):
+                sp = self.sources[p]
+                cy0, cx0 = y0 >> sy, x0 >> sx
+                cy1, cx1 = ty >> sy, tx >> sx
+                ch_, cw_ = hpx >> sy, wpx >> sx
+                if not np.array_equal(sp[cy0:cy0 + ch_, cx0:cx0 + cw_],
+                                      sp[cy1:cy1 + ch_, cx1:cx1 + cw_]):
+                    ok = False
+                    break
+            if ok:
+                self._ibc = dict(rc=(r, c), mv=(dvy * 8, dvx * 8))
+                return True
+        return False
+
+    @staticmethod
+    def _dv_component_syms(dd: int) -> list:
+        """§5.11.32 read_mv_component inverse under force_integer_mv
+        (no fp/hp symbols): dd is the eighth-pel diff, a nonzero
+        multiple of 8."""
+        sign = 1 if dd < 0 else 0
+        m = abs(dd) - 1
+        assert m >= 0 and (m & 7) == 7, dd
+        if m < 16:
+            return [sign, 0, m >> 3]
+        cls = m.bit_length() - 4
+        z = m - (2 << (cls + 2))
+        dv = z >> 3
+        return [sign, cls] + [(dv >> i) & 1 for i in range(cls)]
 
     def _palette_uv_try(self, r, c, bsize) -> None:
         """Chroma palette for a luma-palette block: the uv map indexes
@@ -1002,6 +1108,29 @@ class RDPlanner(LossyPlanner):
             return self.plan.part.get((r, c, px), 0)
         if what == "gather":
             return 1  # split at truncated edges
+        if what == "skip":
+            r, c, bsize = self.dec.block_pos
+            if self.hdr.allow_intrabc and self._intrabc_try(r, c, bsize):
+                return 1  # intrabc copy block: no residual
+            return 0
+        if what == "use_intrabc":
+            ibc = self._ibc
+            return 1 if (ibc is not None
+                         and ibc["rc"] == self.dec.block_pos[:2]) else 0
+        if what == "mv_joint":
+            ibc = self._ibc
+            assert ibc is not None and ibc["rc"] == self.dec.block_pos[:2]
+            pred = self.dec.cur_mv_pred
+            dr = ibc["mv"][0] - pred[0]
+            dc_ = ibc["mv"][1] - pred[1]
+            self._ibc_queue = []
+            if dr:
+                self._ibc_queue += self._dv_component_syms(dr)
+            if dc_:
+                self._ibc_queue += self._dv_component_syms(dc_)
+            return (2 if dr else 0) | (1 if dc_ else 0)
+        if what in ("mv_sign", "mv_class", "mv_c0", "mv_bit"):
+            return self._ibc_queue.pop(0)
         if what == "y_mode":
             r, c, bsize = self.dec.block_pos
             if self._palette_try(r, c, bsize):
@@ -1317,6 +1446,7 @@ def _search_cdef(dec, srcs, base_q_idx: int, speed: int):
 def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
                         tx_mode_select: bool = True,
                         segmentation=None, allow_scc: bool = False,
+                        allow_intrabc: bool = False,
                         enable_lr: bool = False,
                         enable_cdef: bool = False,
                         tile_cols_log2: int = 0,
@@ -1345,7 +1475,7 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
             w(0, 1)
     w(0, 1)  # render_and_frame_size_different
     if allow_scc:
-        w(0, 1)  # allow_intrabc = 0 (allow_screen path reads this bit)
+        w(1 if allow_intrabc else 0, 1)  # allow_intrabc
     coded_w = (seq.max_frame_width * 8 + superres_denom // 2) // superres_denom
     _write_header_tail(
         w, seq, base_q_idx, coded_w,
@@ -1353,7 +1483,7 @@ def _write_frame_header(seq: SequenceHeader, base_q_idx: int,
         enable_lr=enable_lr, enable_cdef=enable_cdef,
         tile_cols_log2=tile_cols_log2, tile_rows_log2=tile_rows_log2,
         cdef_strengths=cdef_strengths, film_grain=film_grain,
-        lf_levels=lf_levels,
+        lf_levels=lf_levels, allow_intrabc=allow_intrabc,
     )
     s.flush_bits()
     return s.data()
@@ -1365,7 +1495,7 @@ def _write_header_tail(w, seq: SequenceHeader, base_q_idx: int, coded_w: int,
                        tile_cols_log2=0, tile_rows_log2=0,
                        cdef_strengths=None, film_grain=None,
                        lf_levels=None, is_inter=False,
-                       reference_select=False) -> None:
+                       reference_select=False, allow_intrabc=False) -> None:
     """Shared uncompressed-header tail (§5.9.2 from tile_info to
     trailing film grain): tile info, quantization, segmentation,
     delta-q/lf, loop filter, CDEF, LR, tx_mode — plus the inter-only
@@ -1448,17 +1578,18 @@ def _write_header_tail(w, seq: SequenceHeader, base_q_idx: int, coded_w: int,
         w(0, 1)  # segmentation_enabled
     if base_q_idx > 0:
         w(0, 1)  # delta_q_present
-        # loop filter (§5.9.11): encoder-picked levels (or 0/0 = off),
-        # sharpness 0, no deltas
-        ly, lu, lv_ = lf_levels if lf_levels is not None else (0, 0, 0)
-        w(ly, 6)
-        w(ly, 6)
-        if not seq.monochrome and ly:
-            w(lu, 6)
-            w(lv_, 6)
-        w(0, 3)
-        w(0, 1)  # loop_filter_delta_enabled
-        if enable_cdef:
+        # loop filter (§5.9.11): the WHOLE params block is absent when
+        # allow_intrabc (spec inits levels to 0 without reading)
+        if not allow_intrabc:
+            ly, lu, lv_ = lf_levels if lf_levels is not None else (0, 0, 0)
+            w(ly, 6)
+            w(ly, 6)
+            if not seq.monochrome and ly:
+                w(lu, 6)
+                w(lv_, 6)
+            w(0, 3)
+            w(0, 1)  # loop_filter_delta_enabled
+        if enable_cdef and not allow_intrabc:
             # cdef_params (§5.9.19): bits 0 (one strength set); strengths
             # either caller-chosen (encoder-side search) or the fixed
             # y 1/0, uv 1/0 probe configuration
@@ -1473,7 +1604,7 @@ def _write_header_tail(w, seq: SequenceHeader, base_q_idx: int, coded_w: int,
             if not seq.monochrome:
                 w(uvpri, 4)
                 w(3 if uvsec == 4 else uvsec, 2)
-        if enable_lr:
+        if enable_lr and not allow_intrabc:
             # lr_params (§5.9.20): SWITCHABLE on all coded planes, 64px
             # units (no shifts) — the alpha_noispe configuration
             for _ in range(1 if seq.monochrome else 3):
@@ -1589,6 +1720,7 @@ def _encode_still(
     color_range: int = 1,
     segmentation=None,
     allow_scc: bool = False,
+    allow_intrabc: bool = False,
     enable_lr: bool = False,
     enable_cdef: bool = False,
     cdef_search: bool = False,
@@ -1670,8 +1802,17 @@ def _encode_still(
     from ...containers.obu import parse_sequence_header
 
     seq = parse_sequence_header(seq_payload)
+    if allow_intrabc and not allow_scc:
+        allow_intrabc = False
+    if allow_intrabc:
+        # §5.9.2: intrabc frames run with in-loop filters disabled
+        enable_deblock = False
+        enable_cdef = cdef_search = False
+        enable_lr = False
     hdr_payload = _write_frame_header(seq, base_q_idx, segmentation=segmentation,
-                                      allow_scc=allow_scc, enable_lr=enable_lr,
+                                      allow_scc=allow_scc,
+                                      allow_intrabc=allow_intrabc,
+                                      enable_lr=enable_lr,
                                       enable_cdef=enable_cdef,
                                       tile_cols_log2=tile_cols_log2,
                                       tile_rows_log2=tile_rows_log2,

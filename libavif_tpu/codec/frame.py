@@ -514,6 +514,10 @@ def _encode_frame_spec_lossy(
         enable_cdef=cdef_on, cdef_search=cdef_on,
         enable_deblock=params.deblock is not False,
         allow_scc=scc,
+        # block-copy dedup; like aom's screen path this trades the
+        # in-loop filters (§5.9.2 disables them under intrabc) for
+        # exact-copy coding of repeated content
+        allow_intrabc=scc,
         tile_cols_log2=tcl,
         tile_rows_log2=trl,
         monochrome=info.monochrome,

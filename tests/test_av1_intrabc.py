@@ -145,3 +145,40 @@ def test_edge_palette_chroma_map_bit_exact():
             assert np.array_equal(ours.astype(np.int64), th.astype(np.int64)), (
                 f"seed {seed} plane {i}"
             )
+
+
+def test_intrabc_encode_repeated_content():
+    """Encoder-side intra block copy: repeated regions code as skip
+    DV-copy blocks (av1_is_dv_valid wavefront rule), shrinking
+    repeated-texture screen content several-fold at identical
+    distortion; bit-exact in dav1d and libaom."""
+    import numpy as np
+
+    from libavif_tpu.codec.av1.encode import encode_lossy_still
+    from libavif_tpu.codec.av1.stream import StreamDecoder
+    from libavif_tpu.interop import dav1d_oracle
+
+    rng = np.random.RandomState(7)
+    H, W = 448, 640
+    y = np.full((H, W), 240, np.uint8)
+    nz = rng.randint(0, 256, (8, W)).astype(np.uint8)
+    for row in range(16, H, 64):
+        y[row:row + 8] = nz
+    u = np.full((H // 2, W // 2), 128, np.uint8)
+    v = np.full((H // 2, W // 2), 128, np.uint8)
+    base = encode_lossy_still([y, u, v], 100, speed=6, allow_scc=True)
+    ibc = encode_lossy_still([y, u, v], 100, speed=6, allow_scc=True,
+                             allow_intrabc=True)
+    assert len(ibc) < len(base) * 0.5, (len(ibc), len(base))
+    rec = StreamDecoder().decode_obus(ibc)[0][0]
+    dav = dav1d_oracle.decode_obus([ibc])[0]
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(rec[i], np.int64), np.asarray(dav.planes[i], np.int64))
+    from libavif_tpu.interop import aom_oracle
+    if aom_oracle.available():
+        aomp = aom_oracle.decode_raw(ibc)
+        assert aomp is not None, "libaom rejected the intrabc stream"
+        for i in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(rec[i], np.int64), np.asarray(aomp[i], np.int64))
