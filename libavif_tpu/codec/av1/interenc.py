@@ -58,7 +58,8 @@ def _sequence_header(w: int, h: int, *, monochrome, subsampling_x,
                      subsampling_y, bit_depth, color_primaries,
                      transfer_characteristics, matrix_coefficients,
                      color_range, enable_cdef,
-                     enable_masked_compound=False) -> SequenceHeader:
+                     enable_masked_compound=False,
+                     enable_scc=False) -> SequenceHeader:
     """Animation sequence header (§5.5): the restricted toolset above."""
     if bit_depth == 12:
         profile = 2
@@ -86,7 +87,9 @@ def _sequence_header(w: int, h: int, *, monochrome, subsampling_x,
         enable_warped_motion=False,
         enable_dual_filter=False,
         enable_order_hint=False,
-        force_screen_content_tools=0,
+        # SELECT (2) lets each frame enable screen tools (palette in
+        # intra blocks of inter frames); 0 keeps the bit absent
+        force_screen_content_tools=2 if enable_scc else 0,
         force_integer_mv=0,
         enable_superres=False,
         enable_cdef=enable_cdef,
@@ -109,7 +112,8 @@ def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
                             base_q_idx: int, *, enable_cdef=False,
                             cdef_strengths=None, lf_levels=None,
                             frame_size=None, refresh=0x01,
-                            reference_select=False, ref_idx=None) -> bytes:
+                            reference_select=False, ref_idx=None,
+                            allow_scc=False) -> bytes:
     """Non-reduced uncompressed header (§5.9.2) for a KEY or INTER frame
     in our animation configuration (mirror of headers.parse_frame_header;
     the caller re-parses the bytes to guarantee agreement)."""
@@ -123,7 +127,10 @@ def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
     if is_inter:
         w(0, 1)
     w(0, 1)  # disable_cdf_update
-    # allow_screen_content_tools: no bit (seq.force_screen_content_tools=0)
+    # allow_screen_content_tools: a bit only when the sequence says
+    # SELECT (§5.9.2); force_integer_mv bit absent (seq value 0)
+    if seq.force_screen_content_tools == 2:
+        w(1 if allow_scc else 0, 1)
     override = frame_size is not None and frame_size != (
         seq.max_frame_width, seq.max_frame_height
     )
@@ -155,7 +162,8 @@ def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
     else:
         # KEY: primary_ref/refresh implied; frame size + render size
         w(0, 1)  # render_and_frame_size_different
-        # allow_intrabc: no bit (allow_screen_content_tools = 0)
+        if seq.force_screen_content_tools == 2 and allow_scc:
+            w(0, 1)  # allow_intrabc = 0 (KEY reads it under screen tools)
     w(0, 1)  # disable_frame_end_update_cdf = 0 (save end CDFs, §7.20)
     fw = frame_size[0] if override else seq.max_frame_width
     fh = frame_size[1] if override else seq.max_frame_height
@@ -546,7 +554,8 @@ def encode_inter_sequence(frames, qindex: int, *, speed: int = 6,
                           color_primaries=2, transfer_characteristics=2,
                           matrix_coefficients=2, color_range=1,
                           enable_deblock=True, enable_cdef=True,
-                          cdef_search=True, sizes=None) -> list:
+                          cdef_search=True, sizes=None,
+                          enable_scc=None) -> list:
     """Encode a GOP: frames[0] as KEY, the rest as INTER against the
     previous reconstruction. Returns one OBU payload per frame (the
     first includes the sequence header). Sample k decodes bit-exactly by
@@ -561,6 +570,10 @@ def encode_inter_sequence(frames, qindex: int, *, speed: int = 6,
     h, w = y0.shape
     if sizes is not None:
         assert (w, h) == sizes[0], "frame 0 fixes the sequence max size"
+    if enable_scc is None:
+        from ..frame import _looks_like_screen_content
+
+        enable_scc = _looks_like_screen_content(np.asarray(frames[0][0]))
     seq = _sequence_header(
         w, h, monochrome=monochrome, subsampling_x=subsampling_x,
         subsampling_y=subsampling_y, bit_depth=bit_depth,
@@ -568,6 +581,7 @@ def encode_inter_sequence(frames, qindex: int, *, speed: int = 6,
         transfer_characteristics=transfer_characteristics,
         matrix_coefficients=matrix_coefficients, color_range=color_range,
         enable_cdef=enable_cdef,
+        enable_scc=enable_scc,
     )
     seq_payload = write_sequence_header(seq)
     seq = parse_sequence_header(seq_payload)  # reader/writer agreement
@@ -605,6 +619,7 @@ def encode_inter_sequence(frames, qindex: int, *, speed: int = 6,
             enable_deblock=enable_deblock, enable_cdef=enable_cdef,
             cdef_search=cdef_on,
             frame_size=None if sizes is None else sizes[k],
+            allow_scc=enable_scc,
         )
         s = RWStream()
         write_obu(s, OBU_TEMPORAL_DELIMITER, b"")
@@ -617,7 +632,7 @@ def encode_inter_sequence(frames, qindex: int, *, speed: int = 6,
 
 def _encode_one_frame(seq, state, frame_type, planes, qindex, speed, iplan,
                       *, enable_deblock, enable_cdef, cdef_search,
-                      frame_size=None) -> bytes:
+                      frame_size=None, allow_scc=False) -> bytes:
     """One frame through the mirrored traversal + in-loop filters + §7.20
     reference update (mirror of encode._encode_still's tile loop, plus
     the cross-frame state StreamDecoder._decode_frame maintains)."""
@@ -625,7 +640,7 @@ def _encode_one_frame(seq, state, frame_type, planes, qindex, speed, iplan,
 
     hdr_payload = _write_frame_header_seq(
         seq, frame_type, qindex, enable_cdef=enable_cdef,
-        frame_size=frame_size,
+        frame_size=frame_size, allow_scc=allow_scc,
     )
     hdr = parse_frame_header(hdr_payload, seq, state)
     # inherited entropy state (§7.20, mirror of stream._decode_frame)
@@ -675,6 +690,7 @@ def _encode_one_frame(seq, state, frame_type, planes, qindex, speed, iplan,
             hdr_payload = _write_frame_header_seq(
                 seq, frame_type, qindex, enable_cdef=enable_cdef,
                 lf_levels=lf_levels, frame_size=frame_size,
+                allow_scc=allow_scc,
             )
             hdr2 = parse_frame_header(hdr_payload, seq, state)
             dec.hdr.lf = hdr2.lf
@@ -686,7 +702,7 @@ def _encode_one_frame(seq, state, frame_type, planes, qindex, speed, iplan,
         hdr_payload = _write_frame_header_seq(
             seq, frame_type, qindex, enable_cdef=True,
             cdef_strengths=chosen, lf_levels=lf_levels,
-            frame_size=frame_size,
+            frame_size=frame_size, allow_scc=allow_scc,
         )
         hdr2 = parse_frame_header(hdr_payload, seq, state)
         dec.hdr.cdef = hdr2.cdef
