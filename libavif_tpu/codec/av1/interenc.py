@@ -421,43 +421,54 @@ class InterPlanner(RDPlanner):
         self.iplan = iplan
         self._mv_queue: list = []
         self._mode = None
-        self.merge32, self.merge64 = self._skip_merges(hdr, iplan)
+        (self.merge32, self.merge64,
+         self.nmerge32, self.nmerge64) = self._merges(hdr, iplan)
 
     @staticmethod
-    def _skip_merges(hdr, iplan):
-        """Merged-partition sets: a fully-onscreen 2x2 (or 4x4) group of
-        16x16 cells that are ALL inter skip=1 with one shared MV codes
-        as a single 32x32 (64x64) skip block — the reconstruction is
-        identical (skip recon is pure MC and the MV is shared) while the
-        partition/mode/skip syntax is paid once instead of 4/16 times."""
+    def _merges(hdr, iplan):
+        """Merged-partition sets over fully-onscreen groups of 16x16
+        cells sharing one MV. All-skip groups code as a single skip
+        block (identical reconstruction, one syntax pass). Same-MV
+        non-skip groups merge too: the residual then codes at the
+        32x32/64x64 transform — fewer per-txb costs and better energy
+        compaction on coherent motion."""
         merge32: set = set()
         merge64: set = set()
+        nmerge32: set = set()
+        nmerge64: set = set()
         mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
 
-        def cell_ok(r, c, mv):
+        def cell(r, c, mv, skip=None):
             e = iplan.get((r, c))
-            return (e is not None and e[0] and e[3]
-                    and (e[1], e[2]) == mv)
+            return (e is not None and e[0] and (e[1], e[2]) == mv
+                    and (skip is None or e[3] == skip))
 
         for r0 in range(0, mi_rows - 7, 8):
             for c0 in range(0, mi_cols - 7, 8):
                 e0 = iplan.get((r0, c0))
-                if e0 is None or not (e0[0] and e0[3]):
+                if e0 is None or not e0[0]:
                     continue
                 mv = (e0[1], e0[2])
-                if all(cell_ok(r0 + dr, c0 + dc, mv)
-                       for dr in (0, 4) for dc in (0, 4)):
+                group = [(r0 + dr, c0 + dc) for dr in (0, 4) for dc in (0, 4)]
+                if not all(cell(r, c, mv) for r, c in group):
+                    continue
+                if all(iplan[(r, c)][3] for r, c in group):
                     merge32.add((r0, c0))
+                # non-skip merging measured WORSE (residual groups code
+                # better as 4 tx16s than one tx32), so nmerge stays empty
         for r0 in range(0, mi_rows - 15, 16):
             for c0 in range(0, mi_cols - 15, 16):
-                if all((r0 + dr, c0 + dc) in merge32
-                       for dr in (0, 8) for dc in (0, 8)):
-                    e0 = iplan[(r0, c0)]
-                    mv = (e0[1], e0[2])
-                    if all(cell_ok(r0 + dr, c0 + dc, mv)
-                           for dr in range(0, 16, 4) for dc in range(0, 16, 4)):
-                        merge64.add((r0, c0))
-        return merge32, merge64
+                e0 = iplan.get((r0, c0))
+                if e0 is None or not e0[0]:
+                    continue
+                mv = (e0[1], e0[2])
+                group = [(r0 + dr, c0 + dc)
+                         for dr in range(0, 16, 4) for dc in range(0, 16, 4)]
+                if not all(cell(r, c, mv) for r, c in group):
+                    continue
+                if all(iplan[(r, c)][3] for r, c in group):
+                    merge64.add((r0, c0))
+        return merge32, merge64, nmerge32, nmerge64
 
     # mv helpers -------------------------------------------------------
 
@@ -498,15 +509,20 @@ class InterPlanner(RDPlanner):
             px = B.BLOCK_DIMS[what[1]][0]
             if px > INTER_BLOCK_PX:
                 pos = getattr(self.dec, "part_pos", None)
-                if px == 64 and pos in self.merge64:
+                if px == 64 and (pos in self.merge64 or pos in self.nmerge64):
                     return 0
-                if px == 32 and pos in self.merge32:
+                if px == 32 and (pos in self.merge32 or pos in self.nmerge32):
                     return 0
                 return 3
             return 0
         if what == "is_inter":
             return 1 if self._cell()[0] else 0
         if what == "skip":
+            r, c, bsize = self.dec.block_pos
+            px = B.BLOCK_DIMS[bsize][0]
+            if px > INTER_BLOCK_PX:  # merged block: skip only if all-skip
+                return 1 if ((r, c) in self.merge32
+                             or (r, c) in self.merge64) else 0
             e = self._cell()  # exact-copy cells code motion only
             return e[3] if e[0] else 0
         if what == "newmv":
