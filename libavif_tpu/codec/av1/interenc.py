@@ -113,7 +113,7 @@ def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
                             cdef_strengths=None, lf_levels=None,
                             frame_size=None, refresh=0x01,
                             reference_select=False, ref_idx=None,
-                            allow_scc=False) -> bytes:
+                            allow_scc=False, allow_intrabc=False) -> bytes:
     """Non-reduced uncompressed header (§5.9.2) for a KEY or INTER frame
     in our animation configuration (mirror of headers.parse_frame_header;
     the caller re-parses the bytes to guarantee agreement)."""
@@ -163,7 +163,7 @@ def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
         # KEY: primary_ref/refresh implied; frame size + render size
         w(0, 1)  # render_and_frame_size_different
         if seq.force_screen_content_tools == 2 and allow_scc:
-            w(0, 1)  # allow_intrabc = 0 (KEY reads it under screen tools)
+            w(1 if allow_intrabc else 0, 1)  # allow_intrabc (KEY only)
     w(0, 1)  # disable_frame_end_update_cdf = 0 (save end CDFs, §7.20)
     fw = frame_size[0] if override else seq.max_frame_width
     fh = frame_size[1] if override else seq.max_frame_height
@@ -172,6 +172,7 @@ def _write_frame_header_seq(seq: SequenceHeader, frame_type: int,
         tx_mode_select=True, enable_cdef=enable_cdef,
         cdef_strengths=cdef_strengths, lf_levels=lf_levels,
         is_inter=is_inter, reference_select=reference_select,
+        allow_intrabc=allow_intrabc,
     )
     s.flush_bits()
     return s.data()
@@ -636,6 +637,7 @@ def encode_inter_sequence(frames, qindex: int, *, speed: int = 6,
             cdef_search=cdef_on,
             frame_size=None if sizes is None else sizes[k],
             allow_scc=enable_scc,
+            allow_intrabc=enable_scc,  # KEY frames only (gated inside)
         )
         s = RWStream()
         write_obu(s, OBU_TEMPORAL_DELIMITER, b"")
@@ -648,15 +650,23 @@ def encode_inter_sequence(frames, qindex: int, *, speed: int = 6,
 
 def _encode_one_frame(seq, state, frame_type, planes, qindex, speed, iplan,
                       *, enable_deblock, enable_cdef, cdef_search,
-                      frame_size=None, allow_scc=False) -> bytes:
+                      frame_size=None, allow_scc=False,
+                      allow_intrabc=False) -> bytes:
     """One frame through the mirrored traversal + in-loop filters + §7.20
     reference update (mirror of encode._encode_still's tile loop, plus
     the cross-frame state StreamDecoder._decode_frame maintains)."""
     from .restoration import read_lr, reset_lr_refs, setup_lr
 
+    allow_intrabc = (allow_intrabc and allow_scc
+                     and frame_type == R.KEY_FRAME)
+    if allow_intrabc:
+        # §5.9.2: in-loop filters are disabled under intrabc
+        enable_deblock = False
+        enable_cdef = cdef_search = False
     hdr_payload = _write_frame_header_seq(
         seq, frame_type, qindex, enable_cdef=enable_cdef,
         frame_size=frame_size, allow_scc=allow_scc,
+        allow_intrabc=allow_intrabc,
     )
     hdr = parse_frame_header(hdr_payload, seq, state)
     # inherited entropy state (§7.20, mirror of stream._decode_frame)

@@ -273,3 +273,37 @@ def test_screen_content_animation():
             np.testing.assert_array_equal(
                 np.asarray(ours[i][pi], np.int64),
                 np.asarray(dav[i].planes[pi], np.int64))
+
+
+def test_screen_animation_key_intrabc():
+    """Animation KEY frames under screen tools also use intra block
+    copy (non-reduced header gates the in-loop filter fields per
+    §5.9.11-20); dav1d bit-exact across the GOP."""
+    import numpy as np
+
+    from libavif_tpu.codec.av1.interenc import encode_inter_sequence
+    from libavif_tpu.codec.av1.stream import StreamDecoder
+    from libavif_tpu.interop import dav1d_oracle
+
+    rng = np.random.RandomState(7)
+    base = np.full((256, 320), 240, np.uint8)
+    nz = rng.randint(0, 256, (8, 320)).astype(np.uint8)
+    for row in range(16, 240, 64):
+        base[row:row + 8] = nz
+    frames = []
+    for t in range(3):
+        y = base.copy()
+        y[200:216, 20 + 30 * t:80 + 30 * t] = 60
+        frames.append([y, np.full((128, 160), 128, np.uint8),
+                       np.full((128, 160), 128, np.uint8)])
+    p = encode_inter_sequence(frames, 100, speed=6, enable_scc=True)
+    sd = StreamDecoder()
+    ours = []
+    for x in p:
+        ours += [s[0] for s in sd.decode_obus(x)]
+    dav = dav1d_oracle.decode_obus(p)
+    for i in range(3):
+        for pi in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(ours[i][pi], np.int64),
+                np.asarray(dav[i].planes[pi], np.int64))
