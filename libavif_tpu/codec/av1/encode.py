@@ -586,16 +586,23 @@ class LosslessPlanner:
             # WIENER). Pass 1 codes everything RESTORE_NONE; pass 2
             # answers the searched plan and queues the tap bits.
             if self.lr_plan:
-                taps = self.lr_plan.get(self.dec.cur_lr_unit)
-                if taps is not None:
-                    from .restoration import wiener_unit_bits
+                entry = self.lr_plan.get(self.dec.cur_lr_unit)
+                if entry is not None:
+                    from .restoration import sgr_unit_bits, wiener_unit_bits
 
                     plane = self.dec.cur_lr_unit[0]
-                    # symbolize against a COPY: the mirror decoder
+                    # symbolize against COPIES: the mirror decoder
                     # advances its own refs as it consumes these bits
-                    refs = [list(r) for r in self.dec.ref_lr_wiener[plane]]
-                    self._lr_bits += wiener_unit_bits(plane, refs, taps)
-                    return 1
+                    if entry[0] == "wiener":
+                        refs = [list(r)
+                                for r in self.dec.ref_lr_wiener[plane]]
+                        self._lr_bits += wiener_unit_bits(
+                            plane, refs, entry[1])
+                        return 1  # SWITCHABLE symbol: WIENER
+                    srefs = list(self.dec.ref_sgr_xqd[plane])
+                    self._lr_bits += sgr_unit_bits(
+                        plane, srefs, entry[1], entry[2])
+                    return 2  # SWITCHABLE symbol: SGRPROJ
             return 0
         return 0  # DC / NONE / no-skip policy for every mode-level element
 

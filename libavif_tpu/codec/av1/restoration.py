@@ -253,13 +253,14 @@ def _wiener_band(src, pre, ys, ye, x0, x1, taps_v, taps_h, clamp_lo,
     return np.clip(out, 0, (1 << bd) - 1)
 
 
-def _sgr_band(src, pre, ys, ye, x0, x1, sgr_set, xqd, clamp_lo, clamp_hi,
-              plane_w, bd):
-    """Self-guided restoration for one band (dav1d arithmetic)."""
+def _sgr_flt(src, pre, ys, ye, x0, x1, r, s, clamp_lo, clamp_hi,
+             plane_w, bd):
+    """One guided-filter pass (flt0 for r=2, flt1 for r=1) over a band
+    — the §7.17.3 A/B box chain shared by the decode apply and the
+    encoder's projection search."""
     h = ye - ys
     w = x1 - x0
     pw = plane_w
-    r0, r1, s0, s1 = SGR_PARAMS[sgr_set]
 
     def padded(r):
         # (h + 2r + 2) x (w + 2r + 2) window around the band incl. the
@@ -344,6 +345,13 @@ def _sgr_band(src, pre, ys, ye, x0, x1, sgr_set, xqd, clamp_lo, clamp_hi,
                 out[i] = (Bv + (32 * 256 - Xs) * srcb[i] + (1 << 8)) >> 9
         return out
 
+    return combine(r, s)
+
+
+def _sgr_band(src, pre, ys, ye, x0, x1, sgr_set, xqd, clamp_lo, clamp_hi,
+              plane_w, bd):
+    """Self-guided restoration for one band (dav1d arithmetic)."""
+    r0, r1, s0, s1 = SGR_PARAMS[sgr_set]
     band = src[ys:ye, x0:x1].astype(np.int64)
     u = band << 4
     v = u << 7
@@ -352,10 +360,12 @@ def _sgr_band(src, pre, ys, ye, x0, x1, sgr_set, xqd, clamp_lo, clamp_hi,
     w0 = int(xqd[0])
     w2 = (1 << 7) - w0 - int(xqd[1])
     if r0 and s0 > 0:
-        flt0 = combine(2, s0)
+        flt0 = _sgr_flt(src, pre, ys, ye, x0, x1, 2, s0, clamp_lo,
+                        clamp_hi, plane_w, bd)
         v = v + w0 * (flt0 - u)
     if r1 and s1 > 0:
-        flt1 = combine(1, s1)
+        flt1 = _sgr_flt(src, pre, ys, ye, x0, x1, 1, s1, clamp_lo,
+                        clamp_hi, plane_w, bd)
         v = v + w2 * (flt1 - u)
     out = (v + (1 << 10)) >> 11
     return np.clip(out, 0, (1 << bd) - 1)
@@ -510,6 +520,21 @@ def wiener_unit_bits(plane: int, refs, taps_vh) -> list:
     return bits
 
 
+def sgr_unit_bits(plane: int, refs, sgr_set: int, xqd) -> list:
+    """Raw bits for one SGRPROJ unit: the 4-bit set literal plus the
+    xqd subexp pair, updating `refs` (simulated dec.ref_sgr_xqd[plane])
+    in place. Two-sided sets only (both radii nonzero)."""
+    bits = [(sgr_set >> (3 - i)) & 1 for i in range(4)]
+    r0, r1, _, _ = SGR_PARAMS[sgr_set]
+    assert r0 and r1, "one-sided SGR sets not symbolized"
+    for i in range(2):
+        v = int(xqd[i])
+        bits += signed_subexp_bits(
+            SGRPROJ_XQD_MIN[i], SGRPROJ_XQD_MAX[i] + 1, 4, refs[i], v)
+        refs[i] = v
+    return bits
+
+
 def _sep_filter(R: np.ndarray, taps, axis: int) -> np.ndarray:
     """Float separable half of the Wiener filter with clamped edges:
     out = R + sum_j f_j (R[-d]+R[+d]-2R)/128, d = 3-j (search-side
@@ -578,6 +603,7 @@ def search_wiener_plan(dec, srcs, lam_sse: float) -> dict:
         S = np.asarray(srcs[plane], dtype=np.float64)[:ph, :pw]
         unit_rows, unit_cols = dec.lr_type[plane].shape
         refs = [list(WIENER_TAPS_MID) for _ in range(2)]
+        sgr_refs = list(SGRPROJ_XQD_MID)
         for ur in range(unit_rows):
             y0 = ur * usize
             y1 = ph if ur == unit_rows - 1 else min(ph, y0 + usize)
@@ -602,12 +628,53 @@ def search_wiener_plan(dec, srcs, lam_sse: float) -> dict:
                 sse_w = float(((s - np.clip(np.round(out), 0,
                                             (1 << dec.bd) - 1)) ** 2).sum())
                 taps = (tuple(int(x) for x in fv), tuple(int(x) for x in fh))
-                sim = [list(row) for row in refs]
-                nbits = 2 + len(wiener_unit_bits(plane, sim, taps))
-                if sse_none - sse_w > lam_sse * nbits and any(
-                        t for row in taps for t in row):
-                    plan[(plane, ur, uc)] = taps
-                    refs = sim
+                simw = [list(row) for row in refs]
+                bits_w = 2 + len(wiener_unit_bits(plane, simw, taps))
+                best = (sse_none + 0.0, None, None)
+                if any(t for row in taps for t in row):
+                    cost = sse_w + lam_sse * bits_w
+                    if cost < best[0] + lam_sse * 2:
+                        best = (cost - lam_sse * 2, ("wiener", taps), simw)
+                # SGR projection: LS over (w0, w2) for a few two-sided
+                # sets, evaluated through the real integer band filter
+                Rsub = dec.planes[plane]
+                u16 = (r * 16.0)
+                for sset in (0, 4, 9):
+                    f0 = _sgr_flt(Rsub, Rsub, y0, y1, x0, x1, 2,
+                                  SGR_PARAMS[sset][2], y0, y1 - 1, pw,
+                                  dec.bd).astype(np.float64)
+                    f1 = _sgr_flt(Rsub, Rsub, y0, y1, x0, x1, 1,
+                                  SGR_PARAMS[sset][3], y0, y1 - 1, pw,
+                                  dec.bd).astype(np.float64)
+                    a = (f0 - u16).ravel()
+                    b = (f1 - u16).ravel()
+                    t = ((s - r) * 2048.0).ravel()
+                    g = np.array([[a @ a, a @ b], [a @ b, b @ b]])
+                    g += 1e-6 * np.eye(2)
+                    try:
+                        w0f, w2f = np.linalg.solve(g, np.array([a @ t, b @ t]))
+                    except np.linalg.LinAlgError:
+                        continue
+                    xq0 = int(np.clip(round(w0f), SGRPROJ_XQD_MIN[0],
+                                      SGRPROJ_XQD_MAX[0]))
+                    xq1 = int(np.clip(round(128 - w0f - w2f),
+                                      SGRPROJ_XQD_MIN[1], SGRPROJ_XQD_MAX[1]))
+                    outs = _sgr_band(Rsub, Rsub, y0, y1, x0, x1, sset,
+                                     (xq0, xq1), y0, y1 - 1, pw, dec.bd)
+                    sse_s = float(((s - outs) ** 2).sum())
+                    sims = list(sgr_refs)
+                    bits_s = 2 + len(sgr_unit_bits(plane, sims, sset,
+                                                   (xq0, xq1)))
+                    cost = sse_s + lam_sse * bits_s
+                    if cost < best[0] + lam_sse * 2:
+                        best = (cost - lam_sse * 2,
+                                ("sgr", sset, (xq0, xq1)), sims)
+                if best[1] is not None:
+                    plan[(plane, ur, uc)] = best[1]
+                    if best[1][0] == "wiener":
+                        refs = best[2]
+                    else:
+                        sgr_refs = best[2]
         # refs reset per tile on the decode side (reset_lr_refs); the
         # single-tile spec encoder matches (multi-tile resets per tile)
     return plan

@@ -76,13 +76,13 @@ def test_encoder_wiener_restoration_conformant(monkeypatch):
     def spy(dec, plane, ur, uc):
         nonlocal n_wiener
         orig_unit(dec, plane, ur, uc)
-        if int(dec.lr_type[plane][ur, uc]) == 2:
+        if int(dec.lr_type[plane][ur, uc]) in (2, 3):
             n_wiener += 1
 
     monkeypatch.setattr(R, "_read_lr_unit", spy)
     ours = StreamDecoder().decode_obus(data)[0][0]
     monkeypatch.setattr(R, "_read_lr_unit", orig_unit)
-    assert n_wiener > 0, "no Wiener unit coded"
+    assert n_wiener > 0, "no restoration unit coded"
     dav = dav1d_oracle.decode_obus([data])[0]
     for i in range(3):
         np.testing.assert_array_equal(
